@@ -1,0 +1,268 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Nexmark query semantics (SURVEY.md §2.4/§2.5) re-expressed as batch
+  * DataFrame analytics over the driver's `events` table
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Mapping of the reference workload onto this table:
+  *   - bids            → events rows (value = bid price, user_id = bidder)
+  *   - persons/signup  → event_type = 'signup'
+  *   - auctions/purchase → event_type = 'purchase'
+  *   - auction windows → event-time tumbling windows over ts
+  *
+  * Each query is declarative DataFrame API so Catalyst gets predicate
+  * pushdown / column pruning / partial aggregation for free (SURVEY §4.1).
+  * All plans shuffle at most once per keyed aggregation and carry only the
+  * columns they need — at 100 TB the parquet scan prunes to the 3-4 used
+  * columns and windows are computed without a sort (hash agg on the
+  * truncated timestamp).
+  *
+  * Reference semantics ported here:
+  *   - Q5 hot items:  /root/reference .../NexmarkQuery5/NexmarkQuery5.java:201-251
+  *   - Q4 avg winning price: NexmarkQuery5.java:402-422 (commented spec agg)
+  *   - Q7 highest bid: NexmarkQueryX/NexmarkQueryX.java:417-445
+  *   - Q8 new-user join: NexmarkQuery8/NexmarkQuery8.java:106-153 (cogroup spec)
+  *   - Q11/Q10 sessions: NexmarkQueryX.java:765-786 (session window fn)
+  *   - CM windowed sum: cm/CM.java:272-303
+  */
+object EventAnalytics {
+
+  private def hourMs(c: org.apache.spark.sql.Column) =
+    unix_millis(date_trunc("hour", c))
+  private def dayMs(c: org.apache.spark.sql.Column) =
+    unix_millis(date_trunc("day", c))
+
+  /** Nexmark Q5 (hot items): per tumbling hour window, the user(s) with the
+    * most events. Two-level agg; all ties kept (deterministic).
+    */
+  def hotUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val perUser = ev
+      .groupBy(hourMs(col("ts")).as("win_start_ms"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("win_start_ms"))
+    perUser
+      .withColumn("max_n", max(col("n_events")).over(w))
+      .filter(col("n_events") === col("max_n"))
+      .select("win_start_ms", "user_id", "n_events")
+  }
+
+  def hotUsersSql: String =
+    """WITH per_user AS (
+      |  SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS win_start_ms,
+      |         user_id, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT win_start_ms, user_id, n_events FROM per_user
+      |QUALIFY n_events = MAX(n_events) OVER (PARTITION BY win_start_ms)
+      |""".stripMargin
+
+  /** Nexmark Q4 (average winning bid per category): per event_type, the
+    * average over (hour window, user) of the per-user max value.
+    */
+  def avgMaxValue(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(col("event_type"), hourMs(col("ts")).as("win_start_ms"), col("user_id"))
+      .agg(max(col("value")).as("max_value"))
+      .groupBy(col("event_type"))
+      .agg(round(avg(col("max_value")), 4).as("avg_max_value"),
+           count(lit(1)).as("n_groups"))
+  }
+
+  def avgMaxValueSql: String =
+    """WITH m AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS w, user_id, MAX(value) AS max_value
+      |  FROM events GROUP BY 1, 2, 3
+      |)
+      |SELECT event_type, ROUND(AVG(max_value), 4) AS avg_max_value,
+      |       COUNT(*) AS n_groups
+      |FROM m GROUP BY event_type
+      |""".stripMargin
+
+  /** Nexmark Q7 (highest bid per window): per tumbling day window, the max
+    * value and the smallest event_id achieving it (deterministic argmax).
+    */
+  def highestValue(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val perDay = ev
+      .groupBy(dayMs(col("ts")).as("win_start_ms"))
+      .agg(max(col("value")).as("max_value"))
+    // join back to recover the witness row; min(event_id) breaks value ties
+    ev.select(dayMs(col("ts")).as("win_start_ms"), col("event_id"), col("value"))
+      .join(perDay, Seq("win_start_ms"))
+      .filter(col("value") === col("max_value"))
+      .groupBy(col("win_start_ms"), col("max_value"))
+      .agg(min(col("event_id")).as("event_id"))
+  }
+
+  def highestValueSql: String =
+    """WITH d AS (
+      |  SELECT CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS win_start_ms,
+      |         event_id, value
+      |  FROM events
+      |), m AS (
+      |  SELECT win_start_ms, MAX(value) AS max_value FROM d GROUP BY 1
+      |)
+      |SELECT d.win_start_ms, m.max_value, MIN(d.event_id) AS event_id
+      |FROM d JOIN m ON d.win_start_ms = m.win_start_ms AND d.value = m.max_value
+      |GROUP BY d.win_start_ms, m.max_value
+      |""".stripMargin
+
+  /** Nexmark Q8 (new users who act immediately): users with a signup in an
+    * hour window joined to their purchases in the same window.
+    * Stream-stream equi-join semantics (personId join of NexmarkQuery8
+    * JoinUDF) expressed as a windowed equi-join; the signup side is
+    * deduplicated per window like the reference's ValueState "latest person".
+    */
+  def newUserActivity(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(hourMs(col("ts")).as("win_start_ms"), col("user_id"))
+      .distinct()
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(hourMs(col("ts")).as("win_start_ms"), col("user_id"), col("value"))
+    signups.join(purchases, Seq("win_start_ms", "user_id"))
+      .groupBy(col("win_start_ms"), col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+           round(sum(col("value")), 2).as("purchase_total"))
+  }
+
+  def newUserActivitySql: String =
+    """WITH s AS (
+      |  SELECT DISTINCT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS win_start_ms, user_id
+      |  FROM events WHERE event_type = 'signup'
+      |), p AS (
+      |  SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS win_start_ms, user_id, value
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT s.win_start_ms, s.user_id, COUNT(*) AS n_purchases,
+      |       ROUND(SUM(p.value), 2) AS purchase_total
+      |FROM s JOIN p ON s.win_start_ms = p.win_start_ms AND s.user_id = p.user_id
+      |GROUP BY 1, 2
+      |""".stripMargin
+
+  /** Nexmark Q10-style sessionization (SessionWindowUdf): 30-minute-gap
+    * sessions per user. Spark `session_window` semantics: an event extends
+    * the session iff it starts strictly before last_ts + gap.
+    */
+  def userSessions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           unix_millis(max(col("ts"))).as("last_ts_ms"),
+           round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"),
+              unix_millis(col("session_window.start")).as("session_start_ms"),
+              col("last_ts_ms"), col("n_events"), col("session_value"))
+  }
+
+  def userSessionsSql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |), s AS (
+      |  SELECT user_id, ts, value,
+      |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o
+      |)
+      |SELECT user_id,
+      |       CAST(epoch_ms(MIN(ts)) AS BIGINT) AS session_start_ms,
+      |       CAST(epoch_ms(MAX(ts)) AS BIGINT) AS last_ts_ms,
+      |       COUNT(*) AS n_events,
+      |       ROUND(SUM(value), 2) AS session_value
+      |FROM s GROUP BY user_id, sid
+      |""".stripMargin
+
+  /** CM cluster-trace aggregation (cm/CM.java:272-303): SUM(value) per
+    * user per tumbling window (6h here; 2s in the reference at its rates).
+    */
+  def windowedLoad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(window(col("ts"), "6 hours"), col("user_id"))
+      .agg(round(sum(col("value")), 2).as("total_value"),
+           count(lit(1)).as("n_events"))
+      .select(unix_millis(col("window.start")).as("win_start_ms"),
+              col("user_id"), col("total_value"), col("n_events"))
+  }
+
+  def windowedLoadSql: String =
+    """SELECT CAST(epoch_ms(to_timestamp(FLOOR(epoch(ts) / 21600) * 21600)) AS BIGINT) AS win_start_ms,
+      |       user_id, ROUND(SUM(value), 2) AS total_value, COUNT(*) AS n_events
+      |FROM events GROUP BY 1, 2
+      |""".stripMargin
+
+  /** QX-style tagged union (NexmarkQueryX.java:301, JoinHelper taggers):
+    * two typed sub-streams harmonized to one schema, unioned, re-aggregated.
+    */
+  def unionMix(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(dayMs(col("ts")).as("day_ms"), lit("c").as("tag"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(dayMs(col("ts")).as("day_ms"), lit("p").as("tag"), col("value"))
+    clicks.unionByName(purchases)
+      .groupBy(col("day_ms"), col("tag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+  }
+
+  def unionMixSql: String =
+    """WITH u AS (
+      |  SELECT CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS day_ms, 'c' AS tag, value
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS day_ms, 'p' AS tag, value
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT day_ms, tag, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+      |FROM u GROUP BY day_ms, tag
+      |""".stripMargin
+
+  /** Generalized top-k per group (SURVEY §2.7 sort/limit row): top 5 events
+    * by value per event_type, ties broken by event_id (deterministic).
+    */
+  def topkPerType(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    ev.select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+  }
+
+  def topkPerTypeSql: String =
+    """SELECT event_type, event_id, value,
+      |       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rk
+      |FROM events
+      |QUALIFY rk <= 5
+      |""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q5_hot_users" -> (hotUsers _),
+    "q4_avg_max_value" -> (avgMaxValue _),
+    "q7_highest_value" -> (highestValue _),
+    "q8_new_user_activity" -> (newUserActivity _),
+    "q11_user_sessions" -> (userSessions _),
+    "qcm_windowed_load" -> (windowedLoad _),
+    "qx_union_mix" -> (unionMix _),
+    "q_topk_per_type" -> (topkPerType _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q5_hot_users" -> hotUsersSql,
+    "q4_avg_max_value" -> avgMaxValueSql,
+    "q7_highest_value" -> highestValueSql,
+    "q8_new_user_activity" -> newUserActivitySql,
+    "q11_user_sessions" -> userSessionsSql,
+    "qcm_windowed_load" -> windowedLoadSql,
+    "qx_union_mix" -> unionMixSql,
+    "q_topk_per_type" -> topkPerTypeSql,
+  )
+}
