@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   *   - Q11/Q10 sessions: NexmarkQueryX.java:765-786 (session window fn)
   *   - CM windowed sum: cm/CM.java:272-303
   */
-object EventAnalytics {
+object EventAnalytics extends QueryModule {
 
   private def hourMs(c: org.apache.spark.sql.Column) =
     unix_millis(date_trunc("hour", c))
@@ -70,16 +70,16 @@ object EventAnalytics {
     ev.groupBy(col("event_type"), hourMs(col("ts")).as("win_start_ms"), col("user_id"))
       .agg(max(col("value")).as("max_value"))
       .groupBy(col("event_type"))
-      .agg(round(avg(col("max_value")), 4).as("avg_max_value"),
+      .agg(expr(Det.avgCents4("max_value")).as("avg_max_value"),
            count(lit(1)).as("n_groups"))
   }
 
   def avgMaxValueSql: String =
-    """WITH m AS (
+    s"""WITH m AS (
       |  SELECT event_type, date_trunc('hour', ts) AS w, user_id, MAX(value) AS max_value
       |  FROM events GROUP BY 1, 2, 3
       |)
-      |SELECT event_type, ROUND(AVG(max_value), 4) AS avg_max_value,
+      |SELECT event_type, ${Det.avgCents4("max_value")} AS avg_max_value,
       |       COUNT(*) AS n_groups
       |FROM m GROUP BY event_type
       |""".stripMargin
@@ -129,11 +129,11 @@ object EventAnalytics {
     signups.join(purchases, Seq("win_start_ms", "user_id"))
       .groupBy(col("win_start_ms"), col("user_id"))
       .agg(count(lit(1)).as("n_purchases"),
-           round(sum(col("value")), 2).as("purchase_total"))
+           expr(Det.cents("value")).as("purchase_total"))
   }
 
   def newUserActivitySql: String =
-    """WITH s AS (
+    s"""WITH s AS (
       |  SELECT DISTINCT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS win_start_ms, user_id
       |  FROM events WHERE event_type = 'signup'
       |), p AS (
@@ -141,7 +141,7 @@ object EventAnalytics {
       |  FROM events WHERE event_type = 'purchase'
       |)
       |SELECT s.win_start_ms, s.user_id, COUNT(*) AS n_purchases,
-      |       ROUND(SUM(p.value), 2) AS purchase_total
+      |       ${Det.cents("p.value")} AS purchase_total
       |FROM s JOIN p ON s.win_start_ms = p.win_start_ms AND s.user_id = p.user_id
       |GROUP BY 1, 2
       |""".stripMargin
@@ -155,14 +155,14 @@ object EventAnalytics {
     ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
            unix_millis(max(col("ts"))).as("last_ts_ms"),
-           round(sum(col("value")), 2).as("session_value"))
+           expr(Det.cents("value")).as("session_value"))
       .select(col("user_id"),
               unix_millis(col("session_window.start")).as("session_start_ms"),
               col("last_ts_ms"), col("n_events"), col("session_value"))
   }
 
   def userSessionsSql: String =
-    """WITH o AS (
+    s"""WITH o AS (
       |  SELECT user_id, ts, value,
       |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
       |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
@@ -177,7 +177,7 @@ object EventAnalytics {
       |       CAST(epoch_ms(MIN(ts)) AS BIGINT) AS session_start_ms,
       |       CAST(epoch_ms(MAX(ts)) AS BIGINT) AS last_ts_ms,
       |       COUNT(*) AS n_events,
-      |       ROUND(SUM(value), 2) AS session_value
+      |       ${Det.cents("value")} AS session_value
       |FROM s GROUP BY user_id, sid
       |""".stripMargin
 
@@ -187,15 +187,15 @@ object EventAnalytics {
   def windowedLoad(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     ev.groupBy(window(col("ts"), "6 hours"), col("user_id"))
-      .agg(round(sum(col("value")), 2).as("total_value"),
+      .agg(expr(Det.cents("value")).as("total_value"),
            count(lit(1)).as("n_events"))
       .select(unix_millis(col("window.start")).as("win_start_ms"),
               col("user_id"), col("total_value"), col("n_events"))
   }
 
   def windowedLoadSql: String =
-    """SELECT CAST(epoch_ms(to_timestamp(FLOOR(epoch(ts) / 21600) * 21600)) AS BIGINT) AS win_start_ms,
-      |       user_id, ROUND(SUM(value), 2) AS total_value, COUNT(*) AS n_events
+    s"""SELECT CAST(epoch_ms(to_timestamp(FLOOR(epoch(ts) / 21600) * 21600)) AS BIGINT) AS win_start_ms,
+      |       user_id, ${Det.cents("value")} AS total_value, COUNT(*) AS n_events
       |FROM events GROUP BY 1, 2
       |""".stripMargin
 
@@ -210,18 +210,18 @@ object EventAnalytics {
       .select(dayMs(col("ts")).as("day_ms"), lit("p").as("tag"), col("value"))
     clicks.unionByName(purchases)
       .groupBy(col("day_ms"), col("tag"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), expr(Det.cents("value")).as("total_value"))
   }
 
   def unionMixSql: String =
-    """WITH u AS (
+    s"""WITH u AS (
       |  SELECT CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS day_ms, 'c' AS tag, value
       |  FROM events WHERE event_type = 'click'
       |  UNION ALL
       |  SELECT CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS day_ms, 'p' AS tag, value
       |  FROM events WHERE event_type = 'purchase'
       |)
-      |SELECT day_ms, tag, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+      |SELECT day_ms, tag, COUNT(*) AS n, ${Det.cents("value")} AS total_value
       |FROM u GROUP BY day_ms, tag
       |""".stripMargin
 
@@ -231,7 +231,7 @@ object EventAnalytics {
   def topkPerType(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value").desc, col("event_id").asc)
+      .orderBy(col("value").desc_nulls_last, col("event_id").asc)
     ev.select(col("event_type"), col("event_id"), col("value"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
@@ -239,7 +239,7 @@ object EventAnalytics {
 
   def topkPerTypeSql: String =
     """SELECT event_type, event_id, value,
-      |       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rk
+      |       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC NULLS LAST, event_id ASC) AS rk
       |FROM events
       |QUALIFY rk <= 5
       |""".stripMargin

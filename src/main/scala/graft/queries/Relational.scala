@@ -1,0 +1,236 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage over the TPC-H-ish fixture tables:
+  * multi-way joins (broadcast + shuffle), semi/anti joins, rollup,
+  * window functions, distinct aggregation, JSON extraction.
+  *
+  * The reference workload (SURVEY §2.4/§2.5) only needs equi-joins and
+  * windowed aggs; these queries exercise the rest of the relational
+  * surface a Spark engine must keep fast at 100 TB:
+  *   - small dims (region/nation/customer at low SF) are broadcast so the
+  *     big fact scan never shuffles for the join;
+  *   - aggregations are declarative so Catalyst does partial (map-side)
+  *     aggregation before the single shuffle;
+  *   - top-k uses row_number over an explicit total order (deterministic).
+  */
+object Relational extends QueryModule {
+
+  /** Order-independent exact money sum: see [[QueryModule]] docs. */
+  private def centsSum(prod: String): Column =
+    // cast to double BEFORE dividing: Spark parses `100.0` as a DECIMAL
+    // literal, and bigint/decimal would yield DECIMAL while DuckDB yields
+    // DOUBLE — the cross-engine compare needs matching types.
+    expr(s"cast(sum(cast(round(($prod) * 100) as bigint)) as double) / 100.0")
+
+  /** TPC-H Q1 shape: pricing summary by returnflag/linestatus. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        centsSum("l_extendedprice").as("sum_base_price"),
+        centsSum("l_extendedprice * (1 - l_discount)").as("sum_disc_price"),
+        centsSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)").as("sum_charge"),
+        // quantities are integral, so SUM is exact in any order; the scaled
+        // integer rounding (Det.r4) keeps the 4-dp average engine-agnostic.
+        expr(Det.r4("sum(l_quantity) / count(1)")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+
+  def pricingSummarySql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+      |       SUM(l_quantity) AS sum_qty,
+      |       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+      |       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS sum_disc_price,
+      |       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) / 100.0 AS sum_charge,
+      |       ${Det.r4("SUM(l_quantity) / COUNT(1)")} AS avg_qty,
+      |       COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |""".stripMargin
+
+  /** TPC-H Q3 shape: top-10 customers by lineitem revenue.
+    * customer is broadcast (small dim); orders⋈lineitem shuffles on
+    * orderkey once; top-k via row_number over a total order.
+    */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val rev = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(centsSum("l_extendedprice * (1 - l_discount)").as("revenue"))
+    val w = Window.orderBy(col("revenue").desc_nulls_last, col("c_custkey").asc)
+    rev.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+  }
+
+  def topCustomersSql: String =
+    """WITH rev AS (
+      |  SELECT c_custkey, c_name,
+      |         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |                JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_custkey, c_name
+      |)
+      |SELECT c_custkey, c_name, revenue,
+      |       ROW_NUMBER() OVER (ORDER BY revenue DESC NULLS LAST, c_custkey ASC) AS rk
+      |FROM rev QUALIFY rk <= 10
+      |""".stripMargin
+
+  /** TPC-H Q5 shape: revenue by region/nation through a 4-way join.
+    * nation+region are broadcast; the only shuffle is lineitem⋈orders
+    * plus the final small aggregation.
+    */
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(centsSum("l_extendedprice * (1 - l_discount)").as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  def regionRevenueSql: String =
+    """SELECT r_name, n_name,
+      |       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue,
+      |       COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |              JOIN customer ON o_custkey = c_custkey
+      |              JOIN nation ON c_nationkey = n_nationkey
+      |              JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |""".stripMargin
+
+  /** Semi/anti join: customers with vs without orders, per market segment. */
+  def semiAntiCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+      .withColumn("kind", lit("with_orders"))
+    val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+      .withColumn("kind", lit("without_orders"))
+    withOrders.unionByName(withoutOrders)
+      .select("c_mktsegment", "kind", "n_customers")
+  }
+
+  def semiAntiCustomersSql: String =
+    """SELECT c_mktsegment, 'with_orders' AS kind, COUNT(*) AS n_customers
+      |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT c_mktsegment, 'without_orders' AS kind, COUNT(*) AS n_customers
+      |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |""".stripMargin
+
+  /** ROLLUP over returnflag/linestatus (grouping-sets machinery).
+    * NULL rollup slots are coalesced to 'ALL' so the cross-engine compare
+    * never sees engine-specific null sorting.
+    */
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+              col("n_rows"), col("sum_qty"))
+  }
+
+  def rollupSummarySql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |       COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |""".stripMargin
+
+  /** Running total per customer over their orders (window aggregation).
+    * Frame is ROWS UNBOUNDED PRECEDING over a total order (date, key) so
+    * both engines accumulate the same integer cents in the same order.
+    */
+  def runningOrderTotal(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+             expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      .withColumn("running_total", sum(col("cents")).over(w) / 100.0)
+      .select("o_custkey", "o_orderkey", "running_total")
+  }
+
+  def runningOrderTotalSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+      |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_total
+      |FROM orders
+      |""".stripMargin
+
+  /** Distinct aggregation: distinct customers + order count per priority. */
+  def priorityStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+           count(lit(1)).as("n_orders"),
+           centsSum("o_totalprice").as("total_price"))
+  }
+
+  def priorityStatsSql: String =
+    """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers,
+      |       COUNT(*) AS n_orders,
+      |       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+      |FROM orders GROUP BY o_orderpriority
+      |""".stripMargin
+
+  /** JSON extraction from the events.props column (semi-structured path). */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.select(get_json_object(col("props"), "$.k").cast("bigint").as("k"),
+              col("value"))
+      .withColumn("k_bucket", col("k") % 10)
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+           expr(Det.avgCents4("value")).as("avg_value"))
+  }
+
+  def jsonPropsSql: String =
+    s"""SELECT CAST(props->>'k' AS BIGINT) % 10 AS k_bucket,
+      |       COUNT(*) AS n_events, ${Det.avgCents4("value")} AS avg_value
+      |FROM events GROUP BY 1
+      |""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_pricing_summary" -> (pricingSummary _),
+    "r_top_customers" -> (topCustomers _),
+    "r_region_revenue" -> (regionRevenue _),
+    "r_semi_anti_customers" -> (semiAntiCustomers _),
+    "r_rollup_summary" -> (rollupSummary _),
+    "r_running_order_total" -> (runningOrderTotal _),
+    "r_priority_stats" -> (priorityStats _),
+    "r_json_props" -> (jsonProps _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "r_pricing_summary" -> pricingSummarySql,
+    "r_top_customers" -> topCustomersSql,
+    "r_region_revenue" -> regionRevenueSql,
+    "r_semi_anti_customers" -> semiAntiCustomersSql,
+    "r_rollup_summary" -> rollupSummarySql,
+    "r_running_order_total" -> runningOrderTotalSql,
+    "r_priority_stats" -> priorityStatsSql,
+    "r_json_props" -> jsonPropsSql,
+  )
+}

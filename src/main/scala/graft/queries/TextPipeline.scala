@@ -1,0 +1,413 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the `documents` table
+  * (doc_id, text, lang, source, n_chars):
+  *
+  *   - exact dedup via content fingerprint (md5 of normalized text)
+  *   - near-dedup via MinHash + LSH banding over word 3-shingles
+  *   - SimHash (32-bit) document signatures
+  *   - character n-gram Jaccard similarity
+  *   - token counting (whitespace + BPE-ish regex pieces)
+  *   - language-ID (marker-token scoring) and quality scoring
+  *   - a multimodal stub: opaque binary payload + typed metadata decode
+  *     via mapPartitions (the real decode would use image/audio libs; the
+  *     Spark-side plumbing — schema, partitioning, batch shape — is real)
+  *
+  * Scale notes (100 TB):
+  *   - everything is per-document map work + one groupBy(doc_id) for the
+  *     MinHash signature — embarrassingly parallel, no driver-side state;
+  *   - LSH banding turns the O(n²) near-dup problem into a shuffle on
+  *     (band, bandKey) whose bucket sizes are bounded by collision
+  *     probability — the standard web-scale dedup topology;
+  *   - the only self-join is on LSH buckets (candidate pairs), never on
+  *     the full corpus.
+  *
+  * MinHash here uses *lexicographic min over md5 hex strings* as the hash
+  * family (seeded by a per-hash prefix). md5 is identical everywhere, so
+  * the DuckDB oracle reproduces signatures exactly — no engine-specific
+  * integer hashing.
+  */
+object TextPipeline extends QueryModule {
+
+  // ---- shared constants (both dialects are generated from these) ----
+  private val NumHashes = 12
+  private val NumBands = 6 // rows-per-band = 2
+  private val RowsPerBand = NumHashes / NumBands
+  private val Stopwords = Seq("the", "a", "of", "and", "in")
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "de" -> Seq("der", "und"),
+    "es" -> Seq("el", "y"),
+    "fr" -> Seq("le", "et"),
+    "zh" -> Seq("de", "shi"),
+  )
+
+  /** Normalized text: lowercase, non-alnum → space, collapsed, trimmed. */
+  private def normSpark(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+  private def normSql(c: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  private def docsNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+              normSpark(col("text")).as("nc"))
+      .withColumn("words", split(col("nc"), " "))
+
+  /** Token statistics: whitespace tokens, distinct tokens, BPE-ish regex
+    * pieces, average token length.
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    docsNorm(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(col("words")).as("n_tokens"),
+      size(array_distinct(col("words"))).as("n_distinct_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("n_pieces"),
+      expr(Det.r4("(length(nc) - size(words) + 1) / size(words)")).as("avg_token_len"))
+
+  def tokenStatsSql: String =
+    s"""WITH d AS (SELECT doc_id, text, ${normSql("text")} AS nc FROM documents)
+       |SELECT doc_id, LENGTH(text) AS n_chars,
+       |       LEN(string_split(nc, ' ')) AS n_tokens,
+       |       LEN(list_distinct(string_split(nc, ' '))) AS n_distinct_tokens,
+       |       LEN(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS n_pieces,
+       |       ${Det.r4("(LENGTH(nc) - LEN(string_split(nc, ' ')) + 1) / LEN(string_split(nc, ' '))")} AS avg_token_len
+       |FROM d
+       |""".stripMargin
+
+  /** Language-ID by marker-token scoring: per doc, count marker tokens per
+    * language; argmax with a fixed priority order; report the confusion
+    * matrix (actual lang × predicted lang).
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsNorm(spark, dir)
+    val scored = LangMarkers.foldLeft(d) { case (df, (l, ms)) =>
+      val inList = ms.map(m => s"w = '$m'").mkString(" or ")
+      df.withColumn(s"s_$l", expr(s"size(filter(words, w -> $inList))"))
+    }
+    val langs = LangMarkers.map(_._1)
+    val pred = langs.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((l, _), elseCol) =>
+        val geAll = langs.filter(_ != l).map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+        when(geAll, lit(l)).otherwise(elseCol)
+    }
+    scored.withColumn("pred_lang", pred)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  def langIdSql: String = {
+    val langs = LangMarkers.map(_._1)
+    val scoreCols = LangMarkers.map { case (l, ms) =>
+      val inList = ms.map(m => s"w = '$m'").mkString(" or ")
+      s"LEN(list_filter(string_split(nc, ' '), w -> $inList)) AS s_$l"
+    }.mkString(",\n       ")
+    val predCase = langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString("\n         ")
+    s"""WITH d AS (SELECT doc_id, lang, ${normSql("text")} AS nc FROM documents),
+       |s AS (SELECT doc_id, lang,
+       |       $scoreCols
+       |      FROM d)
+       |SELECT lang, CASE $predCase ELSE '${langs.last}' END AS pred_lang,
+       |       COUNT(*) AS n_docs
+       |FROM s GROUP BY 1, 2
+       |""".stripMargin
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio,
+    * type-token ratio → composite score → quality bucket.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsNorm(spark, dir)
+    val sw = Stopwords.map(s => s"w = '$s'").mkString(" or ")
+    d.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(col("words")).as("n_tokens"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).as("punct_count"),
+        expr(s"size(filter(words, w -> $sw))").as("stopword_count"),
+        size(array_distinct(col("words"))).as("n_distinct"))
+      .withColumn("ttr", expr(Det.r4("n_distinct / n_tokens")))
+      // score = 0.4*min(1, n/100) + 0.3*sw/n + 0.3*distinct/n, computed as a
+      // single exact-integer-scaled rounding (see Det): scaled = score*10000.
+      .withColumn("score_scaled", expr(scoreScaledSql("n_tokens", "stopword_count", "n_distinct")))
+      .withColumn("score", expr("CAST(score_scaled AS DOUBLE) / 10000.0"))
+      .withColumn("bucket",
+        when(col("score_scaled") >= 4500, "high")
+          .when(col("score_scaled") >= 3500, "medium").otherwise("low"))
+      .select("doc_id", "n_chars", "n_tokens", "punct_count",
+              "stopword_count", "ttr", "score", "bucket")
+  }
+
+  /** score*10000 as exact integer arithmetic (identical in both dialects). */
+  private def scoreScaledSql(n: String, sw: String, d: String): String =
+    s"CAST(ROUND((CAST(40 AS DOUBLE) * LEAST($n, 100) * $n + CAST(3000 AS DOUBLE) * ($sw + $d)) / $n) AS BIGINT)"
+
+  def qualityScoreSql: String = {
+    val sw = Stopwords.map(s => s"w = '$s'").mkString(" or ")
+    s"""WITH d AS (SELECT doc_id, text, ${normSql("text")} AS nc FROM documents),
+       |b AS (
+       |  SELECT doc_id, LENGTH(text) AS n_chars,
+       |         LEN(string_split(nc, ' ')) AS n_tokens,
+       |         LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct_count,
+       |         LEN(list_filter(string_split(nc, ' '), w -> $sw)) AS stopword_count,
+       |         LEN(list_distinct(string_split(nc, ' '))) AS n_distinct
+       |  FROM d
+       |), s AS (
+       |  SELECT *, ${scoreScaledSql("n_tokens", "stopword_count", "n_distinct")} AS score_scaled FROM b
+       |)
+       |SELECT doc_id, n_chars, n_tokens, punct_count, stopword_count,
+       |       ${Det.r4("n_distinct / n_tokens")} AS ttr,
+       |       CAST(score_scaled AS DOUBLE) / 10000.0 AS score,
+       |       CASE WHEN score_scaled >= 4500 THEN 'high'
+       |            WHEN score_scaled >= 3500 THEN 'medium'
+       |            ELSE 'low' END AS bucket
+       |FROM s
+       |""".stripMargin
+  }
+
+  /** Exact dedup: md5 fingerprint of normalized text; per-group canonical
+    * doc (min doc_id) and group size.
+    */
+  def fingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsNorm(spark, dir).select(col("doc_id"), md5(col("nc")).as("fp"))
+    val w = Window.partitionBy(col("fp"))
+    d.withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("is_canonical", (col("doc_id") === col("canonical_id")).cast("int"))
+      .select("doc_id", "fp", "group_size", "canonical_id", "is_canonical")
+  }
+
+  def fingerprintDedupSql: String =
+    s"""WITH d AS (SELECT doc_id, md5(${normSql("text")}) AS fp FROM documents)
+       |SELECT doc_id, fp,
+       |       COUNT(*) OVER (PARTITION BY fp) AS group_size,
+       |       MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+       |       CAST(doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS INT) AS is_canonical
+       |FROM d
+       |""".stripMargin
+
+  /** Word 3-shingle set per doc (distinct), as a Spark column over `words`. */
+  private val shinglesExpr =
+    "array_distinct(transform(sequence(1, size(words) - 2), i -> " +
+      "concat(element_at(words, i), ' ', element_at(words, i + 1), ' ', element_at(words, i + 2))))"
+  private val shinglesSqlExpr =
+    "list_distinct(list_transform(range(1, LEN(ws) - 1), i -> " +
+      "ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))"
+
+  /** MinHash + LSH near-dup candidates with exact shingle Jaccard.
+    *
+    * Signature: NumHashes mins of md5("<i>:<shingle>") (string min — engine
+    * agnostic). Bands of RowsPerBand signature slots; docs sharing any band
+    * key become candidate pairs; exact Jaccard is computed only on
+    * candidates (LSH is the scale path; the verify join is bucket-bounded).
+    */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsNorm(spark, dir)
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), expr(shinglesExpr).as("shingles"))
+    val sh = d.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val sigCols = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
+    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandKeys = (0 until NumBands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+      md5(concat(parts: _*))
+    }
+    val bands = sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    val x = bands.as("x"); val y = bands.as("y")
+    val cands = x.join(y,
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = d.select(col("doc_id").as("doc_a"), col("shingles").as("sha"))
+    val sb = d.select(col("doc_id").as("doc_b"), col("shingles").as("shb"))
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", expr(Det.r4("inter / (size(sha) + size(shb) - inter)")))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  def minhashPairsSql: String = {
+    val sigCols = (0 until NumHashes)
+      .map(i => s"MIN(md5('$i:' || sh)) AS h$i").mkString(",\n         ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => s"h${b * RowsPerBand + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS bkey FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH d0 AS (
+       |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM documents
+       |), d AS (
+       |  SELECT doc_id, $shinglesSqlExpr AS shingles FROM d0 WHERE LEN(ws) >= 3
+       |), sh AS (
+       |  SELECT doc_id, UNNEST(shingles) AS sh FROM d
+       |), sigs AS (
+       |  SELECT doc_id,
+       |         $sigCols
+       |  FROM sh GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |), cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |), j AS (
+       |  SELECT doc_a, doc_b,
+       |         LEN(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS inter,
+       |         LEN(a.shingles) AS la, LEN(b.shingles) AS lb
+       |  FROM cands JOIN d a ON doc_a = a.doc_id JOIN d b ON doc_b = b.doc_id
+       |)
+       |SELECT doc_a, doc_b, ${Det.r4("inter / (la + lb - inter)")} AS jaccard
+       |FROM j
+       |""".stripMargin
+  }
+
+  /** 32-bit SimHash over word occurrences (md5 nibbles as the bit source;
+    * both dialects generated from the same loop so the arithmetic is
+    * identical). Emits per-doc signature + signature group size.
+    */
+  private def simhashBitSql(dialect: String): Seq[(String, String)] = {
+    // (sumExpr for bit k, given column `nib_i` = value of md5 nibble i)
+    (0 until 32).map { k =>
+      val i = k / 4; val b = k % 4
+      val div = if (dialect == "spark") "div" else "//"
+      val contrib = s"(CASE WHEN ((nib_$i $div ${1 << b}) % 2) = 1 THEN 1 ELSE -1 END)"
+      (s"SUM($contrib)", s"s_$k")
+    }
+  }
+  private def nibbleSql(i: Int): String =
+    s"(CASE WHEN ascii(substring(h, ${i + 1}, 1)) >= 97 " +
+      s"THEN ascii(substring(h, ${i + 1}, 1)) - 87 " +
+      s"ELSE ascii(substring(h, ${i + 1}, 1)) - 48 END)"
+
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsNorm(spark, dir)
+    val wordsEx = d.select(col("doc_id"), explode(col("words")).as("w"))
+      .withColumn("h", md5(col("w")))
+    val withNibs = (0 until 8).foldLeft(wordsEx) { (df, i) =>
+      df.withColumn(s"nib_$i", expr(nibbleSql(i)))
+    }
+    val sums = simhashBitSql("spark").map { case (e, n) => expr(e).as(n) }
+    val agg = withNibs.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    val sig = (0 until 32).map(k =>
+      expr(s"CASE WHEN s_$k > 0 THEN CAST(${1L << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+      .reduce(_ + _)
+    val out = agg.withColumn("simhash", sig).select("doc_id", "simhash")
+    val w = Window.partitionBy(col("simhash"))
+    out.withColumn("group_size", count(lit(1)).over(w))
+  }
+
+  def simhashSql: String = {
+    val nibCols = (0 until 8).map(i => s"${nibbleSql(i)} AS nib_$i").mkString(",\n         ")
+    val sumCols = simhashBitSql("duck").map { case (e, n) => s"$e AS $n" }.mkString(",\n         ")
+    val sig = (0 until 32).map(k => s"CASE WHEN s_$k > 0 THEN ${1L << k} ELSE 0 END").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, UNNEST(string_split(${normSql("text")}, ' ')) AS w FROM documents
+       |), n AS (
+       |  SELECT doc_id,
+       |         $nibCols
+       |  FROM (SELECT doc_id, md5(w) AS h FROM d)
+       |), s AS (
+       |  SELECT doc_id,
+       |         $sumCols
+       |  FROM n GROUP BY doc_id
+       |), o AS (
+       |  SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM s
+       |)
+       |SELECT doc_id, simhash, COUNT(*) OVER (PARTITION BY simhash) AS group_size
+       |FROM o
+       |""".stripMargin
+  }
+
+  /** Character 5-gram Jaccard over a deterministic pair set (adjacent
+    * doc_ids) — exercises the n-gram similarity kernel with guaranteed
+    * non-empty output.
+    */
+  def charNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val grams = "array_distinct(transform(sequence(1, length(nc) - 4), i -> substring(nc, i, 5)))"
+    val d = docsNorm(spark, dir).filter(length(col("nc")) >= 5)
+      .select(col("doc_id"), expr(grams).as("g"))
+    val a = d.select(col("doc_id").as("doc_a"), col("g").as("ga"))
+    val b = d.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"), col("g").as("gb"))
+    a.join(b, "doc_a")
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("jaccard", expr(Det.r4("inter / (size(ga) + size(gb) - inter)")))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  def charNgramJaccardSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, LENGTH(nc) - 3), i -> substr(nc, i, 5))) AS g
+       |  FROM (SELECT doc_id, ${normSql("text")} AS nc FROM documents)
+       |  WHERE LENGTH(nc) >= 5
+       |), j AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         LEN(list_filter(a.g, s -> list_contains(b.g, s))) AS inter,
+       |         LEN(a.g) AS la, LEN(b.g) AS lb
+       |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+       |)
+       |SELECT doc_a, doc_b, ${Det.r4("inter / (la + lb - inter)")} AS jaccard
+       |FROM j
+       |""".stripMargin
+
+  /** Multimodal stub: treat each document as an opaque binary payload with
+    * typed metadata, "decoded" in distributed batches via mapPartitions.
+    * The decode itself is a deterministic fake (no media libs in this
+    * environment); the Spark plumbing — binary column, per-partition batch
+    * iteration, typed output schema — is the real pattern used for
+    * image/audio feature extraction at scale.
+    */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    payloads.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        // STUB decode: real impl would parse media headers / run a model.
+        val n = bytes.length.toLong
+        (id, n, n % 640, (n * 7) % 480, n % 16 + 1)
+      }
+    }.toDF("doc_id", "n_bytes", "fake_width", "fake_height", "fake_frames")
+  }
+
+  def multimodalMetaSql: String =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+      |       CAST(octet_length(encode(text)) * 7 % 480 AS BIGINT) AS fake_height,
+      |       CAST(octet_length(encode(text)) % 16 + 1 AS BIGINT) AS fake_frames
+      |FROM documents
+      |""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_token_stats" -> (tokenStats _),
+    "t_lang_id" -> (langId _),
+    "t_quality_score" -> (qualityScore _),
+    "t_fingerprint_dedup" -> (fingerprintDedup _),
+    "t_minhash_pairs" -> (minhashPairs _),
+    "t_simhash" -> (simhash _),
+    "t_char_ngram_jaccard" -> (charNgramJaccard _),
+    "t_multimodal_meta" -> (multimodalMeta _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t_token_stats" -> tokenStatsSql,
+    "t_lang_id" -> langIdSql,
+    "t_quality_score" -> qualityScoreSql,
+    "t_fingerprint_dedup" -> fingerprintDedupSql,
+    "t_minhash_pairs" -> minhashPairsSql,
+    "t_simhash" -> simhashSql,
+    "t_char_ngram_jaccard" -> charNgramJaccardSql,
+    "t_multimodal_meta" -> multimodalMetaSql,
+  )
+}
