@@ -1,0 +1,106 @@
+package graft.nexmark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import graft.nexmark.queries.{NexmarkQueries, NexmarkStateful}
+import graft.nexmark.sink.LatencySink
+
+/** Streaming harness mirroring the reference's CLI dispatch
+  * (kernel/Main.java:31-63): one flag per query topology, rate-based
+  * generator sources, latency-CSV or noop sinks.
+  *
+  * Usage: runMain graft.nexmark.NexmarkMain --q5 [seconds] [rowsPerBatch]
+  * Flags: --q5 --q5s --q8 --q8s --q11 --qx --q7 --sessions --q5b --debug
+  * (s-suffixed = stateful exact-timer port; plain = declarative flavor).
+  * Each run executes for a bounded wall-clock window then stops — the
+  * Spark analog of the reference's bounded `recordsToGenerate` sources.
+  */
+object NexmarkMain {
+
+  def main(args: Array[String]): Unit = {
+    val flag = args.headOption.getOrElse("--q5")
+    val runSeconds = args.lift(1).map(_.toInt).getOrElse(10)
+    val rowsPerBatch = args.lift(2).map(_.toInt).getOrElse(50000)
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName(s"nexmark$flag")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // anchor event time at the run's wall clock (the reference stamps
+    // System.currentTimeMillis) so latency samples fall under the sink's
+    // 10-minute discard threshold; tests use the fixed default base instead
+    val cfg = GenConfig(baseTimestamp = System.currentTimeMillis(),
+                        eventsPerSecond = rowsPerBatch.toLong)
+    val outDir = java.nio.file.Files.createTempDirectory("nexmark").toString
+    def ckpt(n: String) = s"$outDir/ckpt-$n"
+    val csv = s"$outDir/latency.csv"
+
+    val result: DataFrame = flag match {
+      case "--q5" =>
+        NexmarkQueries.q5HotAuctions(
+          NexmarkSources.bidStream(spark, cfg, rowsPerBatch), "5 seconds")
+      case "--q5s" =>
+        NexmarkStateful.q5Stateful(
+          NexmarkSources.bidStream(spark, cfg, rowsPerBatch), 10000L).toDF
+      case "--q8" =>
+        NexmarkQueries.q8NewUsers(
+          NexmarkSources.personStream(spark, cfg, rowsPerBatch / 8),
+          NexmarkSources.auctionStream(spark, cfg, rowsPerBatch), "10 seconds")
+      case "--q8s" =>
+        NexmarkStateful.q8Stateful(
+          NexmarkSources.personStream(spark, cfg, rowsPerBatch / 8),
+          NexmarkSources.auctionStream(spark, cfg, rowsPerBatch)).toDF
+      case "--q11" =>
+        NexmarkQueries.q11BidderActivity(
+          NexmarkSources.personStream(spark, cfg, rowsPerBatch / 8),
+          NexmarkSources.bidStream(spark, cfg, rowsPerBatch), "5 seconds")
+      case "--qx" =>
+        NexmarkStateful.qxStateful(
+          NexmarkSources.bidStream(spark, cfg, rowsPerBatch),
+          NexmarkSources.auctionStream(spark, cfg, rowsPerBatch)).toDF
+      case "--q7" =>
+        NexmarkQueries.q7HighestBid(
+          NexmarkSources.bidStream(spark, cfg, rowsPerBatch), "5 seconds")
+      case "--sessions" =>
+        NexmarkQueries.sessions(
+          NexmarkSources.bidStream(spark, cfg, rowsPerBatch), "60 seconds")
+      case "--q5b" =>
+        NexmarkQueries.q5HotAuctions(
+          NexmarkQueries.bidsFromEvents(
+            NexmarkSources.eventStream(spark, cfg, rowsPerBatch)), "10 seconds")
+      case "--debug" => // persons → noop (ingest throughput, Main.java --debug)
+        NexmarkSources.personStream(spark, cfg, rowsPerBatch).toDF
+      case other => sys.error(s"unknown flag $other")
+    }
+
+    val writer = flag match {
+      case "--q5" | "--q5b" =>
+        LatencySink.writeLatencyCsv(result, csv, "lastTimestamp",
+          "lastIngestionTimestamp", ckpt(flag))
+      case "--q5s" =>
+        LatencySink.writeLatencyCsv(result, csv, "lastTimestamp",
+          "lastIngestionTimestamp", ckpt(flag))
+      case "--q8" | "--q11" | "--q8s" =>
+        val (c, i) = if (flag == "--q11") ("lastBidTimestamp", "lastBidTimestamp")
+                     else ("personCreation", "personIngestion")
+        LatencySink.writeLatencyCsv(result, csv, c, i, ckpt(flag))
+      case _ =>
+        result.writeStream.format("noop")
+          .option("checkpointLocation", ckpt(flag)).outputMode("append")
+    }
+
+    val query = writer.trigger(Trigger.ProcessingTime("1 second")).start()
+    query.awaitTermination(runSeconds * 1000L)
+    query.stop()
+    println(s"""{"flag":"$flag","runSeconds":$runSeconds,"batches":${query.recentProgress.length},""" +
+      s""""rowsPerSecond":${query.recentProgress.map(_.processedRowsPerSecond).lastOption.getOrElse(0.0)},""" +
+      s""""latencyCsv":"$csv"}""")
+    spark.stop()
+  }
+}

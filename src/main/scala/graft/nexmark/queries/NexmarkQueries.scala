@@ -1,0 +1,159 @@
+package graft.nexmark.queries
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.nexmark._
+
+/** Declarative (Catalyst-optimized) flavors of the reference's queries
+  * (SURVEY §2.4/§2.5). Every function takes plain Datasets and works
+  * unchanged on batch or streaming inputs — the streaming caller adds
+  * nothing but a source and a sink, which is exactly the Spark-first
+  * re-expression of the reference's hand-built topologies.
+  *
+  * Scale: each query is a single keyed shuffle (window+key hash agg or
+  * equi-join); no per-key driver state, no collect. At 100 TB the same
+  * plans run with `spark.sql.shuffle.partitions` sized to the cluster, and
+  * AQE handles skewed hot keys (the generator's 1-in-100 hot auctions).
+  */
+object NexmarkQueries {
+
+  /** Event-time column from the model's epoch-millis long. */
+  def withEventTime(df: DataFrame, tsCol: String = "timestamp"): DataFrame =
+    df.withColumn("eventTime", timestamp_millis(col(tsCol)))
+
+  private def watermarked(df: DataFrame, wm: String): DataFrame =
+    withEventTime(df).withWatermark("eventTime", wm)
+
+  /** Q5 (A1/A2): per-auction windowed MAX(bid) + count + latest probe
+    * timestamps (NexmarkQuery5.java:201-251; commented spec agg :402-422).
+    * The reference accumulator keeps the *latest-arriving* (ts, ingestion);
+    * in a declarative agg arrival order is meaningless, so we take max —
+    * identical for monotone generator time.
+    */
+  def q5HotAuctions(bids: Dataset[Bid], windowDur: String, wm: String = "2 seconds"): DataFrame =
+    watermarked(bids.toDF, wm)
+      .groupBy(window(col("eventTime"), windowDur), col("auctionId"))
+      .agg(
+        max(col("bid")).as("maxPrice"),
+        count(lit(1)).as("bidCount"),
+        max(col("timestamp")).as("lastTimestamp"),
+        max(col("ingestionTimestamp")).as("lastIngestionTimestamp"))
+      .select(unix_millis(col("window.start")).as("windowStartMs"),
+              col("auctionId"), col("maxPrice"), col("bidCount"),
+              col("lastTimestamp"), col("lastIngestionTimestamp"))
+
+  /** Q8 (J2 cogroup spec, NexmarkQuery8.java:106-153,541-568): per tumbling
+    * window, new persons joined to their new auctions; one output row per
+    * (window, person) carrying the latest-ingested auction's timestamps.
+    */
+  def q8NewUsers(persons: Dataset[Person], auctions: Dataset[Auction],
+                 windowDur: String, wm: String = "2 seconds"): DataFrame = {
+    val p = watermarked(persons.toDF, wm)
+      .select(window(col("eventTime"), windowDur).as("win"), col("personId"),
+              col("timestamp").as("personCreation"),
+              col("ingestionTimestamp").as("personIngestion"))
+      // ValueState<person> keeps one person per key (NexmarkQuery8.java:621-627)
+      .groupBy(col("win"), col("personId"))
+      .agg(max(col("personCreation")).as("personCreation"),
+           max(col("personIngestion")).as("personIngestion"))
+    val a = watermarked(auctions.toDF, wm)
+      .select(window(col("eventTime"), windowDur).as("win"),
+              col("personId"),
+              col("timestamp").as("auctionCreation"),
+              col("ingestionTimestamp").as("auctionIngestion"))
+    p.join(a, Seq("win", "personId"))
+      // JoiningNewUsersWithAuctionsCoGroupFunction picks the auction with
+      // max ingestion time (NexmarkQuery8.java:118-147)
+      .groupBy(col("win"), col("personId"), col("personCreation"), col("personIngestion"))
+      .agg(max_by(col("auctionCreation"), struct(col("auctionIngestion"), col("auctionCreation"))).as("auctionCreation"),
+           max(col("auctionIngestion")).as("auctionIngestion"))
+      .select(unix_millis(col("win.start")).as("windowStartMs"), col("personId"),
+              col("personCreation"), col("personIngestion"),
+              col("auctionCreation"), col("auctionIngestion"))
+  }
+
+  /** Q11 (J3, NexmarkQuery11File.java:397-457): persons ⋈ bids on personId
+    * (bidder activity per window).
+    */
+  def q11BidderActivity(persons: Dataset[Person], bids: Dataset[Bid],
+                        windowDur: String, wm: String = "2 seconds"): DataFrame = {
+    val p = watermarked(persons.toDF, wm)
+      .select(window(col("eventTime"), windowDur).as("win"), col("personId"))
+      .groupBy(col("win"), col("personId")).agg(count(lit(1)).as("personEvents"))
+    val b = watermarked(bids.toDF, wm)
+      .select(window(col("eventTime"), windowDur).as("win"),
+              col("personId"), col("bid"), col("timestamp"))
+    p.join(b, Seq("win", "personId"))
+      .groupBy(col("win"), col("personId"))
+      .agg(count(lit(1)).as("bidCount"),
+           max(col("bid")).as("maxBid"),
+           max(col("timestamp")).as("lastBidTimestamp"))
+      .select(unix_millis(col("win.start")).as("windowStartMs"), col("personId"),
+              col("bidCount"), col("maxBid"), col("lastBidTimestamp"))
+  }
+
+  /** QX/Q4 winning bid (J4/J5, NexmarkQueryX.java:613-763): bids matched to
+    * their auction's open interval [start, end], the highest-priced bid per
+    * auction wins (ties: latest timestamp, then lowest bidder id).
+    */
+  def qxWinningBids(bids: Dataset[Bid], auctions: Dataset[Auction]): DataFrame = {
+    val a = auctions.toDF.select(col("auctionId"), col("start"), col("end"))
+    val b = bids.toDF.select(col("auctionId"), col("personId"), col("bid"), col("timestamp"))
+    b.join(a, Seq("auctionId"))
+      .filter(col("timestamp") >= col("start") && col("timestamp") <= col("end"))
+      .groupBy(col("auctionId"))
+      .agg(
+        max_by(struct(col("personId").as("bidderId"), col("bid"), col("timestamp")),
+               struct(col("bid"), col("timestamp"), -col("personId"))).as("w"))
+      .select(col("auctionId"), col("w.bidderId").as("bidderId"),
+              col("w.bid").as("bid"), col("w.timestamp").as("bidTimestamp"))
+  }
+
+  /** Q7 highest bid (A5, NexmarkQueryX.java:417-445): global per-window
+    * argmax across all keys.
+    */
+  def q7HighestBid(bids: Dataset[Bid], windowDur: String, wm: String = "2 seconds"): DataFrame =
+    watermarked(bids.toDF, wm)
+      .groupBy(window(col("eventTime"), windowDur))
+      .agg(max_by(struct(col("auctionId"), col("personId"), col("bid"), col("timestamp")),
+                  struct(col("bid"), col("timestamp"), -col("personId"))).as("w"))
+      .select(unix_millis(col("window.start")).as("windowStartMs"),
+              col("w.auctionId").as("auctionId"), col("w.personId").as("bidderId"),
+              col("w.bid").as("bid"), col("w.timestamp").as("bidTimestamp"))
+
+  /** Q10-style sessions (A4, NexmarkQueryX.java:765-786 + commented wiring
+    * :272-285): per-bidder session windows with a gap; allowedLateness ≈
+    * the watermark delay.
+    */
+  def sessions(bids: Dataset[Bid], gap: String, wm: String = "2 seconds"): DataFrame =
+    watermarked(bids.toDF, wm)
+      .groupBy(session_window(col("eventTime"), gap), col("personId"))
+      .agg(count(lit(1)).as("bidCount"),
+           max(col("timestamp")).as("maxTimestamp"),
+           max(col("ingestionTimestamp")).as("maxIngestionTimestamp"))
+      .select(unix_millis(col("session_window.start")).as("sessionStartMs"),
+              unix_millis(col("session_window.end")).as("sessionEndMs"),
+              col("personId"), col("bidCount"), col("maxTimestamp"),
+              col("maxIngestionTimestamp"))
+
+  /** CM (A3, cm/CM.java:272-303): SUM(cpu) per jobId per 2 s tumbling
+    * event-time window — the only live window().aggregate in the reference.
+    */
+  def cmWindowedSum(cm: Dataset[CmRecord], windowDur: String = "2 seconds",
+                    wm: String = "2 seconds"): DataFrame =
+    watermarked(cm.toDF, wm)
+      .groupBy(window(col("eventTime"), windowDur), col("jobId"))
+      .agg(sum(col("cpu").cast("double")).as("totalCpu"),
+           count(lit(1)).as("taskCount"))
+      .select(unix_millis(col("window.start")).as("windowStartMs"),
+              col("jobId"), col("totalCpu"), col("taskCount"))
+
+  /** Q5b event-type filter over the unified stream (P2,
+    * NexmarkQuery5b.java:129-136) — pushed ahead of the shuffle exactly
+    * like the reference filters before keyBy.
+    */
+  def bidsFromEvents(events: Dataset[Event]): Dataset[Bid] = {
+    import events.sparkSession.implicits._
+    events.filter(_.eventType == Event.BidType).map(_.bid.get)
+  }
+}

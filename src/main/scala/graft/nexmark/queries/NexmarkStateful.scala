@@ -1,0 +1,188 @@
+package graft.nexmark.queries
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.nexmark._
+
+/** Stateful exact-semantics ports of the reference's timer-driven operators
+  * (SURVEY §2.4 J1/J3/J4, §2.5 A1, §2.6 W6/W8): Flink's
+  * KeyedProcessFunction + ValueState/ListState + timers map onto
+  * `flatMapGroupsWithState` with `GroupStateTimeout` — keyed state lives in
+  * Spark's state store (RocksDB-backed when configured, the analog of the
+  * reference's RocksDB backend, pom.xml:204-218).
+  *
+  * Divergences (documented per SURVEY §7.4):
+  *   - the reference's Q5 timer is registered at the *absolute* timestamp
+  *     `windowDuration` (NexmarkQuery5.java:239-241) — near epoch, so it
+  *     fires at the first watermark. Spark refuses timeouts below the
+  *     current watermark, so we clamp to watermark+1: the observable
+  *     behavior (one-shot flush once the watermark passes the timer) is
+  *     identical.
+  *   - Q8's JoinUDF retains all state forever (NexmarkQuery8.java:634, no
+  *     cleanup); the port keeps NoTimeout state for fidelity. The
+  *     declarative flavor (NexmarkQueries.q8NewUsers) is the
+  *     watermark-bounded version to use at scale.
+  */
+object NexmarkStateful {
+
+  // ---- Q5: per-auction one-shot window aggregate (A1) ----
+
+  case class Q5Acc(maxPrice: Double, count: Long, lastTs: Long, lastIngest: Long)
+
+  /** NexmarkQuery5.java:201-251: accumulate max/count/latest per auctionId;
+    * one event-time timer flushes and removes the accumulator.
+    */
+  def q5Stateful(bids: Dataset[Bid], windowDurationMs: Long,
+                 wm: String = "2 seconds"): Dataset[Query5Output] = {
+    import bids.sparkSession.implicits._
+    val withTime = bids.toDF
+      .withColumn("eventTime", timestamp_millis(col("timestamp")))
+      .withWatermark("eventTime", wm)
+      .as[Bid]
+    withTime
+      .groupByKey(_.auctionId)
+      .flatMapGroupsWithState[Q5Acc, Query5Output](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (auctionId, rows, state: GroupState[Q5Acc]) =>
+          if (state.hasTimedOut) {
+            // timer fired (NexmarkQuery5.java:246-250): emit + remove
+            val acc = state.get
+            state.remove()
+            Iterator.single(Query5Output(
+              auctionId, acc.maxPrice, acc.count, acc.lastTs, acc.lastIngest,
+              state.getCurrentWatermarkMs()))
+          } else {
+            var acc = state.getOption.getOrElse(Q5Acc(Double.MinValue, 0L, 0L, 0L))
+            rows.foreach { b =>
+              // NexmarkQuery5.java:461-480: max price, count, latest stamps
+              acc = Q5Acc(
+                math.max(acc.maxPrice, b.bid), acc.count + 1,
+                math.max(acc.lastTs, b.timestamp),
+                math.max(acc.lastIngest, b.ingestionTimestamp))
+            }
+            state.update(acc)
+            // absolute-duration timer quirk, clamped to the watermark floor
+            state.setTimeoutTimestamp(
+              math.max(windowDurationMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  // ---- Q8/Q11: union + keyed join with latest-person state (J1/J3) ----
+
+  /** Tagged union element for the JoinUDF port (replaces TaggedUnion /
+    * JoinHelper.java:24-96 — Spark needs one schema, so nullable sides).
+    */
+  case class PA(personId: Long, isPerson: Boolean, creationTs: Long, ingestionTs: Long)
+  case class Q8State(personTs: Long, personIngest: Long, hasPerson: Boolean, othersSeen: Long)
+
+  /** NexmarkQuery8.java:602-662 (reused by Q11 with bids,
+    * NexmarkQuery11File.java:397-457): keep the latest person per key; emit
+    * one output per person element immediately; emit a sampled probe (id
+    * negated, sink discriminates by sign — NexmarkQuery8.java:388-414)
+    * every `sampleEvery`-th non-person element.
+    */
+  def joinUdfStateful(elems: Dataset[PA], sampleEvery: Long = 200000L): Dataset[Query8Output] = {
+    import elems.sparkSession.implicits._
+    val withTime = elems.toDF
+      .withColumn("eventTime", timestamp_millis(col("creationTs")))
+      .withWatermark("eventTime", "2 seconds")
+      .as[PA]
+    withTime
+      .groupByKey(_.personId)
+      .flatMapGroupsWithState[Q8State, Query8Output](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (personId, rows, state: GroupState[Q8State]) =>
+          var st = state.getOption.getOrElse(Q8State(-1L, -1L, hasPerson = false, 0L))
+          val out = Iterator.newBuilder[Query8Output]
+          rows.foreach { e =>
+            if (e.isPerson) {
+              st = st.copy(personTs = e.creationTs, personIngest = e.ingestionTs, hasPerson = true)
+              // NexmarkQuery8.java:612-633: output per person immediately
+              out += Query8Output(e.creationTs, e.creationTs, e.ingestionTs, -1L, -1L, personId)
+            } else {
+              st = st.copy(othersSeen = st.othersSeen + 1)
+              if (st.othersSeen % sampleEvery == 0) // :635 (1-per-200k sample)
+                out += Query8Output(e.creationTs, -1L, -1L, e.creationTs, e.ingestionTs, -personId)
+            }
+          }
+          state.update(st)
+          out.result()
+      }
+  }
+
+  def q8Stateful(persons: Dataset[Person], auctions: Dataset[Auction],
+                 sampleEvery: Long = 200000L): Dataset[Query8Output] = {
+    import persons.sparkSession.implicits._
+    val p = persons.map(x => PA(x.personId, isPerson = true, x.timestamp, x.ingestionTimestamp))
+    val a = auctions.map(x => PA(x.personId, isPerson = false, x.timestamp, x.ingestionTimestamp))
+    joinUdfStateful(p.unionByName(a), sampleEvery)
+  }
+
+  def q11Stateful(persons: Dataset[Person], bids: Dataset[Bid],
+                  sampleEvery: Long = 200000L): Dataset[Query8Output] = {
+    import persons.sparkSession.implicits._
+    val p = persons.map(x => PA(x.personId, isPerson = true, x.timestamp, x.ingestionTimestamp))
+    val b = bids.map(x => PA(x.personId, isPerson = false, x.timestamp, x.ingestionTimestamp))
+    joinUdfStateful(p.unionByName(b), sampleEvery)
+  }
+
+  // ---- QX: winning bid resolved at auction end (J4/J5) ----
+
+  /** Tagged union of bids and auctions keyed by auctionId. */
+  case class AB(auctionId: Long, isAuction: Boolean, end: Long,
+                bidder: Long, price: Double, ts: Long)
+  case class QXState(end: Long, hasAuction: Boolean,
+                     bestPrice: Double, bestBidder: Long, bestTs: Long, hasBid: Boolean)
+
+  /** NexmarkQueryX.java:613-763 / WinningBidsMapper :447-511: track the
+    * in-flight auction and the best bid per auctionId; an event-time timer
+    * at `auction.end` emits the winner and clears state. Bids may arrive
+    * before their auction (staging map in the reference) — the running-max
+    * replaces the 32-bid staging buckets (only the winner is ever emitted).
+    */
+  def qxStateful(bids: Dataset[Bid], auctions: Dataset[Auction]): Dataset[WinningBid] = {
+    import bids.sparkSession.implicits._
+    val b = bids.map(x => AB(x.auctionId, isAuction = false, -1L, x.personId, x.bid, x.timestamp))
+    val a = auctions.map(x => AB(x.auctionId, isAuction = true, x.end, -1L, -1.0, x.timestamp))
+    val withTime = b.unionByName(a).toDF
+      .withColumn("eventTime", timestamp_millis(col("ts")))
+      .withWatermark("eventTime", "2 seconds")
+      .as[AB]
+    withTime
+      .groupByKey(_.auctionId)
+      .flatMapGroupsWithState[QXState, WinningBid](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (auctionId, rows, state: GroupState[QXState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            if (st.hasAuction && st.hasBid)
+              Iterator.single(WinningBid(auctionId, st.bestBidder, st.bestPrice, st.bestTs))
+            else Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(
+              QXState(-1L, hasAuction = false, -1.0, -1L, -1L, hasBid = false))
+            rows.foreach { e =>
+              if (e.isAuction) st = st.copy(end = e.end, hasAuction = true)
+              else {
+                // deterministic winner: price, then timestamp, then lower bidder
+                val better = !st.hasBid || e.price > st.bestPrice ||
+                  (e.price == st.bestPrice && (e.ts > st.bestTs ||
+                    (e.ts == st.bestTs && e.bidder < st.bestBidder)))
+                if (better)
+                  st = st.copy(bestPrice = e.price, bestBidder = e.bidder,
+                               bestTs = e.ts, hasBid = true)
+              }
+            }
+            state.update(st)
+            if (st.hasAuction)
+              state.setTimeoutTimestamp(
+                math.max(st.end, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+}

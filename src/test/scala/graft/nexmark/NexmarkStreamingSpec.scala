@@ -1,0 +1,151 @@
+package graft.nexmark
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.nexmark.queries.{NexmarkQueries, NexmarkStateful}
+
+/** Structured Streaming correctness: each topology runs on a MemoryStream
+  * (micro-batched, watermarked, append-mode — the real streaming engine,
+  * state store included) and its final output is compared to the batch
+  * flavor / an in-memory oracle over the same data.
+  *
+  * Watermark mechanics: a far-future sentinel advances the watermark so all
+  * real windows close; sentinel-keyed output is filtered out of assertions.
+  */
+class NexmarkStreamingSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  val cfg = GenConfig()
+  val SentinelTs = 1893456000000L // 2030-01-01, far beyond generated data
+  val SentinelKey = Long.MaxValue / 2
+
+  private var nameCounter = 0
+  def runToCompletion[T](stream: MemoryStream[T], batches: Seq[Seq[T]],
+                         result: DataFrame): Seq[org.apache.spark.sql.Row] = {
+    nameCounter += 1
+    val name = s"memsink$nameCounter"
+    val q: StreamingQuery = result.writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    } finally {
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(name).collect().toSeq
+  }
+
+  test("streaming q5 == batch q5 once the watermark closes the windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val bids = NexmarkGen.bids(cfg, 5000).toSeq
+    val sentinel = Bid(SentinelTs, SentinelTs, SentinelKey, 1L, -1L, 1.0)
+    val ms = MemoryStream[Bid]
+    val out = runToCompletion(ms, bids.grouped(1000).toSeq :+ Seq(sentinel),
+      NexmarkQueries.q5HotAuctions(ms.toDS(), "1 hour"))
+    val got = out.filter(_.getLong(1) != SentinelKey)
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    val batch = NexmarkQueries.q5HotAuctions(
+        NexmarkSources.bidsDs(spark, cfg, 5000), "1 hour").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
+  test("stateful q5 port flushes each auction exactly once on its timer") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val bids = NexmarkGen.bids(cfg, 3000).toSeq
+    val sentinel = Bid(SentinelTs, SentinelTs, SentinelKey, 1L, -1L, 1.0)
+    val sentinel2 = Bid(SentinelTs + 60000, SentinelTs + 60000, SentinelKey + 1, 1L, -1L, 1.0)
+    val ms = MemoryStream[Bid]
+    val out = runToCompletion(ms,
+      Seq(bids, Seq(sentinel), Seq(sentinel2)),
+      NexmarkStateful.q5Stateful(ms.toDS(), windowDurationMs = 10000L).toDF)
+    val got = out.filter(r => r.getLong(0) < SentinelKey)
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val want = bids.groupBy(_.auctionId)
+      .view.mapValues(bs => (bs.map(_.bid).max, bs.size.toLong)).toMap
+    assert(got == want)
+    // exactly-once flush: no duplicate auction rows
+    assert(out.count(r => r.getLong(0) < SentinelKey) == want.size)
+  }
+
+  test("stateful q8 join emits one output per person and keeps latest person state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // subtask 1 stride keeps every personId > 0 — the reference's sign trick
+    // (negative ids mark auction probes) is ambiguous for id 0
+    val strided = GenConfig(subtask = 1, parallelism = 50)
+    val persons = NexmarkGen.persons(strided, 500).toSeq
+    val auctions = NexmarkGen.auctions(strided, 2000).toSeq
+    val pa = persons.map(p => NexmarkStateful.PA(p.personId, isPerson = true, p.timestamp, p.ingestionTimestamp)) ++
+      auctions.map(a => NexmarkStateful.PA(a.personId, isPerson = false, a.timestamp, a.ingestionTimestamp))
+    val ms = MemoryStream[NexmarkStateful.PA]
+    val out = runToCompletion(ms, pa.grouped(700).toSeq,
+      NexmarkStateful.joinUdfStateful(ms.toDS(), sampleEvery = 500L).toDF)
+    // one output per person element (NexmarkQuery8.java:612-633)
+    val personOutputs = out.filter(_.getLong(5) > 0)
+    assert(personOutputs.size == persons.size)
+    // sampled auction probes: negative ids, one per 500 auctions on some key
+    val probes = out.filter(_.getLong(5) < 0)
+    assert(probes.size == auctions.groupBy(_.personId).values.map(_.size / 500).sum)
+  }
+
+  test("stateful qx winning bid matches the declarative interval-join argmax") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // craft auctions + bids strictly inside their auction's [start, end]
+    val auctions = NexmarkGen.auctions(cfg, 300).toSeq
+      .groupBy(_.auctionId).map(_._2.head).toSeq // unique auction ids
+    val bids = auctions.zipWithIndex.flatMap { case (a, i) =>
+      (0 until 5).map { j =>
+        Bid(a.start + j, a.start + j, a.auctionId, 1000L + (i * 5 + j) % 97,
+            -1L, ((i * 31 + j * 7) % 1000).toDouble)
+      }
+    }
+    val sentinelAuction = auctions.head.copy(
+      auctionId = SentinelKey, timestamp = SentinelTs, start = SentinelTs,
+      end = SentinelTs + 1000)
+    val sentinelAuction2 = auctions.head.copy(
+      auctionId = SentinelKey + 1, timestamp = SentinelTs + 120000,
+      start = SentinelTs + 120000, end = SentinelTs + 121000)
+    val msB = MemoryStream[Bid]
+    val msA = MemoryStream[Auction]
+    val result = NexmarkStateful.qxStateful(msB.toDS(), msA.toDS()).toDF
+    nameCounter += 1
+    val name = s"memsink$nameCounter"
+    val q = result.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      msA.addData(auctions); msB.addData(bids); q.processAllAvailable()
+      msA.addData(Seq(sentinelAuction)); q.processAllAvailable()
+      msA.addData(Seq(sentinelAuction2)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).collect()
+      .filter(_.getLong(0) < SentinelKey)
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val batch = NexmarkQueries.qxWinningBids(
+        spark.createDataset(bids), spark.createDataset(auctions)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming session windows close and match batch sessionization") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val bids = NexmarkGen.bids(cfg, 3000).toSeq
+    val sentinel = Bid(SentinelTs, SentinelTs, 1L, SentinelKey, -1L, 1.0)
+    val ms = MemoryStream[Bid]
+    val out = runToCompletion(ms, bids.grouped(1000).toSeq :+ Seq(sentinel),
+      NexmarkQueries.sessions(ms.toDS(), "60 seconds"))
+    val got = out.filter(_.getLong(2) != SentinelKey)
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val batch = NexmarkQueries.sessions(spark.createDataset(bids), "60 seconds")
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+}
