@@ -211,13 +211,20 @@ object TextPipeline extends QueryModule {
     * candidates (LSH is the scale path; the verify join is bucket-bounded).
     */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // Materialize shingle sets and signatures once: the band self-join and
+    // the pair-verification join would otherwise recompute the (expensive,
+    // SortAggregate-fallback min(string)) subtree four times. At scale this
+    // is the standard topology anyway: signature table is computed in one
+    // pass and persisted, then bucket-joined.
     val d = docsNorm(spark, dir)
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), expr(shinglesExpr).as("shingles"))
+      .persist()
     val sh = d.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val sigCols = (0 until NumHashes).map(i =>
       min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
     val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      .persist()
     val bandKeys = (0 until NumBands).map { b =>
       val parts = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
       md5(concat(parts: _*))
