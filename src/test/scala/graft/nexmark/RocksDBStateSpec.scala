@@ -1,0 +1,46 @@
+package graft.nexmark
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.nexmark.queries.NexmarkStateful
+
+/** W8: the reference uses the RocksDB state backend for keyed state
+  * (pom.xml:204-218); Spark's analog is RocksDBStateStoreProvider. This
+  * spec runs a stateful port against it to prove the state path works with
+  * a spillable store, not only the in-memory HDFS-backed default.
+  */
+class RocksDBStateSpec extends SparkSpec {
+  val cfg = GenConfig()
+
+  test("stateful q5 runs on RocksDBStateStoreProvider with identical results") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val bids = NexmarkGen.bids(cfg, 2000).toSeq
+      val sentinelTs = 1893456000000L
+      val s1 = Bid(sentinelTs, sentinelTs, Long.MaxValue / 2, 1L, -1L, 1.0)
+      val s2 = Bid(sentinelTs + 60000, sentinelTs + 60000, Long.MaxValue / 2 + 1, 1L, -1L, 1.0)
+      val ms = MemoryStream[Bid]
+      val q = NexmarkStateful.q5Stateful(ms.toDS(), 10000L).toDF
+        .writeStream.format("memory").queryName("rocksq5").outputMode("append").start()
+      try {
+        ms.addData(bids); q.processAllAvailable()
+        ms.addData(Seq(s1)); q.processAllAvailable()
+        ms.addData(Seq(s2)); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("rocksq5").collect()
+        .filter(_.getLong(0) < Long.MaxValue / 2)
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      val want = bids.groupBy(_.auctionId)
+        .view.mapValues(bs => (bs.map(_.bid).max, bs.size.toLong)).toMap
+      assert(got == want)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
