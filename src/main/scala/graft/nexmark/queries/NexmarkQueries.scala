@@ -148,6 +148,18 @@ object NexmarkQueries {
       .select(unix_millis(col("window.start")).as("windowStartMs"),
               col("jobId"), col("totalCpu"), col("taskCount"))
 
+  /** Watermarked streaming dedup (W7-adjacent): drop duplicate events by
+    * identity key within the watermark horizon — the streaming analog of
+    * exact dedup for at-least-once sources.
+    */
+  def dedupBids(bids: Dataset[Bid], wm: String = "2 seconds"): Dataset[Bid] = {
+    import bids.sparkSession.implicits._
+    watermarked(bids.toDF, wm)
+      .dropDuplicates("auctionId", "personId", "timestamp", "bid")
+      .drop("eventTime")
+      .as[Bid]
+  }
+
   /** Q5b event-type filter over the unified stream (P2,
     * NexmarkQuery5b.java:129-136) — pushed ahead of the shuffle exactly
     * like the reference filters before keyBy.

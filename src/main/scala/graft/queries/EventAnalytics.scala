@@ -199,6 +199,31 @@ object EventAnalytics extends QueryModule {
       |FROM events GROUP BY 1, 2
       |""".stripMargin
 
+  /** Sliding event-time window (SURVEY §2.6 W4, commented spec wiring
+    * NexmarkQuery8.java:546-548): 2-hour windows sliding by 1 hour — every
+    * event lands in exactly two windows.
+    */
+  def slidingLoad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+           expr(Det.cents("value")).as("total_value"))
+      .select(unix_millis(col("window.start")).as("win_start_ms"),
+              col("n_events"), col("total_value"))
+  }
+
+  def slidingLoadSql: String =
+    s"""WITH w AS (
+      |  SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS s0, value FROM events
+      |), u AS (
+      |  SELECT s0 AS win_start_ms, value FROM w
+      |  UNION ALL
+      |  SELECT s0 - 3600000 AS win_start_ms, value FROM w
+      |)
+      |SELECT win_start_ms, COUNT(*) AS n_events, ${Det.cents("value")} AS total_value
+      |FROM u GROUP BY 1
+      |""".stripMargin
+
   /** QX-style tagged union (NexmarkQueryX.java:301, JoinHelper taggers):
     * two typed sub-streams harmonized to one schema, unioned, re-aggregated.
     */
@@ -251,6 +276,7 @@ object EventAnalytics extends QueryModule {
     "q8_new_user_activity" -> (newUserActivity _),
     "q11_user_sessions" -> (userSessions _),
     "qcm_windowed_load" -> (windowedLoad _),
+    "q_sliding_load" -> (slidingLoad _),
     "qx_union_mix" -> (unionMix _),
     "q_topk_per_type" -> (topkPerType _),
   )
@@ -262,6 +288,7 @@ object EventAnalytics extends QueryModule {
     "q8_new_user_activity" -> newUserActivitySql,
     "q11_user_sessions" -> userSessionsSql,
     "qcm_windowed_load" -> windowedLoadSql,
+    "q_sliding_load" -> slidingLoadSql,
     "qx_union_mix" -> unionMixSql,
     "q_topk_per_type" -> topkPerTypeSql,
   )

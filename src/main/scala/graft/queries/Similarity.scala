@@ -96,7 +96,9 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("cid"), col("cos"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc_nulls_last, col("cid").asc)
-    val ranked = sims.withColumn("crk", row_number().over(wAssign))
+    // persist: both the cell-assignment and the query-probe branches read
+    // this table — without it the vector×centroid cross join runs twice
+    val ranked = sims.withColumn("crk", row_number().over(wAssign)).persist()
     val assign = ranked.filter(col("crk") === 1).select(col("vec_id"), col("cid"))
     val probes = ranked.filter(col("crk") <= NProbe && col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("cid"))

@@ -133,6 +133,20 @@ class NexmarkStreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming dedup drops duplicates within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val bids = NexmarkGen.bids(cfg, 1000).toSeq
+    val withDups = bids ++ bids.take(300) // replay 300 duplicates
+    val ms = MemoryStream[Bid]
+    val out = runToCompletion(ms, withDups.grouped(400).toSeq,
+      NexmarkQueries.dedupBids(ms.toDS()).toDF)
+    val key = (b: Bid) => (b.timestamp, b.auctionId, b.personId, b.bid)
+    assert(out.size == bids.size)
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5)))
+      .toSet.size == bids.map(b => (b.timestamp, b.auctionId, b.personId, b.bid)).toSet.size)
+  }
+
   test("streaming session windows close and match batch sessionization") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
