@@ -41,6 +41,51 @@ object NexmarkMain {
     def ckpt(n: String) = s"$outDir/ckpt-$n"
     val csv = s"$outDir/latency.csv"
 
+    // file-backed batch flavors (--q8fc / --q5fc mmap-file analog, --cm):
+    // write generator frames / trace lines to files, read them back through
+    // the real file sources, run the query, print one JSON line, exit.
+    if (flag == "--q8fc" || flag == "--q5fc" || flag == "--cm") {
+      import graft.nexmark.codec.BinaryCodec
+      val dir = java.nio.file.Files.createTempDirectory("nexmarkfc")
+      val t0 = System.nanoTime()
+      val n = flag match {
+        case "--q8fc" => // NexmarkQuery8File.java:53 semantics over files
+          val persons = NexmarkGen.persons(cfg, rowsPerBatch / 8).toSeq.map(p =>
+            BinaryCodec.RawPerson(p.personId, p.name.split(" ")(0), p.name.split(" ")(1),
+              "mail.test", p.city, p.country, 0L, 0L, 1, 2, 3, 0, p.timestamp))
+          val pFrames = BinaryCodec.frameAll(persons, BinaryCodec.personsPerFrame)(BinaryCodec.encodePersons)
+          java.nio.file.Files.write(dir.resolve("persons_0.bin"), pFrames.flatten.toArray)
+          val auctions = NexmarkGen.auctions(cfg, rowsPerBatch).toSeq
+          val aFrames = BinaryCodec.frameAll(auctions, BinaryCodec.auctionsPerFrame)(BinaryCodec.encodeAuctions)
+          java.nio.file.Files.write(dir.resolve("auctions_0.bin"), aFrames.flatten.toArray)
+          val now = System.currentTimeMillis()
+          val p = NexmarkSources.personsFromFrames(
+            spark.read.format("binaryFile").load(s"$dir/persons_*.bin")
+              .select("content").as[Array[Byte]].flatMap(NexmarkSources.sliceFrames), now)
+          val a = NexmarkSources.auctionsFromFrames(
+            spark.read.format("binaryFile").load(s"$dir/auctions_*.bin")
+              .select("content").as[Array[Byte]].flatMap(NexmarkSources.sliceFrames), now)
+          NexmarkQueries.q8NewUsers(p, a, "10 seconds").count()
+        case "--q5fc" => // NexmarkQuery5File.java:70 semantics over files
+          val bids = NexmarkGen.bids(cfg, rowsPerBatch).toSeq
+          val frames = BinaryCodec.frameAll(bids, BinaryCodec.bidsPerFrame)(BinaryCodec.encodeBids)
+          java.nio.file.Files.write(dir.resolve("bids_0.bin"), frames.flatten.toArray)
+          val b = NexmarkSources.bidsFromFrames(
+            spark.read.format("binaryFile").load(s"$dir/bids_*.bin")
+              .select("content").as[Array[Byte]].flatMap(NexmarkSources.sliceFrames),
+            System.currentTimeMillis())
+          NexmarkQueries.q5HotAuctions(b, "10 seconds").count()
+        case _ => // cm/CM.java:86 over a text trace
+          val lines = (0 until rowsPerBatch).map(i =>
+            s"${cfg.baseTimestamp + i * 37L} ${i % 1000} $i ${i % 13} 0 1 2 3 0.5 0.25 0.125")
+          java.nio.file.Files.write(dir.resolve("trace.txt"), lines.mkString("\n").getBytes)
+          NexmarkQueries.cmWindowedSum(NexmarkSources.cmRecords(spark, s"$dir/trace.txt")).count()
+      }
+      println(s"""{"flag":"$flag","rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}}""")
+      spark.stop()
+      return
+    }
+
     val result: DataFrame = flag match {
       case "--q5" =>
         NexmarkQueries.q5HotAuctions(
