@@ -396,6 +396,38 @@ object TextPipeline extends QueryModule {
       |FROM documents
       |""".stripMargin
 
+  /** Multimodal frame sampling: treat each payload as a short "video" of
+    * `n_bytes % 16 + 1` frames (consistent with [[multimodalMeta]]), keep
+    * every 4th frame, and compute a deterministic per-frame feature — the
+    * decode is a stub, but the explode topology (1 payload → N frame rows,
+    * sampled before any expensive per-frame work) is the real pattern for
+    * distributed video feature extraction.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              octet_length(col("text").cast("binary")).cast("bigint").as("n_bytes"))
+      .withColumn("n_frames", col("n_bytes") % 16 + 1)
+      .select(col("doc_id"), col("n_bytes"),
+              explode(expr("sequence(0, n_frames - 1)")).as("frame_idx"))
+      .filter(col("frame_idx") % 4 === 0)
+      .withColumn("frame_feature", (col("n_bytes") * 31 + col("frame_idx") * 7) % 256)
+      .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
+              col("frame_feature"))
+
+  def frameSampleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, n_bytes,
+      |         CAST(UNNEST(range(0, n_bytes % 16 + 1)) AS BIGINT) AS frame_idx
+      |  FROM d
+      |)
+      |SELECT doc_id, frame_idx, (n_bytes * 31 + frame_idx * 7) % 256 AS frame_feature
+      |FROM f WHERE frame_idx % 4 = 0
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> (tokenStats _),
     "t_lang_id" -> (langId _),
@@ -405,6 +437,7 @@ object TextPipeline extends QueryModule {
     "t_simhash" -> (simhash _),
     "t_char_ngram_jaccard" -> (charNgramJaccard _),
     "t_multimodal_meta" -> (multimodalMeta _),
+    "t_frame_sample" -> (frameSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -416,5 +449,6 @@ object TextPipeline extends QueryModule {
     "t_simhash" -> simhashSql,
     "t_char_ngram_jaccard" -> charNgramJaccardSql,
     "t_multimodal_meta" -> multimodalMetaSql,
+    "t_frame_sample" -> frameSampleSql,
   )
 }
