@@ -43,8 +43,13 @@ object Similarity extends QueryModule {
       .withColumn("nrm", expr("sqrt(aggregate(transform(emb, x -> x * x), 0D, (a, x) -> a + x))"))
       .filter(col("nrm") > 0)
 
+  /** Codegen'd native expression (graft.spark.CosineSim, injected by
+    * GraftExtensions): one fused loop, no intermediate zipped array, stays
+    * inside whole-stage codegen — vs the aggregate(zip_with(...)) HOF
+    * composition this replaced.
+    */
   private def cosine(qe: Column, ce: Column, qn: Column, cn: Column): Column =
-    expr("aggregate(zip_with(qemb, cemb, (x, y) -> x * y), 0D, (a, x) -> a + x)") / (qn * cn)
+    expr("cosine_sim(qemb, cemb)")
 
   /** Brute-force cosine top-k per query vector, two-phase (salted) rank. */
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,20 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+/** Session extension (the public Catalyst extension point,
+  * `spark.sql.extensions=graft.spark.GraftExtensions`): registers the
+  * native functions this library adds beyond Spark's built-ins.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      CosineSim.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "cosine_sim takes exactly 2 arguments")
+        CosineSim(children.head, children(1))
+      }))
+  }
+}
