@@ -120,6 +120,10 @@ object NexmarkMain {
         NexmarkQueries.q5HotAuctions(
           NexmarkQueries.bidsFromEvents(
             NexmarkSources.eventStream(spark, cfg, rowsPerBatch)), "10 seconds")
+      case "--q5bs" => // processing-time timer flavor (NexmarkQuery5b.java:204)
+        NexmarkStateful.q5bStateful(
+          NexmarkQueries.bidsFromEvents(
+            NexmarkSources.eventStream(spark, cfg, rowsPerBatch)), 2000L).toDF
       case "--debug" => // persons → noop (ingest throughput, Main.java --debug)
         NexmarkSources.personStream(spark, cfg, rowsPerBatch).toDF
       case other => sys.error(s"unknown flag $other")
@@ -129,9 +133,9 @@ object NexmarkMain {
       case "--q5" | "--q5b" =>
         LatencySink.writeLatencyCsv(result, csv, "lastTimestamp",
           "lastIngestionTimestamp", ckpt(flag))
-      case "--q5s" =>
+      case "--q5s" | "--q5bs" =>
         LatencySink.writeLatencyCsv(result, csv, "lastTimestamp",
-          "lastIngestionTimestamp", ckpt(flag))
+          "lastIngestionTimestamp", ckpt(flag), LatencySink.Q5bThresholdMs)
       case "--q8" | "--q11" | "--q8s" =>
         val (c, i) = if (flag == "--q11") ("lastBidTimestamp", "lastBidTimestamp")
                      else ("personCreation", "personIngestion")

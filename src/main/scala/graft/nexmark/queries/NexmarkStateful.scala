@@ -70,6 +70,44 @@ object NexmarkStateful {
       }
   }
 
+  /** Q5b variant (NexmarkQuery5b.java:165-215): same accumulator but a
+    * *processing-time* timer (:204) — flush each auction `flushIntervalMs`
+    * of wall clock after its last update. ProcessingTimeTimeout is reset on
+    * every element, like the reference re-registering its timer.
+    */
+  def q5bStateful(bids: Dataset[Bid], flushIntervalMs: Long,
+                  wm: String = "2 seconds"): Dataset[Query5Output] = {
+    import bids.sparkSession.implicits._
+    val withTime = bids.toDF
+      .withColumn("eventTime", timestamp_millis(col("timestamp")))
+      .withWatermark("eventTime", wm)
+      .as[Bid]
+    withTime
+      .groupByKey(_.auctionId)
+      .flatMapGroupsWithState[Q5Acc, Query5Output](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        case (auctionId, rows, state: GroupState[Q5Acc]) =>
+          if (state.hasTimedOut) {
+            val acc = state.get
+            state.remove()
+            Iterator.single(Query5Output(
+              auctionId, acc.maxPrice, acc.count, acc.lastTs, acc.lastIngest,
+              System.currentTimeMillis()))
+          } else {
+            var acc = state.getOption.getOrElse(Q5Acc(Double.MinValue, 0L, 0L, 0L))
+            rows.foreach { b =>
+              acc = Q5Acc(
+                math.max(acc.maxPrice, b.bid), acc.count + 1,
+                math.max(acc.lastTs, b.timestamp),
+                math.max(acc.lastIngest, b.ingestionTimestamp))
+            }
+            state.update(acc)
+            state.setTimeoutDuration(flushIntervalMs)
+            Iterator.empty
+          }
+      }
+  }
+
   // ---- Q8/Q11: union + keyed join with latest-person state (J1/J3) ----
 
   /** Tagged union element for the JoinUDF port (replaces TaggedUnion /

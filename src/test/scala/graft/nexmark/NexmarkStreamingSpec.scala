@@ -72,6 +72,36 @@ class NexmarkStreamingSpec extends SparkSpec {
     assert(out.count(r => r.getLong(0) < SentinelKey) == want.size)
   }
 
+  test("q5b processing-time timer port flushes after wall-clock inactivity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val bids = NexmarkGen.bids(cfg, 1000).toSeq
+    val ms = MemoryStream[Bid]
+    nameCounter += 1
+    val name = s"memsink$nameCounter"
+    val q = NexmarkStateful.q5bStateful(ms.toDS(), flushIntervalMs = 100L).toDF
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      ms.addData(bids)
+      // NOTE: no processAllAvailable here — with ProcessingTimeTimeout the
+      // engine keeps scheduling timer batches, so `noNewData` never latches
+      // and processAllAvailable livelocks (observed via jstack). Poll the
+      // sink instead; timers fire on the engine's own no-data batches.
+      val expected = bids.map(_.auctionId).distinct.size
+      var tries = 0
+      while (spark.table(name).count() < expected && tries < 150) {
+        Thread.sleep(200)
+        tries += 1
+      }
+    } finally q.stop()
+    val got = spark.table(name).collect()
+      .filter(_.getLong(0) < SentinelKey)
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val want = bids.groupBy(_.auctionId)
+      .view.mapValues(bs => (bs.map(_.bid).max, bs.size.toLong)).toMap
+    assert(got == want)
+  }
+
   test("stateful q8 join emits one output per person and keeps latest person state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
