@@ -88,9 +88,12 @@ object NexmarkMain {
     }
 
     val result: DataFrame = flag match {
-      case "--q5" =>
+      case "--q5" => // DSv2 source: one strided generator per subtask
         NexmarkQueries.q5HotAuctions(
-          NexmarkSources.bidStream(spark, cfg, rowsPerBatch), "5 seconds")
+          NexmarkSources.bidStreamDsv2(spark, cfg,
+            parallelism = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt,
+            rows = rowsPerBatch.toLong * runSeconds * 10,
+            rowsPerBatch = rowsPerBatch.toLong), "5 seconds")
       case "--q5s" =>
         NexmarkStateful.q5Stateful(
           NexmarkSources.bidStream(spark, cfg, rowsPerBatch), 10000L).toDF

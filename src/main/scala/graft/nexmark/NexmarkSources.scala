@@ -54,6 +54,24 @@ object NexmarkSources {
     rateStream(spark, rowsPerBatch).map(NexmarkGen.event(cfg, _))
   }
 
+  /** DSv2 `format("nexmark")` streaming source: true multi-subtask
+    * parallelism (one partition per reference subtask, strided ids) with
+    * admission-controlled rate limiting — the full-fidelity S1-S3 path.
+    * `rows` bounds the stream (recordsToGenerate analog).
+    */
+  def bidStreamDsv2(spark: SparkSession, cfg: GenConfig, parallelism: Int,
+                    rows: Long, rowsPerBatch: Long): Dataset[Bid] = {
+    import spark.implicits._
+    spark.readStream.format("nexmark")
+      .option("entity", "bids")
+      .option("rows", rows).option("rowsPerBatch", rowsPerBatch)
+      .option("parallelism", parallelism)
+      .option("seed", cfg.seed)
+      .option("baseTimestamp", cfg.baseTimestamp)
+      .option("eventsPerSecond", cfg.eventsPerSecond)
+      .load().as[Bid]
+  }
+
   private def rateStream(spark: SparkSession, rowsPerBatch: Int): Dataset[Long] = {
     import spark.implicits._
     spark.readStream

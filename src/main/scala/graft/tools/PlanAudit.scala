@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-quality audit over every SparkEntry query: counts shuffles,
+  * join strategies, codegen coverage, and scan pruning — the checklist the
+  * 100 TB design review cares about. runMain graft.tools.PlanAudit [sfDir]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println(f"${"query"}%-24s ${"xchg"}%4s ${"bhj"}%4s ${"smj"}%4s ${"bnlj"}%5s ${"sortagg"}%7s ${"wscg"}%5s  readSchemaCols")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        val plan = df.queryExecution.executedPlan
+        val s = plan.toString
+        def c(p: String) = p.r.findAllIn(s).size
+        val scans = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(s)
+          .map(_.group(1).split(",").length).toSeq
+        println(f"$name%-24s ${c("Exchange")}%4d ${c("BroadcastHashJoin")}%4d " +
+          f"${c("SortMergeJoin")}%4d ${c("BroadcastNestedLoopJoin")}%5d " +
+          f"${c("SortAggregate")}%7d ${c("WholeStageCodegen")}%5d  ${scans.mkString(",")}")
+      } catch { case e: Throwable => println(f"$name%-24s ERROR ${e.getMessage.take(60)}") }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,55 @@
+package graft.nexmark
+
+import org.apache.spark.sql.streaming.Trigger
+
+/** DSv2 `format("nexmark")` source: per-partition subtask strides, schema
+  * per entity, bounded micro-batch streaming with admission control.
+  */
+class NexmarkDataSourceSpec extends SparkSpec {
+
+  test("batch read: one partition per subtask, strided non-colliding ids") {
+    val df = spark.read.format("nexmark")
+      .option("entity", "persons").option("rows", "900").option("parallelism", "3")
+      .load()
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 2700) // rows per subtask x 3
+    // ids from different subtasks live in disjoint stride ranges
+    import org.apache.spark.sql.functions._
+    val stride = NexmarkGen.MaxPersonId / 3
+    val perStride = df.groupBy((col("personId") / stride).cast("int").as("s"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perStride.keySet == Set(0, 1, 2))
+  }
+
+  test("batch read matches the direct generator output per subtask") {
+    val df = spark.read.format("nexmark")
+      .option("entity", "bids").option("rows", "500").option("parallelism", "2")
+      .load()
+    val got = df.collect().map(r =>
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5))).toSet
+    val want = (0 until 2).flatMap { s =>
+      NexmarkGen.bids(GenConfig(subtask = s, parallelism = 2), 500)
+        .map(b => (b.timestamp, b.auctionId, b.personId, b.bid))
+    }.toSet
+    assert(got == want)
+  }
+
+  test("unknown entity is rejected") {
+    val e = intercept[Exception](
+      spark.read.format("nexmark").option("entity", "widgets").load())
+    assert(e.getMessage.contains("widgets"))
+  }
+
+  test("micro-batch stream is bounded and rate-limited per trigger") {
+    val df = spark.readStream.format("nexmark")
+      .option("entity", "bids").option("rows", "1000")
+      .option("parallelism", "2").option("rowsPerBatch", "300")
+      .load()
+    val q = df.writeStream.format("memory").queryName("nexmarkdsv2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // bounded: 1000 events x 2 subtasks; admission control ceil(1000/300)=4 batches
+    assert(spark.table("nexmarkdsv2").count() == 2000)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+  }
+}
