@@ -278,6 +278,106 @@ object TextPipeline extends QueryModule {
        |""".stripMargin
   }
 
+  /** Near-dup cluster assignment (1-hop): every doc joins the minimum
+    * doc_id among all documents sharing any of its LSH band buckets — the
+    * single-pass approximation of connected components used as the first
+    * round of iterative web-scale dedup (each extra round would re-join
+    * cluster ids through the bucket table).
+    */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsNorm(spark, dir)
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), expr(shinglesExpr).as("shingles"))
+    val sh = d.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val sigCols = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
+    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*).persist()
+    val bandKeys = (0 until NumBands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+      md5(concat(parts: _*))
+    }
+    val bands = sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    val w = Window.partitionBy(col("band"), col("bkey"))
+    bands.withColumn("bucket_min", min(col("doc_id")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(min(col("bucket_min")).as("cluster_id"))
+      .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("int"))
+  }
+
+  def dupClustersSql: String = {
+    val sigCols = (0 until NumHashes)
+      .map(i => s"MIN(md5('$i:' || sh)) AS h$i").mkString(",\n         ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => s"h${b * RowsPerBand + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS bkey FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH d0 AS (
+       |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM documents
+       |), d AS (
+       |  SELECT doc_id, $shinglesSqlExpr AS shingles FROM d0 WHERE LEN(ws) >= 3
+       |), sh AS (
+       |  SELECT doc_id, UNNEST(shingles) AS sh FROM d
+       |), sigs AS (
+       |  SELECT doc_id,
+       |         $sigCols
+       |  FROM sh GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |), bmin AS (
+       |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band, bkey) AS bucket_min FROM bands
+       |), c AS (
+       |  SELECT doc_id, MIN(bucket_min) AS cluster_id FROM bmin GROUP BY doc_id
+       |)
+       |SELECT doc_id, cluster_id, CAST(doc_id = cluster_id AS INT) AS is_canonical
+       |FROM c
+       |""".stripMargin
+  }
+
+  /** End-to-end corpus curation: quality-filter + exact-dedup-canonical
+    * composed, reporting kept-document stats per language — the shape of a
+    * real training-data selection job (filters push to the scan; the only
+    * shuffles are the dedup window and the final small agg).
+    */
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsNorm(spark, dir)
+    val sw = Stopwords.map(s => s"w = '$s'").mkString(" or ")
+    val scored = d.select(
+        col("doc_id"), col("lang"), col("nc"),
+        size(col("words")).as("n_tokens"),
+        expr(s"size(filter(words, w -> $sw))").as("stopword_count"),
+        size(array_distinct(col("words"))).as("n_distinct"))
+      .withColumn("score_scaled", expr(scoreScaledSql("n_tokens", "stopword_count", "n_distinct")))
+    val w = Window.partitionBy(md5(col("nc")))
+    scored.withColumn("canonical_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("canonical_id") && col("score_scaled") >= 3500)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+           expr("CAST(CAST(ROUND(CAST(SUM(score_scaled) AS DOUBLE) / COUNT(1)) AS BIGINT) AS DOUBLE) / 10000.0").as("avg_score"))
+  }
+
+  def corpusFilterSql: String = {
+    val sw = Stopwords.map(s => s"w = '$s'").mkString(" or ")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, ${normSql("text")} AS nc FROM documents
+       |), b AS (
+       |  SELECT doc_id, lang, nc,
+       |         LEN(string_split(nc, ' ')) AS n_tokens,
+       |         LEN(list_filter(string_split(nc, ' '), w -> $sw)) AS stopword_count,
+       |         LEN(list_distinct(string_split(nc, ' '))) AS n_distinct
+       |  FROM d
+       |), s AS (
+       |  SELECT doc_id, lang,
+       |         ${scoreScaledSql("n_tokens", "stopword_count", "n_distinct")} AS score_scaled,
+       |         MIN(doc_id) OVER (PARTITION BY md5(nc)) AS canonical_id
+       |  FROM b
+       |)
+       |SELECT lang, COUNT(*) AS n_kept,
+       |       CAST(CAST(ROUND(CAST(SUM(score_scaled) AS DOUBLE) / COUNT(1)) AS BIGINT) AS DOUBLE) / 10000.0 AS avg_score
+       |FROM s WHERE doc_id = canonical_id AND score_scaled >= 3500
+       |GROUP BY lang
+       |""".stripMargin
+  }
+
   /** 32-bit SimHash over word occurrences (md5 nibbles as the bit source;
     * both dialects generated from the same loop so the arithmetic is
     * identical). Emits per-doc signature + signature group size.
@@ -438,6 +538,8 @@ object TextPipeline extends QueryModule {
     "t_char_ngram_jaccard" -> (charNgramJaccard _),
     "t_multimodal_meta" -> (multimodalMeta _),
     "t_frame_sample" -> (frameSample _),
+    "t_dup_clusters" -> (dupClusters _),
+    "t_corpus_filter" -> (corpusFilter _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -450,5 +552,7 @@ object TextPipeline extends QueryModule {
     "t_char_ngram_jaccard" -> charNgramJaccardSql,
     "t_multimodal_meta" -> multimodalMetaSql,
     "t_frame_sample" -> frameSampleSql,
+    "t_dup_clusters" -> dupClustersSql,
+    "t_corpus_filter" -> corpusFilterSql,
   )
 }
