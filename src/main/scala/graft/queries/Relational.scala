@@ -212,6 +212,61 @@ object Relational extends QueryModule {
       |FROM events GROUP BY 1
       |""".stripMargin
 
+  /** Monthly revenue trend with month-over-month delta (date truncation +
+    * lag window over an exact cents series).
+    */
+  def monthlyTrend(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    // delta is computed in integer cents BEFORE the /100.0 (subtracting the
+    // divided doubles reintroduces float error the oracle doesn't have)
+    val monthly = o.groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(expr("sum(cast(round(o_totalprice * 100) as bigint))").as("cents"),
+           count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("month").asc)
+    monthly
+      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      .select(unix_millis(col("month")).as("month_ms"),
+              expr("CAST(cents AS DOUBLE) / 100.0").as("revenue"),
+              col("n_orders"),
+              expr("CAST(cents - COALESCE(prev_cents, 0) AS DOUBLE) / 100.0").as("delta"))
+  }
+
+  def monthlyTrendSql: String =
+    """WITH m AS (
+      |  SELECT CAST(epoch_ms(date_trunc('month', o_orderdate)) AS BIGINT) AS month_ms,
+      |         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents,
+      |         COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT month_ms, CAST(cents AS DOUBLE) / 100.0 AS revenue, n_orders,
+      |       CAST(cents - COALESCE(LAG(cents, 1) OVER (ORDER BY month_ms ASC), 0) AS DOUBLE) / 100.0 AS delta
+      |FROM m
+      |""".stripMargin
+
+  /** INTERSECT / EXCEPT set operations: customers with both open and
+    * finished orders vs only-open customers.
+    */
+  def setOpsCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val done = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val both = open.intersect(done).withColumn("kind", lit("both"))
+    val onlyOpen = open.except(done).withColumn("kind", lit("only_open"))
+    both.unionByName(onlyOpen)
+      .groupBy(col("kind")).agg(count(lit(1)).as("n_customers"))
+  }
+
+  def setOpsCustomersSql: String =
+    """WITH open_c AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+      |done_c AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+      |u AS (
+      |  SELECT o_custkey, 'both' AS kind FROM (SELECT * FROM open_c INTERSECT SELECT * FROM done_c)
+      |  UNION ALL
+      |  SELECT o_custkey, 'only_open' AS kind FROM (SELECT * FROM open_c EXCEPT SELECT * FROM done_c)
+      |)
+      |SELECT kind, COUNT(*) AS n_customers FROM u GROUP BY kind
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r_pricing_summary" -> (pricingSummary _),
     "r_top_customers" -> (topCustomers _),
@@ -221,6 +276,8 @@ object Relational extends QueryModule {
     "r_running_order_total" -> (runningOrderTotal _),
     "r_priority_stats" -> (priorityStats _),
     "r_json_props" -> (jsonProps _),
+    "r_monthly_trend" -> (monthlyTrend _),
+    "r_setops_customers" -> (setOpsCustomers _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -232,5 +289,7 @@ object Relational extends QueryModule {
     "r_running_order_total" -> runningOrderTotalSql,
     "r_priority_stats" -> priorityStatsSql,
     "r_json_props" -> jsonPropsSql,
+    "r_monthly_trend" -> monthlyTrendSql,
+    "r_setops_customers" -> setOpsCustomersSql,
   )
 }
