@@ -181,6 +181,49 @@ object EventAnalytics extends QueryModule {
       |FROM s GROUP BY user_id, sid
       |""".stripMargin
 
+  /** Dynamic-gap sessions (SURVEY W5; the reference imports
+    * DynamicEventTimeSessionWindows — NexmarkQuery8.java:65-66): the
+    * session gap depends on the event (30 min for click/view, 60 min
+    * otherwise). Spark: session_window with a gap expression. Oracle:
+    * a session breaks when the event starts at/after the running max of
+    * previous (ts + gap) ends — exactly Spark's interval-merge rule.
+    */
+  def dynamicSessions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // gap must be CalendarIntervalType: interval *strings*, not ANSI
+    // INTERVAL literals (those are DayTimeIntervalType and are rejected)
+    val gap = expr(
+      "CASE WHEN event_type IN ('click', 'view') THEN '30 minutes' ELSE '60 minutes' END")
+    ev.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           expr(Det.cents("value")).as("session_value"))
+      .select(col("user_id"),
+              unix_millis(col("session_window.start")).as("session_start_ms"),
+              col("n_events"), col("session_value"))
+  }
+
+  def dynamicSessionsSql: String =
+    s"""WITH e AS (
+      |  SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS tms, value,
+      |         CASE WHEN event_type IN ('click', 'view') THEN 1800000 ELSE 3600000 END AS gap_ms
+      |  FROM events
+      |), s AS (
+      |  SELECT *, CASE WHEN MAX(tms + gap_ms) OVER (PARTITION BY user_id ORDER BY tms
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |                   OR tms >= MAX(tms + gap_ms) OVER (PARTITION BY user_id ORDER BY tms
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM e
+      |), g AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tms
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM s
+      |)
+      |SELECT user_id, MIN(tms) AS session_start_ms, COUNT(*) AS n_events,
+      |       ${Det.cents("value")} AS session_value
+      |FROM g GROUP BY user_id, sid
+      |""".stripMargin
+
   /** CM cluster-trace aggregation (cm/CM.java:272-303): SUM(value) per
     * user per tumbling window (6h here; 2s in the reference at its rates).
     */
@@ -275,6 +318,7 @@ object EventAnalytics extends QueryModule {
     "q7_highest_value" -> (highestValue _),
     "q8_new_user_activity" -> (newUserActivity _),
     "q11_user_sessions" -> (userSessions _),
+    "q_dynamic_sessions" -> (dynamicSessions _),
     "qcm_windowed_load" -> (windowedLoad _),
     "q_sliding_load" -> (slidingLoad _),
     "qx_union_mix" -> (unionMix _),
@@ -287,6 +331,7 @@ object EventAnalytics extends QueryModule {
     "q7_highest_value" -> highestValueSql,
     "q8_new_user_activity" -> newUserActivitySql,
     "q11_user_sessions" -> userSessionsSql,
+    "q_dynamic_sessions" -> dynamicSessionsSql,
     "qcm_windowed_load" -> windowedLoadSql,
     "q_sliding_load" -> slidingLoadSql,
     "qx_union_mix" -> unionMixSql,
