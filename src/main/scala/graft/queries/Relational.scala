@@ -267,6 +267,36 @@ object Relational extends QueryModule {
       |SELECT kind, COUNT(*) AS n_customers FROM u GROUP BY kind
       |""".stripMargin
 
+  /** Exact interpolated percentiles per priority, computed over integer
+    * cents (Spark `percentile` == DuckDB `quantile_cont` definition:
+    * linear interpolation at p*(n-1)).
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(col("o_orderpriority"),
+             expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("CAST(ROUND(percentile(cents, 0.5)) AS BIGINT)").as("median_cents"),
+           expr("CAST(ROUND(percentile(cents, 0.9)) AS BIGINT)").as("p90_cents"),
+           count(lit(1)).as("n_orders"))
+      .select(col("o_orderpriority"),
+              expr("CAST(median_cents AS DOUBLE) / 100.0").as("median_price"),
+              expr("CAST(p90_cents AS DOUBLE) / 100.0").as("p90_price"),
+              col("n_orders"))
+  }
+
+  def percentilesSql: String =
+    """WITH c AS (
+      |  SELECT o_orderpriority, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT o_orderpriority,
+      |       CAST(CAST(ROUND(quantile_cont(cents, 0.5)) AS BIGINT) AS DOUBLE) / 100.0 AS median_price,
+      |       CAST(CAST(ROUND(quantile_cont(cents, 0.9)) AS BIGINT) AS DOUBLE) / 100.0 AS p90_price,
+      |       COUNT(*) AS n_orders
+      |FROM c GROUP BY o_orderpriority
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r_pricing_summary" -> (pricingSummary _),
     "r_top_customers" -> (topCustomers _),
@@ -278,6 +308,7 @@ object Relational extends QueryModule {
     "r_json_props" -> (jsonProps _),
     "r_monthly_trend" -> (monthlyTrend _),
     "r_setops_customers" -> (setOpsCustomers _),
+    "r_percentiles" -> (percentiles _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -291,5 +322,6 @@ object Relational extends QueryModule {
     "r_json_props" -> jsonPropsSql,
     "r_monthly_trend" -> monthlyTrendSql,
     "r_setops_customers" -> setOpsCustomersSql,
+    "r_percentiles" -> percentilesSql,
   )
 }
