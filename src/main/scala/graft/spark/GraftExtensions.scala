@@ -16,5 +16,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "cosine_sim takes exactly 2 arguments")
         CosineSim(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      DotProduct.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "dot_product takes exactly 2 arguments")
+        DotProduct(children.head, children(1))
+      }))
+    // rewrite aggregate(zip_with(a, b, *), 0.0, +) -> DotProduct(a, b)
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }
