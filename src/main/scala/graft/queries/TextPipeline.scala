@@ -467,6 +467,51 @@ object TextPipeline extends QueryModule {
        |FROM j
        |""".stripMargin
 
+  /** Rolling-hash (Rabin-Karp) winnowing fingerprint: polynomial hash of
+    * every 8-char window of the normalized text; the k smallest hashes are
+    * the document's fingerprint (the classic winnowing/MOSS scheme — near
+    * -identical documents share most minimal hashes). All arithmetic is
+    * exact int64 (127 * 31^7 < 2^53), generated once for both dialects.
+    */
+  private val RollWindow = 8
+  private val RollK = 5
+  private def rollHashSql(s: String, i: String): String = {
+    // Σ_j ascii(s[i+j]) * 31^(w-1-j), exact in int64
+    val terms = (0 until RollWindow).map { j =>
+      val pow = math.pow(31, RollWindow - 1 - j).toLong
+      s"CAST(ascii(substring($s, $i + $j, 1)) AS BIGINT) * $pow"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsNorm(spark, dir).filter(length(col("nc")) >= RollWindow)
+    val hashes = expr(
+      s"transform(sequence(1, length(nc) - ${RollWindow - 1}), i -> ${rollHashSql("nc", "i")})")
+    d.select(col("doc_id"), hashes.as("hashes"))
+      .select(col("doc_id"),
+              posexplode(slice(array_sort(col("hashes")), 1, RollK)).as(Seq("pos", "min_hash")))
+      .select(col("doc_id"), (col("pos") + 1).as("rank"), col("min_hash"))
+  }
+
+  def winnowFingerprintSql: String = {
+    val ranks = (1 to RollK).map(r =>
+      s"SELECT doc_id, $r AS rank, sorted[$r] AS min_hash FROM s WHERE LEN(sorted) >= $r")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH d AS (
+       |  SELECT doc_id, ${normSql("text")} AS nc FROM documents
+       |), h AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, LENGTH(nc) - ${RollWindow - 2}),
+       |                        i -> ${rollHashSql("nc", "i")}) AS hashes
+       |  FROM d WHERE LENGTH(nc) >= $RollWindow
+       |), s AS (
+       |  SELECT doc_id, list_sort(hashes) AS sorted FROM h
+       |)
+       |$ranks
+       |""".stripMargin
+  }
+
   /** Multimodal stub: treat each document as an opaque binary payload with
     * typed metadata, "decoded" in distributed batches via mapPartitions.
     * The decode itself is a deterministic fake (no media libs in this
@@ -540,6 +585,7 @@ object TextPipeline extends QueryModule {
     "t_frame_sample" -> (frameSample _),
     "t_dup_clusters" -> (dupClusters _),
     "t_corpus_filter" -> (corpusFilter _),
+    "t_winnow_fingerprint" -> (winnowFingerprint _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -554,5 +600,6 @@ object TextPipeline extends QueryModule {
     "t_frame_sample" -> frameSampleSql,
     "t_dup_clusters" -> dupClustersSql,
     "t_corpus_filter" -> corpusFilterSql,
+    "t_winnow_fingerprint" -> winnowFingerprintSql,
   )
 }
