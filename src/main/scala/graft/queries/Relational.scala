@@ -297,6 +297,34 @@ object Relational extends QueryModule {
       |FROM c GROUP BY o_orderpriority
       |""".stripMargin
 
+  /** Interval/range join (the QX temporal-join shape, SURVEY J4, on
+    * relational data): lineitems shipped within 30 days of their order's
+    * date, aggregated per order month.
+    */
+  def intervalShip(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"), col("l_discount"))
+    l.join(o, l("l_orderkey") === o("o_orderkey") &&
+        l("l_shipdate") >= o("o_orderdate") &&
+        l("l_shipdate") <= expr("o_orderdate + INTERVAL 30 DAYS"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_items"),
+           centsSum("l_extendedprice * (1 - l_discount)").as("revenue"))
+      .select(unix_millis(col("month")).as("month_ms"), col("n_items"), col("revenue"))
+  }
+
+  def intervalShipSql: String =
+    """SELECT CAST(epoch_ms(date_trunc('month', o_orderdate)) AS BIGINT) AS month_ms,
+      |       COUNT(*) AS n_items,
+      |       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+      |FROM lineitem JOIN orders
+      |  ON l_orderkey = o_orderkey
+      | AND l_shipdate >= o_orderdate
+      | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+      |GROUP BY 1
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r_pricing_summary" -> (pricingSummary _),
     "r_top_customers" -> (topCustomers _),
@@ -309,6 +337,7 @@ object Relational extends QueryModule {
     "r_monthly_trend" -> (monthlyTrend _),
     "r_setops_customers" -> (setOpsCustomers _),
     "r_percentiles" -> (percentiles _),
+    "r_interval_ship" -> (intervalShip _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -323,5 +352,6 @@ object Relational extends QueryModule {
     "r_monthly_trend" -> monthlyTrendSql,
     "r_setops_customers" -> setOpsCustomersSql,
     "r_percentiles" -> percentilesSql,
+    "r_interval_ship" -> intervalShipSql,
   )
 }
