@@ -79,6 +79,61 @@ object NexmarkQueries {
               col("auctionCreation"), col("auctionIngestion"))
   }
 
+  /** Q8 window-type switch (NexmarkQuery8.java:541-554: 0=tumbling,
+    * 1=sliding, 2=session). Sliding: same join keyed on every overlapping
+    * window. Session: both streams unioned per person build shared session
+    * windows (the keyed-session cogroup semantics), then persons join
+    * auctions within their session.
+    */
+  def q8NewUsersSliding(persons: Dataset[Person], auctions: Dataset[Auction],
+                        windowDur: String, slide: String,
+                        wm: String = "2 seconds"): DataFrame = {
+    val p = watermarked(persons.toDF, wm)
+      .select(window(col("eventTime"), windowDur, slide).as("win"), col("personId"),
+              col("timestamp").as("personCreation"),
+              col("ingestionTimestamp").as("personIngestion"))
+      .groupBy(col("win"), col("personId"))
+      .agg(max(col("personCreation")).as("personCreation"),
+           max(col("personIngestion")).as("personIngestion"))
+    val a = watermarked(auctions.toDF, wm)
+      .select(window(col("eventTime"), windowDur, slide).as("win"),
+              col("personId"),
+              col("timestamp").as("auctionCreation"),
+              col("ingestionTimestamp").as("auctionIngestion"))
+    p.join(a, Seq("win", "personId"))
+      .groupBy(col("win"), col("personId"), col("personCreation"), col("personIngestion"))
+      .agg(max_by(col("auctionCreation"), struct(col("auctionIngestion"), col("auctionCreation"))).as("auctionCreation"),
+           max(col("auctionIngestion")).as("auctionIngestion"))
+      .select(unix_millis(col("win.start")).as("windowStartMs"), col("personId"),
+              col("personCreation"), col("personIngestion"),
+              col("auctionCreation"), col("auctionIngestion"))
+  }
+
+  def q8NewUsersSession(persons: Dataset[Person], auctions: Dataset[Auction],
+                        gap: String): DataFrame = {
+    // shared sessions from the UNION of both streams per person (the
+    // reference cogroups both streams into the same keyed session windows)
+    val p = persons.toDF.select(col("personId"), col("timestamp"),
+      col("ingestionTimestamp"), lit(true).as("isPerson"))
+    val a = auctions.toDF.select(col("personId"), col("timestamp"),
+      col("ingestionTimestamp"), lit(false).as("isPerson"))
+    val u = NexmarkQueries.withEventTime(p.unionByName(a))
+    val sessions = u
+      .groupBy(session_window(col("eventTime"), gap).as("win"), col("personId"))
+      .agg(
+        max(when(col("isPerson"), col("timestamp"))).as("personCreation"),
+        max(when(col("isPerson"), col("ingestionTimestamp"))).as("personIngestion"),
+        max_by(when(!col("isPerson"), col("timestamp")),
+               struct(when(!col("isPerson"), col("ingestionTimestamp")),
+                      when(!col("isPerson"), col("timestamp")))).as("auctionCreation"),
+        max(when(!col("isPerson"), col("ingestionTimestamp"))).as("auctionIngestion"))
+      // J2 semantics: only sessions containing >= 1 person and >= 1 auction
+      .filter(col("personCreation").isNotNull && col("auctionIngestion").isNotNull)
+    sessions.select(unix_millis(col("win.start")).as("sessionStartMs"), col("personId"),
+      col("personCreation"), col("personIngestion"),
+      col("auctionCreation"), col("auctionIngestion"))
+  }
+
   /** Q11 (J3, NexmarkQuery11File.java:397-457): persons ⋈ bids on personId
     * (bidder activity per window).
     */

@@ -37,6 +37,43 @@ class NexmarkBatchSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q8NewUsersSliding assigns each pair to every overlapping window") {
+    val got = NexmarkQueries.q8NewUsersSliding(personsDs, auctionsDs, "1 hour", "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val HalfMs = 1800 * 1000L
+    def wins(ts: Long): Seq[Long] = {
+      val w1 = ts - Math.floorMod(ts, HalfMs)
+      Seq(w1, w1 - HalfMs)
+    }
+    val pKeys = persons.flatMap(p => wins(p.timestamp).map(w => (w, p.personId))).toSet
+    val want = auctions.flatMap(a => wins(a.timestamp).map(w => (w, a.personId)))
+      .toSet.intersect(pKeys)
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q8NewUsersSession joins persons to auctions in shared union sessions") {
+    val got = NexmarkQueries.q8NewUsersSession(personsDs, auctionsDs, "60 seconds")
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    // oracle: sessionize the UNION of both streams per person (gap 60s)
+    val gapMs = 60000L
+    val want = (persons.map(p => (p.personId, p.timestamp, true)) ++
+        auctions.map(a => (a.personId, a.timestamp, false)))
+      .groupBy(_._1).toSeq.flatMap { case (pid, evs) =>
+        val sorted = evs.sortBy(_._2)
+        // split into sessions on >= gap
+        val sessions = sorted.tail.foldLeft(Vector(Vector(sorted.head))) {
+          case (acc, e) =>
+            if (e._2 - acc.last.last._2 >= gapMs) acc :+ Vector(e)
+            else acc.init :+ (acc.last :+ e)
+        }
+        sessions.filter(s => s.exists(_._3) && s.exists(!_._3))
+          .map(s => (pid, s.head._2))
+      }.toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("q11BidderActivity counts bids per active (window, person)") {
     val got = NexmarkQueries.q11BidderActivity(personsDs, bidsDs, "1 hour").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
