@@ -101,6 +101,15 @@ object NexmarkMain {
         NexmarkQueries.q8NewUsers(
           NexmarkSources.personStream(spark, cfg, rowsPerBatch / 8),
           NexmarkSources.auctionStream(spark, cfg, rowsPerBatch), "10 seconds")
+      case "--q8sliding" => // window-type 1 (NexmarkQuery8.java:546-548)
+        NexmarkQueries.q8NewUsersSliding(
+          NexmarkSources.personStream(spark, cfg, rowsPerBatch / 8),
+          NexmarkSources.auctionStream(spark, cfg, rowsPerBatch),
+          "10 seconds", "5 seconds")
+      case "--q8session" => // window-type 2 (NexmarkQuery8.java:549-553)
+        NexmarkQueries.q8NewUsersSession(
+          NexmarkSources.personStream(spark, cfg, rowsPerBatch / 8),
+          NexmarkSources.auctionStream(spark, cfg, rowsPerBatch), "10 seconds")
       case "--q8s" =>
         NexmarkStateful.q8Stateful(
           NexmarkSources.personStream(spark, cfg, rowsPerBatch / 8),
@@ -139,7 +148,7 @@ object NexmarkMain {
       case "--q5s" | "--q5bs" =>
         LatencySink.writeLatencyCsv(result, csv, "lastTimestamp",
           "lastIngestionTimestamp", ckpt(flag), LatencySink.Q5bThresholdMs)
-      case "--q8" | "--q11" | "--q8s" =>
+      case "--q8" | "--q11" | "--q8s" | "--q8sliding" | "--q8session" =>
         val (c, i) = if (flag == "--q11") ("lastBidTimestamp", "lastBidTimestamp")
                      else ("personCreation", "personIngestion")
         LatencySink.writeLatencyCsv(result, csv, c, i, ckpt(flag))

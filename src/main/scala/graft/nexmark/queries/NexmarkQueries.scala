@@ -110,14 +110,14 @@ object NexmarkQueries {
   }
 
   def q8NewUsersSession(persons: Dataset[Person], auctions: Dataset[Auction],
-                        gap: String): DataFrame = {
+                        gap: String, wm: String = "2 seconds"): DataFrame = {
     // shared sessions from the UNION of both streams per person (the
     // reference cogroups both streams into the same keyed session windows)
     val p = persons.toDF.select(col("personId"), col("timestamp"),
       col("ingestionTimestamp"), lit(true).as("isPerson"))
     val a = auctions.toDF.select(col("personId"), col("timestamp"),
       col("ingestionTimestamp"), lit(false).as("isPerson"))
-    val u = NexmarkQueries.withEventTime(p.unionByName(a))
+    val u = watermarked(p.unionByName(a), wm)
     val sessions = u
       .groupBy(session_window(col("eventTime"), gap).as("win"), col("personId"))
       .agg(
