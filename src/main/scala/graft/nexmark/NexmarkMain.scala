@@ -149,8 +149,12 @@ object NexmarkMain {
         LatencySink.writeLatencyCsv(result, csv, "lastTimestamp",
           "lastIngestionTimestamp", ckpt(flag), LatencySink.Q5bThresholdMs)
       case "--q8" | "--q11" | "--q8s" | "--q8sliding" | "--q8session" =>
-        val (c, i) = if (flag == "--q11") ("lastBidTimestamp", "lastBidTimestamp")
-                     else ("personCreation", "personIngestion")
+        val (c, i) = flag match {
+          case "--q11" => ("lastBidTimestamp", "lastBidTimestamp")
+          case "--q8s" => // Query8Output schema (stateful port)
+            ("personCreationTimestamp", "personIngestionTimestamp")
+          case _ => ("personCreation", "personIngestion")
+        }
         LatencySink.writeLatencyCsv(result, csv, c, i, ckpt(flag))
       case _ =>
         result.writeStream.format("noop")
