@@ -5,11 +5,24 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR. A warmup pass at the smallest SF first loads
   * classes/codegen caches so per-query numbers reflect steady-state
   * execution rather than JVM startup.
+  *
+  * Failures are loud: a query that throws is reported in an "errors" map
+  * (first line of the exception) and EXCLUDED from the per-query times and
+  * the total — a broken query must never record a fast time.
+  *
+  * Cache hygiene: `clearCache()` + GC hint between queries so one query's
+  * cached/checkpointed blocks can never bleed into another's measurement
+  * (38 queries × 3 executions in one session otherwise accumulate blocks
+  * and churn the block manager).
+  *
+  * SPARK_GRAFT_ONLY (optional): comma-separated query names — bench only
+  * those. For local profiling; the driver leaves it unset.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,25 +33,43 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val queries = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+
+    def sweep(): Unit = { spark.catalog.clearCache(); System.gc() }
+
     // warmup: exercise every query once at the smallest SF (class loading,
     // codegen compilation, parquet footer caches)
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
+      sweep()
     }
     // best of 2 timed runs per query: single-run numbers on a shared box
     // showed 2x run-to-run variance from GC/compilation/OS noise
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = queries.flatMap { case (name, fn) =>
+      val runs = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val r = try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString.take(200)
+            errors(name) = msg
+            System.err.println(s"BENCH FAILURE $name: $msg")
+            None
+        }
+        sweep()
+        r
       }
-      name -> times.min
+      if (runs.isEmpty) None else Some(name -> runs.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    // exit 0 even with failures: the JSON line (with its "errors" map) must
+    // reach the driver; a non-zero exit could discard the whole report.
     spark.stop()
   }
 }

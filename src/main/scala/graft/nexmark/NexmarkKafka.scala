@@ -44,9 +44,11 @@ object NexmarkKafka {
     rawValues(spark, servers, topic).map(TaggedCodec.decode)
   }
 
-  /** K4: unified-topic producer with the reference's murmur3 partitioner
-    * (seed 104729 over the 8-byte key, GeneratorPipeline.java:213-271) as
-    * an explicit `partition` column.
+  /** K4: unified-topic producer with a murmur3 (seed 104729) `partition`
+    * column. Deliberately hashes all 8 key bytes, NOT the reference's
+    * first-4-bytes hash (GeneratorPipeline.java:198-251), which collapses
+    * to one partition for ids < 2^32 — see [[Murmur3Partitioner]]'s doc;
+    * `Murmur3Partitioner.referencePartitionFor` is the byte-exact port.
     */
   def writeEventsToKafka(events: Dataset[Event], servers: String,
                          numPartitions: Int, checkpoint: String,

@@ -101,17 +101,53 @@ object LatencySink {
       }
 }
 
-/** K4: the generator's Kafka partitioner — MurmurHash3-32 (seed 104729) of
-  * the 8-byte big-endian key, mod partition count
-  * (generator/GeneratorPipeline.java:182-271). Public murmur3 algorithm
-  * (Austin Appleby, public domain), implemented over the 8-byte key so a
-  * Spark Kafka sink can emit an identical explicit `partition` column.
+/** K4: the generator's Kafka partitioner — MurmurHash3-32 (seed 104729),
+  * mod partition count (generator/GeneratorPipeline.java:198-271). Public
+  * murmur3 algorithm (Austin Appleby, public domain).
+  *
+  * DELIBERATE DIVERGENCE from the reference in the default path: the
+  * reference hashes only the FIRST 4 bytes of the 8-byte big-endian key
+  * (`hash32(key, 0, 4, 104729)` — i.e. the HIGH 32 bits of the id), which
+  * degenerates to a single constant hash — one partition for everything —
+  * whenever ids are < 2^32, as they are for every generator run that
+  * matters. [[partitionFor]] therefore hashes all 8 key bytes; the
+  * byte-exact reference behavior (4-byte hash, fmix length 4, negative
+  * codes mapped via `-code`, MIN_VALUE → 0) is kept as
+  * [[referencePartitionFor]] for fidelity tests and cross-checking.
   */
 object Murmur3Partitioner {
   val Seed = 104729
 
   def partitionFor(key: Long, numPartitions: Int): Int =
     Math.floorMod(murmur3_32(key, Seed), numPartitions)
+
+  /** Byte-exact port of the reference partitioner
+    * (GeneratorPipeline.java:198-251): murmur3-32 over only the first 4
+    * big-endian key bytes, `fmix(length=4)`, negatives mapped `-code`
+    * (MIN_VALUE → 0), then Java `%` (non-negative by then). Degenerate for
+    * ids < 2^32 — see object doc.
+    */
+  def referencePartitionFor(key: Long, numPartitions: Int): Int = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    // first 4 bytes of the big-endian 8-byte key, read as ONE
+    // little-endian 4-byte block = bits 63..32 of the id
+    var k1 = (((key >>> 56) & 0xff) | (((key >>> 48) & 0xff) << 8) |
+      (((key >>> 40) & 0xff) << 16) | (((key >>> 32) & 0xff) << 24)).toInt
+    k1 *= c1
+    k1 = Integer.rotateLeft(k1, 15)
+    k1 *= c2
+    var h1 = Seed ^ k1
+    h1 = Integer.rotateLeft(h1, 13) * 5 + 0xe6546b64
+    h1 ^= 4 // length
+    h1 ^= (h1 >>> 16)
+    h1 *= 0x85ebca6b
+    h1 ^= (h1 >>> 13)
+    h1 *= 0xc2b2ae35
+    h1 ^= (h1 >>> 16)
+    val code = if (h1 >= 0) h1 else if (h1 != Int.MinValue) -h1 else 0
+    code % numPartitions
+  }
 
   /** murmur3 32-bit over the big-endian 8-byte encoding of `key`. */
   def murmur3_32(key: Long, seed: Int): Int = {

@@ -55,7 +55,13 @@ object Relational extends QueryModule {
 
   /** TPC-H Q3 shape: top-10 customers by lineitem revenue.
     * customer is broadcast (small dim); orders⋈lineitem shuffles on
-    * orderkey once; top-k via row_number over a total order.
+    * orderkey once; top-k via `orderBy(...).limit(k)` — Spark plans this
+    * as TakeOrderedAndProject (per-partition k-row heap, then a k-row
+    * merge on one task), so no partition ever holds more than k rows. A
+    * global `Window.orderBy` row_number would instead move EVERY customer
+    * through a single partition (the `WindowExec: No Partition Defined`
+    * scale-killer). The rank column is then derived on the 10 surviving
+    * rows by a broadcast order-comparison count — still no global window.
     */
   def topCustomers(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
@@ -65,8 +71,18 @@ object Relational extends QueryModule {
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(centsSum("l_extendedprice * (1 - l_discount)").as("revenue"))
-    val w = Window.orderBy(col("revenue").desc_nulls_last, col("c_custkey").asc)
-    rev.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+    val top = rev
+      .orderBy(col("revenue").desc_nulls_last, col("c_custkey").asc)
+      .limit(10)
+    // rk = 1 + #rows strictly ahead in the (revenue desc, custkey asc)
+    // total order — exactly row_number, computed over the 10-row result.
+    val ahead = top.select(col("revenue").as("rev2"), col("c_custkey").as("key2"))
+    top.join(broadcast(ahead),
+        col("rev2") > col("revenue") ||
+          (col("rev2") === col("revenue") && col("key2") < col("c_custkey")),
+        "left")
+      .groupBy(col("c_custkey"), col("c_name"), col("revenue"))
+      .agg((count(col("key2")) + 1).cast("int").as("rk"))
   }
 
   def topCustomersSql: String =
@@ -195,10 +211,14 @@ object Relational extends QueryModule {
       |FROM orders GROUP BY o_orderpriority
       |""".stripMargin
 
-  /** JSON extraction from the events.props column (semi-structured path). */
+  /** JSON extraction from the events.props column (semi-structured path).
+    * Uses `from_json` with an explicit one-field schema: the parser fills a
+    * typed struct directly (and skips every other key), vs
+    * `get_json_object`'s per-call path evaluation over the raw string.
+    */
   def jsonProps(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    ev.select(get_json_object(col("props"), "$.k").cast("bigint").as("k"),
+    ev.select(from_json(col("props"), lit("k BIGINT")).getField("k").as("k"),
               col("value"))
       .withColumn("k_bucket", col("k") % 10)
       .groupBy(col("k_bucket"))
@@ -222,6 +242,10 @@ object Relational extends QueryModule {
     val monthly = o.groupBy(date_trunc("month", col("o_orderdate")).as("month"))
       .agg(expr("sum(cast(round(o_totalprice * 100) as bigint))").as("cents"),
            count(lit(1)).as("n_orders"))
+    // Deliberate global window: it runs AFTER the per-month aggregation, so
+    // the single WindowExec partition holds one row per month (~10²-10³
+    // rows at ANY fact-table scale) — bounded by the calendar, not the
+    // data. Do not imitate this on pre-aggregation rows.
     val w = Window.orderBy(col("month").asc)
     monthly
       .withColumn("prev_cents", lag(col("cents"), 1).over(w))

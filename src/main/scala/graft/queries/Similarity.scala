@@ -46,10 +46,11 @@ object Similarity extends QueryModule {
   /** Codegen'd native expression (graft.spark.CosineSim, injected by
     * GraftExtensions): one fused loop, no intermediate zipped array, stays
     * inside whole-stage codegen — vs the aggregate(zip_with(...)) HOF
-    * composition this replaced.
+    * composition this replaced. Built from the passed columns (not a
+    * hard-coded name lookup), so any call site works.
     */
-  private def cosine(qe: Column, ce: Column, qn: Column, cn: Column): Column =
-    expr("cosine_sim(qemb, cemb)")
+  private def cosine(qe: Column, ce: Column): Column =
+    call_function("cosine_sim", qe, ce)
 
   /** Brute-force cosine top-k per query vector, two-phase (salted) rank. */
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
@@ -59,7 +60,7 @@ object Similarity extends QueryModule {
     val c = e.select(col("vec_id"), col("emb").as("cemb"), col("nrm").as("cnrm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qemb"), col("cemb"), col("qnrm"), col("cnrm")))
+      .withColumn("cos", cosine(col("qemb"), col("cemb")))
       .select(col("query_id"), col("vec_id"), col("cos"))
     // Phase 1: per-salt partial top-k (bounds every sort at scale);
     // Phase 2: merge the <= k * Salts survivors per query.
@@ -90,31 +91,46 @@ object Similarity extends QueryModule {
   /** IVF-style ANN: assign every vector to its nearest of the deterministic
     * coarse centroids; for each query probe the NProbe nearest cells and
     * rank only vectors in those cells.
+    *
+    * Cell assignment is an argmax, so it runs as a `max_by` hash aggregate
+    * with map-side partial aggregation — NOT a `row_number` sort-window,
+    * which would shuffle+sort the full N×K vector×centroid similarity
+    * table. The probe set (top-NProbe cells per *query*) only touches the
+    * 1/QueryMod query subset, so the similarity map is recomputed for that
+    * branch instead of persisted: both branches are shuffle-free map work
+    * against broadcast centroids, and recomputing N×K/QueryMod rows is far
+    * cheaper than caching N×K rows across the whole job.
     */
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
     val cent = e.filter(col("vec_id") % CentroidMod === 0)
-      .select(col("vec_id").as("cid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
     val all = e.select(col("vec_id"), col("emb").as("cemb"), col("nrm").as("cnrm"))
-    val sims = all.crossJoin(broadcast(cent))
-      .withColumn("cos", cosine(col("qemb"), col("cemb"), col("qnrm"), col("cnrm")))
+    def simsOf(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), col("emb"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cos", cosine(col("emb"), col("cemb")))
       .select(col("vec_id"), col("cid"), col("cos"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc_nulls_last, col("cid").asc)
-    // persist: both the cell-assignment and the query-probe branches read
-    // this table — without it the vector×centroid cross join runs twice
-    val ranked = sims.withColumn("crk", row_number().over(wAssign)).persist()
-    val assign = ranked.filter(col("crk") === 1).select(col("vec_id"), col("cid"))
-    val probes = ranked.filter(col("crk") <= NProbe && col("vec_id") % QueryMod === 0)
-      .select(col("vec_id").as("query_id"), col("cid"))
+    // argmax cell per vector: max over (cos, -cid) = highest cos, ties to
+    // the lowest cid — same total order as the oracle's row_number.
+    val assign = simsOf(e).groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cos"), negate(col("cid")))).as("cid"))
+    // top-NProbe cells per query: K entries per group, sorted in the agg
+    // output (ascending (-cos, cid) = cos desc, cid asc), sliced to NProbe.
+    val probes = simsOf(e.filter(col("vec_id") % QueryMod === 0))
+      .groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(struct(negate(col("cos")).as("ncos"), col("cid")))),
+                 1, NProbe).as("top"))
+      .select(col("vec_id").as("query_id"), explode(col("top.cid")).as("cid"))
     val candIds = probes.join(assign, "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
-    val q = e.select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
     val scored = candIds
       .join(all, "vec_id")
       .join(broadcast(q), "query_id")
-      .withColumn("cos", cosine(col("qemb"), col("cemb"), col("qnrm"), col("cnrm")))
+      .withColumn("cos", cosine(col("qemb"), col("cemb")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc_nulls_last, col("vec_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
@@ -149,37 +165,80 @@ object Similarity extends QueryModule {
        |FROM scored QUALIFY rk <= $TopK
        |""".stripMargin
 
-  /** Sign-LSH near-duplicate pairs: 8-bit signature from coordinate sign
-    * comparisons; pairs sharing a bucket are scored and kept if cosine is
-    * above threshold. (With real near-dup data the threshold would be
-    * ~0.95; the fixture's vectors are random, so 0.15 keeps output
-    * non-trivial while exercising the identical topology.)
+  /** Sign-LSH near-duplicate pairs, multi-band: LshBands independent
+    * signatures of LshBitsPerBand sign-comparison bits each; every vector
+    * lands in one bucket *per band*, pairs sharing ANY band bucket become
+    * candidates (deduped), and only candidates are cosine-scored.
+    *
+    * Scale math: with B bits per band, a band splits N vectors into ~2^B
+    * buckets, so the in-bucket self-join is O(bands * N²/2^B). The fixture
+    * uses 12 bits (4096 buckets — average occupancy <1 at sf0.1's 2k
+    * vectors, so the candidate set is non-trivial but bounded); at 1 B
+    * vectors set LshBitsPerBand ≈ 28-32 so per-band buckets hold ~1-4
+    * vectors (1 B / 2^30 ≈ 1) and the join stays linear — recall is kept
+    * by the band count, not bucket width, exactly like the text MinHash
+    * banding ([[TextPipeline.minhashPairs]]). The single-8-bit-signature
+    * variant this replaces had 256 buckets total: O(N²/256) at any scale.
+    *
+    * Bit (b, j) compares coordinates (i1, i2) with i1 = b*bits+j and
+    * i2 = (37*i1 + 11) mod 64 — a fixed mixing that never degenerates to
+    * i1 = i2 (37*i1 + 11 ≢ i1 mod 64: 36*i1 is even, +11 makes it odd).
+    * (With real near-dup data the cosine threshold would be ~0.95; the
+    * fixture's vectors are random, so 0.15 keeps output non-trivial while
+    * exercising the identical topology.)
     */
+  private val LshBands = 4
+  private val LshBitsPerBand = 12
+  private def lshCoordPairs: Seq[(Int, Seq[(Int, Int, Int)])] =
+    (0 until LshBands).map { b =>
+      b -> (0 until LshBitsPerBand).map { j =>
+        val i1 = b * LshBitsPerBand + j
+        (1 << j, i1, (37 * i1 + 11) % 64)
+      }
+    }
+
   def lshDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val bits = (0 until 8).map(j =>
-      expr(s"CASE WHEN element_at(emb, ${j + 1}) > element_at(emb, ${j + 9}) THEN ${1 << j} ELSE 0 END"))
-      .reduce(_ + _)
-    val e = vecs(spark, dir).withColumn("bucket", bits)
-    val a = e.select(col("bucket"), col("vec_id").as("vec_a"), col("emb").as("qemb"), col("nrm").as("qnrm"))
-    val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("emb").as("cemb"), col("nrm").as("cnrm"))
-    a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosine(col("qemb"), col("cemb"), col("qnrm"), col("cnrm")))
+    val bandKeys = lshCoordPairs.map { case (_, bits) =>
+      bits.map { case (w, i1, i2) =>
+        expr(s"CASE WHEN element_at(emb, ${i1 + 1}) > element_at(emb, ${i2 + 1}) THEN $w ELSE 0 END")
+      }.reduce(_ + _)
+    }
+    val e = vecs(spark, dir)
+    val bands = e.select(col("vec_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    val x = bands.as("x"); val y = bands.as("y")
+    val cands = x.join(y,
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val ea = e.select(col("vec_id").as("vec_a"), col("emb").as("qemb"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("emb").as("cemb"))
+    cands.join(ea, "vec_a").join(eb, "vec_b")
+      .withColumn("cos", cosine(col("qemb"), col("cemb")))
       .filter(col("cos") >= 0.15)
-      .select(col("bucket"), col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos6"))
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos6"))
   }
 
   def lshDupPairsSql: String = {
-    val bits = (0 until 8).map(j =>
-      s"CASE WHEN emb[${j + 1}] > emb[${j + 9}] THEN ${1 << j} ELSE 0 END").mkString(" + ")
+    val bandSelects = lshCoordPairs.map { case (b, bits) =>
+      val sum = bits.map { case (w, i1, i2) =>
+        s"CASE WHEN emb[${i1 + 1}] > emb[${i2 + 1}] THEN $w ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, $sum AS bkey FROM e"
+    }.mkString("\n  UNION ALL\n  ")
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
        |  WHERE sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) > 0
-       |), bkt AS (
-       |  SELECT vec_id, emb, $bits AS bucket FROM e
+       |), bands AS (
+       |  $bandSelects
+       |), cands AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
        |)
-       |SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |       ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos6
-       |FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |SELECT vec_a, vec_b, ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos6
+       |FROM cands JOIN e a ON vec_a = a.vec_id JOIN e b ON vec_b = b.vec_id
        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.15
        |""".stripMargin
   }

@@ -214,17 +214,20 @@ object TextPipeline extends QueryModule {
     // Materialize shingle sets and signatures once: the band self-join and
     // the pair-verification join would otherwise recompute the (expensive,
     // SortAggregate-fallback min(string)) subtree four times. At scale this
-    // is the standard topology anyway: signature table is computed in one
-    // pass and persisted, then bucket-joined.
+    // is the standard topology anyway: the signature table is computed in
+    // one pass, then bucket-joined. Eager localCheckpoint (not persist):
+    // the blocks are freed by the ContextCleaner as soon as the returned
+    // DataFrame is unreferenced — a bare .persist() here leaked blocks
+    // across the 38-query driver loop with no caller able to release them.
     val d = docsNorm(spark, dir)
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), expr(shinglesExpr).as("shingles"))
-      .persist()
+      .localCheckpoint(true)
     val sh = d.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val sigCols = (0 until NumHashes).map(i =>
       min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
     val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-      .persist()
+      .localCheckpoint(true)
     val bandKeys = (0 until NumBands).map { b =>
       val parts = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
       md5(concat(parts: _*))
@@ -285,13 +288,21 @@ object TextPipeline extends QueryModule {
     * cluster ids through the bucket table).
     */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // The shingle table is materialized (eager localCheckpoint, released on
+    // GC — see minhashPairs) BEFORE the signature aggregation: computing
+    // the 12 min(md5) aggregates directly over the fused
+    // normalize→shingle→explode plan measured >10× slower than over the
+    // materialized arrays (round-2's 2.6 s bench number for this query was
+    // an artifact of silently reusing minhashPairs' cached plan subtree —
+    // the clean-cache cost was ~34 s).
     val d = docsNorm(spark, dir)
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), expr(shinglesExpr).as("shingles"))
+      .localCheckpoint(true)
     val sh = d.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val sigCols = (0 until NumHashes).map(i =>
       min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
-    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*).persist()
+    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val bandKeys = (0 until NumBands).map { b =>
       val parts = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
       md5(concat(parts: _*))
@@ -438,10 +449,18 @@ object TextPipeline extends QueryModule {
   /** Character 5-gram Jaccard over a deterministic pair set (adjacent
     * doc_ids) — exercises the n-gram similarity kernel with guaranteed
     * non-empty output.
+    *
+    * The char array is materialized once per document and grams are built
+    * from O(1) array slices: `substring(nc, i, 5)` positional access is
+    * O(i) on UTF8String, which makes the naive per-position formulation
+    * O(len²) per document — the same pathology fixed for the winnowing
+    * rolling hash (see [[winnowFingerprint]]).
     */
   def charNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val grams = "array_distinct(transform(sequence(1, length(nc) - 4), i -> substring(nc, i, 5)))"
+    val grams =
+      "array_distinct(transform(sequence(1, size(cs) - 4), i -> concat_ws('', slice(cs, i, 5))))"
     val d = docsNorm(spark, dir).filter(length(col("nc")) >= 5)
+      .withColumn("cs", split(col("nc"), ""))
       .select(col("doc_id"), expr(grams).as("g"))
     val a = d.select(col("doc_id").as("doc_a"), col("g").as("ga"))
     val b = d.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"), col("g").as("gb"))

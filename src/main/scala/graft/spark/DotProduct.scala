@@ -12,6 +12,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * one fused codegen loop instead of the zip_with+aggregate higher-order
   * composition (which allocates an intermediate array and evaluates three
   * lambdas per row).
+  *
+  * Null semantics deliberately mirror that HOF idiom EXACTLY, because this
+  * expression is the target of [[RewriteDotProduct]] and the rewrite must
+  * be semantics-preserving for every input:
+  *   - `zip_with` null-pads the shorter array, the pad multiplies to a
+  *     null element, and `aggregate`'s `acc + v` absorbs it → ragged
+  *     lengths yield NULL (not a min-length sum, not an error);
+  *   - any null element within the common length likewise yields NULL.
+  * (Contrast [[CosineSim]], our user-facing API function, which is
+  * length-strict and errors loudly — it is not a rewrite target.)
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -23,14 +33,21 @@ case class DotProduct(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  // can return null even for non-null inputs (ragged / null elements)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     dot
   }
 
@@ -40,12 +57,17 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $x.getDouble($i) * $y.getDouble($i);
+         |final int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $dot += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 
@@ -71,7 +93,9 @@ object DotProduct {
   *
   * The match is deliberately narrow: exact multiply/add lambda shapes over
   * the lambda variables, double zero, identity finish — anything else is
-  * left untouched.
+  * left untouched. The rewrite is semantics-preserving for EVERY input
+  * (ragged lengths, null elements, null arrays) because [[DotProduct]]
+  * reproduces the idiom's null semantics exactly — see its scaladoc.
   */
 object RewriteDotProduct extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =

@@ -36,6 +36,21 @@ class DotProductSpec extends SparkSpec {
     assert(df2.collect()(0).getDouble(0) == 15.0)
   }
 
+  test("dot_product reproduces HOF null semantics: ragged and null-element inputs yield NULL") {
+    // zip_with null-pads the shorter array → null product → null sum; the
+    // rewrite must preserve that, so dot_product itself returns NULL
+    val r = spark.sql(
+      """SELECT dot_product(array(1D, 2D, 3D), array(4D, 5D)) AS ragged_nd,
+        |       aggregate(zip_with(array(1D, 2D, 3D), array(4D, 5D),
+        |                 (x, y) -> x * y), 0D, (acc, v) -> acc + v) AS ragged_hd,
+        |       dot_product(array(1D, CAST(NULL AS DOUBLE)), array(4D, 5D)) AS nullel_nd,
+        |       aggregate(zip_with(array(1D, CAST(NULL AS DOUBLE)), array(4D, 5D),
+        |                 (x, y) -> x * y), 0D, (acc, v) -> acc + v) AS nullel_hd
+        |""".stripMargin).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1), "ragged: both must be NULL")
+    assert(r.isNullAt(2) && r.isNullAt(3), "null element: both must be NULL")
+  }
+
   test("dot_product SQL function matches the HOF computation") {
     val r = spark.sql(
       """SELECT dot_product(array(1D, 2D, 3D), array(4D, 5D, 6D)) AS d,
