@@ -12,6 +12,11 @@ import graft.nexmark.sink.LatencySink
   * Usage: runMain graft.nexmark.NexmarkMain --q5 [seconds] [rowsPerBatch]
   * Flags: --q5 --q5s --q8 --q8s --q11 --qx --q7 --sessions --q5b --debug
   * (s-suffixed = stateful exact-timer port; plain = declarative flavor).
+  * File-backed batch flavors (no broker in this environment): --q8fc
+  * --q5fc --q11fc --cm, and --q0 — the generator pipeline
+  * (GeneratorPipeline.java:31-208) as a two-phase flow: events → tagged
+  * frames + murmur3 partition files (the topic analog), then read back and
+  * consumed by the Q5b topology.
   * Each run executes for a bounded wall-clock window then stops — the
   * Spark analog of the reference's bounded `recordsToGenerate` sources.
   */
@@ -45,8 +50,10 @@ object NexmarkMain {
     // file-backed batch flavors (--q8fc / --q5fc mmap-file analog, --cm):
     // write generator frames / trace lines to files, read them back through
     // the real file sources, run the query, print one JSON line, exit.
-    if (flag == "--q8fc" || flag == "--q5fc" || flag == "--cm") {
-      import graft.nexmark.codec.BinaryCodec
+    if (flag == "--q8fc" || flag == "--q5fc" || flag == "--q11fc" ||
+        flag == "--q0" || flag == "--cm") {
+      import graft.nexmark.codec.{BinaryCodec, TaggedCodec}
+      import graft.nexmark.sink.{Murmur3Partitioner, Q8CsvSink}
       val dir = java.nio.file.Files.createTempDirectory("nexmarkfc")
       val t0 = System.nanoTime()
       val n = flag match {
@@ -67,6 +74,49 @@ object NexmarkMain {
             spark.read.format("binaryFile").load(s"$dir/auctions_*.bin")
               .select("content").as[Array[Byte]].flatMap(NexmarkSources.sliceFrames), now)
           NexmarkQueries.q8NewUsers(p, a, "10 seconds").count()
+        case "--q11fc" => // NexmarkQuery11File.java:60-457 semantics over files
+          // persons + bids binary files through the real frame codecs, then
+          // both Q11 flavors: the declarative activity join and the
+          // JoinUDF stateful port feeding the 3-series Query8 latency sink.
+          val persons = NexmarkGen.persons(cfg, rowsPerBatch / 8).toSeq.map(p =>
+            BinaryCodec.RawPerson(p.personId, p.name.split(" ")(0), p.name.split(" ")(1),
+              "mail.test", p.city, p.country, 0L, 0L, 1, 2, 3, 0, p.timestamp))
+          val pFrames = BinaryCodec.frameAll(persons, BinaryCodec.personsPerFrame)(BinaryCodec.encodePersons)
+          java.nio.file.Files.write(dir.resolve("persons_0.bin"), pFrames.flatten.toArray)
+          val bids = NexmarkGen.bids(cfg, rowsPerBatch).toSeq
+          val bFrames = BinaryCodec.frameAll(bids, BinaryCodec.bidsPerFrame)(BinaryCodec.encodeBids)
+          java.nio.file.Files.write(dir.resolve("bids_0.bin"), bFrames.flatten.toArray)
+          val now = System.currentTimeMillis()
+          val p = NexmarkSources.personsFromFrames(
+            spark.read.format("binaryFile").load(s"$dir/persons_*.bin")
+              .select("content").as[Array[Byte]].flatMap(NexmarkSources.sliceFrames), now)
+          val b = NexmarkSources.bidsFromFrames(
+            spark.read.format("binaryFile").load(s"$dir/bids_*.bin")
+              .select("content").as[Array[Byte]].flatMap(NexmarkSources.sliceFrames), now)
+          val declarative = NexmarkQueries.q11BidderActivity(p, b, "5 seconds").count()
+          val sink = new Q8CsvSink(csv)
+          sink.recordBatch(NexmarkStateful.q11Stateful(p, b, sampleEvery = 1000L).toDF, 0L)
+          sink.close()
+          declarative
+        case "--q0" => // GeneratorPipeline.java:31-208, broker-less analog:
+          // phase 1 (producer): 1:4:4 interleaved events → tagged
+          // length-prefixed records, routed to one file per "topic
+          // partition" by the murmur3 partitioner; phase 2 (consumer): read
+          // the partition files back, decode, run the Q5b topology — the
+          // reference's only multi-job flow (NexmarkSuite.java:256-282).
+          val numPartitions = 4
+          val events = (0 until rowsPerBatch).map(i => NexmarkGen.event(cfg, i.toLong))
+          events.groupBy(e => Murmur3Partitioner.partitionFor(e.key, numPartitions))
+            .foreach { case (part, es) =>
+              val bos = new java.io.ByteArrayOutputStream()
+              es.foreach(e => bos.write(TaggedCodec.encodeFramed(e)))
+              java.nio.file.Files.write(dir.resolve(s"events_p$part.bin"), bos.toByteArray)
+            }
+          val ev = spark.read.format("binaryFile").load(s"$dir/events_p*.bin")
+            .select("content").as[Array[Byte]]
+            .flatMap(c => TaggedCodec.sliceFramed(c).map(TaggedCodec.decode))
+          NexmarkQueries.q5HotAuctions(
+            NexmarkQueries.bidsFromEvents(ev), "10 seconds").count()
         case "--q5fc" => // NexmarkQuery5File.java:70 semantics over files
           val bids = NexmarkGen.bids(cfg, rowsPerBatch).toSeq
           val frames = BinaryCodec.frameAll(bids, BinaryCodec.bidsPerFrame)(BinaryCodec.encodeBids)
@@ -82,7 +132,7 @@ object NexmarkMain {
           java.nio.file.Files.write(dir.resolve("trace.txt"), lines.mkString("\n").getBytes)
           NexmarkQueries.cmWindowedSum(NexmarkSources.cmRecords(spark, s"$dir/trace.txt")).count()
       }
-      println(s"""{"flag":"$flag","rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}}""")
+      println(s"""{"flag":"$flag","rows":$n,"sec":${(System.nanoTime() - t0) / 1e9},"latencyCsv":"$csv"}""")
       spark.stop()
       return
     }
@@ -141,18 +191,26 @@ object NexmarkMain {
       case other => sys.error(s"unknown flag $other")
     }
 
+    var closeSink: () => Unit = () => ()
     val writer = flag match {
-      case "--q5" | "--q5b" =>
+      case "--q5" =>
         LatencySink.writeLatencyCsv(result, csv, "lastTimestamp",
           "lastIngestionTimestamp", ckpt(flag))
-      case "--q5s" | "--q5bs" =>
-        LatencySink.writeLatencyCsv(result, csv, "lastTimestamp",
-          "lastIngestionTimestamp", ckpt(flag), LatencySink.Q5bThresholdMs)
-      case "--q8" | "--q11" | "--q8s" | "--q8sliding" | "--q8session" =>
+      case "--q5b" | "--q5bs" | "--q5s" =>
+        // reference Q5b sink contract: cumulative stats, one row per >=5 s,
+        // 8 MiB flush (NexmarkQuery5b.java:219-365)
+        val (w, sink) = LatencySink.writeQ5bLatencyCsv(result, csv, ckpt(flag),
+          "lastTimestamp", "lastIngestionTimestamp")
+        closeSink = sink.close
+        w
+      case "--q8s" => // Query8Output schema: 3-series sign-discriminating
+        // sink (NexmarkQuery8.java:245-414)
+        val (w, sink) = LatencySink.writeQ8LatencyCsv(result, csv, ckpt(flag))
+        closeSink = sink.close
+        w
+      case "--q8" | "--q11" | "--q8sliding" | "--q8session" =>
         val (c, i) = flag match {
           case "--q11" => ("lastBidTimestamp", "lastBidTimestamp")
-          case "--q8s" => // Query8Output schema (stateful port)
-            ("personCreationTimestamp", "personIngestionTimestamp")
           case _ => ("personCreation", "personIngestion")
         }
         LatencySink.writeLatencyCsv(result, csv, c, i, ckpt(flag))
@@ -164,6 +222,7 @@ object NexmarkMain {
     val query = writer.trigger(Trigger.ProcessingTime("1 second")).start()
     query.awaitTermination(runSeconds * 1000L)
     query.stop()
+    closeSink()
     println(s"""{"flag":"$flag","runSeconds":$runSeconds,"batches":${query.recentProgress.length},""" +
       s""""rowsPerSecond":${query.recentProgress.map(_.processedRowsPerSecond).lastOption.getOrElse(0.0)},""" +
       s""""latencyCsv":"$csv"}""")

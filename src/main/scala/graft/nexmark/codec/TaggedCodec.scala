@@ -48,6 +48,31 @@ object TaggedCodec {
     bos.toByteArray
   }
 
+  /** Length-prefixed record for file-backed topic partitions (the --q0
+    * generator pipeline's broker-less analog): 4-byte big-endian length +
+    * the tagged value bytes. Kafka stores per-message framing in its log;
+    * a flat file needs the explicit prefix to re-split.
+    */
+  def encodeFramed(e: Event): Array[Byte] = {
+    val payload = encode(e)
+    java.nio.ByteBuffer.allocate(4 + payload.length)
+      .putInt(payload.length).put(payload).array()
+  }
+
+  /** Split a partition file written as concatenated [[encodeFramed]]
+    * records back into value byte arrays. */
+  def sliceFramed(content: Array[Byte]): Iterator[Array[Byte]] =
+    new Iterator[Array[Byte]] {
+      private val buf = java.nio.ByteBuffer.wrap(content)
+      def hasNext: Boolean = buf.remaining() >= 4
+      def next(): Array[Byte] = {
+        val len = buf.getInt()
+        val out = new Array[Byte](len)
+        buf.get(out)
+        out
+      }
+    }
+
   /** Serializer.java:203-258 switch, field order verbatim. */
   def decode(value: Array[Byte]): Event = {
     val in = new DataInputStream(new ByteArrayInputStream(value))

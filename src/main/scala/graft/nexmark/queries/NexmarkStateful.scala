@@ -173,15 +173,36 @@ object NexmarkStateful {
   case class AB(auctionId: Long, isAuction: Boolean, end: Long,
                 bidder: Long, price: Double, ts: Long)
   case class QXState(end: Long, hasAuction: Boolean,
-                     bestPrice: Double, bestBidder: Long, bestTs: Long, hasBid: Boolean)
+                     bestPrice: Double, bestBidder: Long, bestTs: Long, hasBid: Boolean,
+                     backupDeadlineMs: Long = Long.MaxValue)
+
+  /** The reference's processing-time failsafe window: Time.hours(4)
+    * (NexmarkQueryX.java:629). */
+  val QXBackupTimeoutMs: Long = 4L * 3600 * 1000
 
   /** NexmarkQueryX.java:613-763 / WinningBidsMapper :447-511: track the
     * in-flight auction and the best bid per auctionId; an event-time timer
     * at `auction.end` emits the winner and clears state. Bids may arrive
     * before their auction (staging map in the reference) — the running-max
     * replaces the 32-bid staging buckets (only the winner is ever emitted).
+    *
+    * Backup processing-time timer (NexmarkQueryX.java:640-647): when the
+    * auction arrives, the reference ALSO registers a processing-time timer
+    * at now + 4 h, so an auction whose watermark stalls forever still
+    * resolves (onTimer :691 emits and clears for either timer kind).
+    * Spark's flatMapGroupsWithState allows one timeout conf per query, so
+    * the port keeps EventTimeTimeout as the primary and stores the
+    * wall-clock deadline in state: every invocation for the key first
+    * checks the deadline and resolves the auction if it has passed.
+    * Divergence (documented): a key receiving NO further elements under a
+    * stalled watermark is never re-invoked, so the deadline is enforced at
+    * the key's next wake-up rather than spontaneously — with the
+    * generator's continuous per-key traffic the practical difference is
+    * one batch interval. `now` is injectable for deterministic specs.
     */
-  def qxStateful(bids: Dataset[Bid], auctions: Dataset[Auction]): Dataset[WinningBid] = {
+  def qxStateful(bids: Dataset[Bid], auctions: Dataset[Auction],
+                 backupTimeoutMs: Long = QXBackupTimeoutMs,
+                 now: () => Long = () => System.currentTimeMillis()): Dataset[WinningBid] = {
     import bids.sparkSession.implicits._
     val b = bids.map(x => AB(x.auctionId, isAuction = false, -1L, x.personId, x.bid, x.timestamp))
     val a = auctions.map(x => AB(x.auctionId, isAuction = true, x.end, -1L, -1.0, x.timestamp))
@@ -194,18 +215,25 @@ object NexmarkStateful {
       .flatMapGroupsWithState[QXState, WinningBid](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (auctionId, rows, state: GroupState[QXState]) =>
-          if (state.hasTimedOut) {
-            val st = state.get
+          def emitAndClear(st: QXState): Iterator[WinningBid] = {
             state.remove()
             if (st.hasAuction && st.hasBid)
               Iterator.single(WinningBid(auctionId, st.bestBidder, st.bestPrice, st.bestTs))
             else Iterator.empty
+          }
+          if (state.hasTimedOut) {
+            emitAndClear(state.get)
           } else {
             var st = state.getOption.getOrElse(
               QXState(-1L, hasAuction = false, -1.0, -1L, -1L, hasBid = false))
             rows.foreach { e =>
-              if (e.isAuction) st = st.copy(end = e.end, hasAuction = true)
-              else {
+              if (e.isAuction) {
+                // register the wall-clock failsafe once, on auction arrival
+                // (reference :641-646 guards on inFlightAuction == null)
+                val deadline =
+                  if (st.hasAuction) st.backupDeadlineMs else now() + backupTimeoutMs
+                st = st.copy(end = e.end, hasAuction = true, backupDeadlineMs = deadline)
+              } else {
                 // deterministic winner: price, then timestamp, then lower bidder
                 val better = !st.hasBid || e.price > st.bestPrice ||
                   (e.price == st.bestPrice && (e.ts > st.bestTs ||
@@ -215,11 +243,17 @@ object NexmarkStateful {
                                bestTs = e.ts, hasBid = true)
               }
             }
-            state.update(st)
-            if (st.hasAuction)
-              state.setTimeoutTimestamp(
-                math.max(st.end, state.getCurrentWatermarkMs() + 1))
-            Iterator.empty
+            if (st.hasAuction && now() >= st.backupDeadlineMs) {
+              // processing-time failsafe fired: resolve despite the stalled
+              // watermark (reference onTimer handles both timer kinds)
+              emitAndClear(st)
+            } else {
+              state.update(st)
+              if (st.hasAuction)
+                state.setTimeoutTimestamp(
+                  math.max(st.end, state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            }
           }
       }
   }

@@ -99,6 +99,223 @@ object LatencySink {
         recordBatch(batch.toDF(), batchId, csvPath, creationCol, ingestionCol,
                     thresholdMs = thresholdMs)
       }
+
+  /** Attach the Q8 3-series sink to a streaming query result; returns the
+    * sink so the caller can `close()` it after the query stops (reference
+    * close() = final CSV row + flush, NexmarkQuery8.java:313-320).
+    */
+  def writeQ8LatencyCsv(df: DataFrame, csvPath: String, checkpoint: String)
+      : (org.apache.spark.sql.streaming.DataStreamWriter[Row], Q8CsvSink) = {
+    val sink = new Q8CsvSink(csvPath)
+    val w = df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink.recordBatch(batch.toDF(), batchId)
+      }
+    (w, sink)
+  }
+
+  /** Attach the Q5b throttled cumulative sink; returns the sink for
+    * `close()` after the query stops. */
+  def writeQ5bLatencyCsv(df: DataFrame, csvPath: String, checkpoint: String,
+                         creationCol: String, ingestionCol: String)
+      : (org.apache.spark.sql.streaming.DataStreamWriter[Row], Q5bCsvSink) = {
+    val sink = new Q5bCsvSink(csvPath, creationCol, ingestionCol)
+    val w = df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink.recordBatch(batch.toDF(), batchId)
+      }
+    (w, sink)
+  }
+}
+
+/** Buffered CSV appender reproducing the reference sinks' flush contract
+  * (NexmarkQuery8.java:364-374, NexmarkQuery5b.java:334-341): rows buffer
+  * in a BufferedWriter and `flush()` runs only once the written-character
+  * estimate (`length * 2` bytes, the reference's accounting) tops
+  * `flushBytes` (8 MiB default). `close()` flushes unconditionally. A
+  * non-positive `flushBytes` flushes every append (for golden tests that
+  * read the file mid-run).
+  */
+final class CsvAppender(path: String, header: String,
+                        flushBytes: Long = CsvAppender.DefaultFlushBytes) {
+  private var writer: java.io.BufferedWriter = _
+  private var writtenSoFar: Long = 0
+
+  private def ensure(): Unit = if (writer == null) {
+    val f = new File(path)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    val fresh = !f.exists()
+    writer = new java.io.BufferedWriter(new FileWriter(f, true))
+    if (fresh) {
+      writer.write(header); writer.newLine()
+      writtenSoFar += (header.length + 1) * 2
+    }
+  }
+
+  def append(rows: Seq[String]): Unit = synchronized {
+    if (rows.nonEmpty) {
+      ensure()
+      rows.foreach { r =>
+        writer.write(r); writer.newLine()
+        writtenSoFar += (r.length + 1) * 2
+      }
+      if (flushBytes <= 0 || writtenSoFar >= flushBytes) {
+        writer.flush(); writtenSoFar = 0
+      }
+    }
+  }
+
+  def close(): Unit = synchronized {
+    if (writer != null) { writer.flush(); writer.close(); writer = null }
+  }
+}
+
+object CsvAppender { val DefaultFlushBytes: Long = 8L * 1024 * 1024 }
+
+/** Q8 3-series cumulative latency sink (NexmarkQuery8.java:245-414).
+  *
+  * Contract reproduced from the reference sink:
+  *   - SummaryStatistics accumulate over the WHOLE run, not per batch —
+  *     every CSV row is the running stats;
+  *   - records with `personId > 0` feed the person-creation series
+  *     (latency `< threshold`, :384-388); records with `personId <= 0` are
+  *     the sign-marked probes, feeding the auction-creation series AND the
+  *     flight-time series (latency `<= threshold`, :389-394);
+  *   - a CSV row is written when probes arrive (the reference writes one
+  *     per probe record; here one per micro-batch containing probes — the
+  *     declarative-batch analog), in the reference's exact column layout
+  *     (:299-363): subtask,ts,3×count,3×mean,3×min,3×max;
+  *   - 8 MiB flush policy via [[CsvAppender]]; `close()` appends a final
+  *     row then flushes (:313-320). Empty series print NaN, matching
+  *     SummaryStatistics on n = 0.
+  *
+  * `now` is injectable for deterministic golden tests.
+  */
+final class Q8CsvSink(csvPath: String,
+                      thresholdMs: Long = LatencySink.DefaultThresholdMs,
+                      now: () => Long = () => System.currentTimeMillis(),
+                      subtask: Int = 0,
+                      flushBytes: Long = CsvAppender.DefaultFlushBytes) {
+  import LatencySink.Stats
+
+  val Header: String =
+    "subtask,ts,personCount,auctionCount,flightTimeCount,personMean,auctionMean," +
+      "flightTimeMean,personMin,auctionMin,flightTimeMin,personMax,auctionMax,flightTimeMax"
+
+  private val person = new Stats
+  private val auction = new Stats
+  private val flight = new Stats
+  private val appender = new CsvAppender(csvPath, Header, flushBytes)
+
+  /** count/sum/sumSq/min/max of `v` over rows matching `cond`. */
+  private def condStats(cond: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+    Seq(count(when(cond, 1)), sum(when(cond, v)), sum(when(cond, v * v)),
+        min(when(cond, v)), max(when(cond, v)))
+
+  private def merge(st: Stats, r: Row, off: Int): Long = {
+    val n = r.getLong(off)
+    if (n > 0) st.add(n, r.getDouble(off + 1), r.getDouble(off + 2),
+                      r.getDouble(off + 3), r.getDouble(off + 4))
+    n
+  }
+
+  def recordBatch(batch: DataFrame, batchId: Long): Unit = {
+    val nowMs = now()
+    val lat = batch.select(
+      col("personId"),
+      (lit(nowMs) - col("personCreationTimestamp")).cast("double").as("pLat"),
+      (lit(nowMs) - col("auctionCreationTimestamp")).cast("double").as("aLat"),
+      (lit(nowMs) - col("auctionIngestionTimestamp")).cast("double").as("fLat"))
+    val isPerson = col("personId") > 0
+    // person: strict < threshold (:386); auction/flight: <= (:390-393)
+    val probeOk = !isPerson && col("aLat") <= thresholdMs
+    val aggCols = condStats(isPerson && col("pLat") < thresholdMs, col("pLat")) ++
+      condStats(probeOk, col("aLat")) ++ condStats(probeOk, col("fLat"))
+    val r = lat.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    merge(person, r, 0)
+    val probes = merge(auction, r, 5)
+    merge(flight, r, 10)
+    // the reference's updateCSV runs on probe arrival only (:394)
+    if (probes > 0) appender.append(Seq(csvRow(nowMs)))
+  }
+
+  private def fmt(s: Stats, f: Stats => Double): String =
+    if (s.count == 0) "NaN" else f(s).toString
+  private def csvRow(ts: Long): String = {
+    val series = Seq(person, auction, flight)
+    (Seq(subtask.toString, ts.toString) ++
+      series.map(_.count.toString) ++ series.map(fmt(_, _.mean)) ++
+      series.map(fmt(_, _.min)) ++ series.map(fmt(_, _.max))).mkString(",")
+  }
+
+  /** Reference close(): one final updateCSV row, then flush+close. */
+  def close(): Unit = { appender.append(Seq(csvRow(now()))); appender.close() }
+}
+
+/** Q5b throttled cumulative latency sink (NexmarkQuery5b.java:219-365):
+  * bid-latency and flight-time SummaryStatistics accumulate over the run
+  * on EVERY record under the 30-min threshold (:348-354), but a CSV row
+  * (layout :298-341: subtask,ts,2×count,2×mean,2×min,2×max) is appended
+  * only when >`minRowIntervalMs` of wall clock passed since the previous
+  * row (:357-360) — the sink keeps measuring while writing at most one
+  * row per interval. 8 MiB flush; `close()` = final row + flush.
+  */
+final class Q5bCsvSink(csvPath: String,
+                       creationCol: String, ingestionCol: String,
+                       thresholdMs: Long = LatencySink.Q5bThresholdMs,
+                       minRowIntervalMs: Long = 5000L,
+                       now: () => Long = () => System.currentTimeMillis(),
+                       subtask: Int = 0,
+                       flushBytes: Long = CsvAppender.DefaultFlushBytes) {
+  import LatencySink.Stats
+
+  val Header: String =
+    "subtask,ts,bidCount,flightTimeCount,bidMean,flightTimeMean," +
+      "bidMin,flightTimeMin,bidMax,flightTimeMax"
+
+  private val bid = new Stats
+  private val flightT = new Stats
+  private val appender = new CsvAppender(csvPath, Header, flushBytes)
+  private var prevRowMs = 0L // NexmarkQuery5b.java:357 `prevValue`
+
+  def recordBatch(batch: DataFrame, batchId: Long): Unit = {
+    val nowMs = now()
+    val ok = (lit(nowMs) - col(creationCol)).cast("double") <= thresholdMs
+    val r = batch.agg(
+      count(when(ok, 1)),
+      sum(when(ok, (lit(nowMs) - col(creationCol)).cast("double"))).as("bs"),
+      sum(when(ok, pow(lit(nowMs) - col(creationCol), 2))).as("bs2"),
+      min(when(ok, (lit(nowMs) - col(creationCol)).cast("double"))),
+      max(when(ok, (lit(nowMs) - col(creationCol)).cast("double"))),
+      sum(when(ok, (lit(nowMs) - col(ingestionCol)).cast("double"))),
+      sum(when(ok, pow(lit(nowMs) - col(ingestionCol), 2))),
+      min(when(ok, (lit(nowMs) - col(ingestionCol)).cast("double"))),
+      max(when(ok, (lit(nowMs) - col(ingestionCol)).cast("double")))).collect()(0)
+    val n = r.getLong(0)
+    if (n > 0) {
+      bid.add(n, r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      flightT.add(n, r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8))
+      if (nowMs - prevRowMs > minRowIntervalMs) { // :357-360
+        appender.append(Seq(csvRow(nowMs)))
+        prevRowMs = nowMs
+      }
+    }
+  }
+
+  private def fmt(s: Stats, f: Stats => Double): String =
+    if (s.count == 0) "NaN" else f(s).toString
+  private def csvRow(ts: Long): String = {
+    val series = Seq(bid, flightT)
+    (Seq(subtask.toString, ts.toString) ++
+      series.map(_.count.toString) ++ series.map(fmt(_, _.mean)) ++
+      series.map(fmt(_, _.min)) ++ series.map(fmt(_, _.max))).mkString(",")
+  }
+
+  def close(): Unit = { appender.append(Seq(csvRow(now()))); appender.close() }
 }
 
 /** K4: the generator's Kafka partitioner — MurmurHash3-32 (seed 104729),

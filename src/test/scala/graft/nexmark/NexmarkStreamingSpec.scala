@@ -183,6 +183,40 @@ class NexmarkStreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("QX backup processing-time timer resolves an auction whose watermark stalls") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 1704067200000L
+    // event-time end so far out the watermark never reaches it: only the
+    // wall-clock failsafe (reference +4 h proc-time timer) can resolve
+    val farEnd = base + 100L * 24 * 3600 * 1000
+    val auction = Auction(timestamp = base, auctionId = 7L, personId = 1L,
+      itemId = 1L, initialPrice = 10.0, start = base, end = farEnd,
+      categoryId = 1L, name = "a", descr = "d", ingestionTimestamp = base)
+    val winning = Bid(base, base + 1000L, 7L, 42L, -1L, 500.0)
+    val losing = Bid(base, base + 2000L, 7L, 43L, -1L, 100.0)
+    var clock = base
+    val msB = MemoryStream[Bid]
+    val msA = MemoryStream[Auction]
+    val result = NexmarkStateful.qxStateful(msB.toDS(), msA.toDS(),
+      backupTimeoutMs = 60000L, now = () => clock).toDF
+    nameCounter += 1
+    val name = s"memsink$nameCounter"
+    val q = result.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      msA.addData(Seq(auction)); msB.addData(Seq(winning)); q.processAllAvailable()
+      assert(spark.table(name).isEmpty,
+        "event-time timer at auction.end must not have fired")
+      clock = base + 61000L // wall clock passes the backup deadline
+      msB.addData(Seq(losing)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name).collect()
+    assert(rows.length == 1, "backup path must resolve the auction exactly once")
+    assert(rows(0).getLong(0) == 7L && rows(0).getLong(1) == 42L &&
+      rows(0).getDouble(2) == 500.0)
+  }
+
   test("streaming dedup drops duplicates within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
