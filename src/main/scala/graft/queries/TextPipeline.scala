@@ -27,10 +27,17 @@ import org.apache.spark.sql.functions._
   *   - the only self-join is on LSH buckets (candidate pairs), never on
   *     the full corpus.
   *
-  * MinHash here uses *lexicographic min over md5 hex strings* as the hash
-  * family (seeded by a per-hash prefix). md5 is identical everywhere, so
-  * the DuckDB oracle reproduces signatures exactly — no engine-specific
-  * integer hashing.
+  * MinHash hash family: ONE md5 per shingle, split into 4 unsigned 32-bit
+  * words by the native [[graft.spark.Md5Words]] expression (codegen'd);
+  * family member i is the linear mix `w1*a_i + w2*b_i + w3*c_i + w4`
+  * (all values < 2^40 — exact int64 everywhere), and each signature slot
+  * is `min(bigint)` — a HashAggregate with map-side partial aggregation.
+  * The earlier formulation hashed K separate `md5("<i>:" || sh)` strings
+  * and took `min(string)` (K md5 passes per shingle + SortAggregate); the
+  * word-mix family is the same banding scheme at a 12th of the hash cost.
+  * md5 is identical everywhere, so the DuckDB oracle reproduces the words
+  * (hex-digit fold) and therefore the signatures exactly — no
+  * engine-specific integer hashing.
   */
 object TextPipeline extends QueryModule {
 
@@ -195,6 +202,61 @@ object TextPipeline extends QueryModule {
        |FROM d
        |""".stripMargin
 
+  // ---- MinHash hash family: linear mixes over the 4 md5 words ----
+  /** Family member i: `(w1*a_i + w2*b_i + w3*c_i + w4*d_i) mod P_i` —
+    * varied 16-bit odd coefficients (Knuth multiplicative mix, computed
+    * deterministically, identical in both dialects) and a distinct ~2^30
+    * prime modulus per member. The modulus is what makes the 12 members
+    * independent permutations: without it every member is monotone in the
+    * same 4 words, the same globally-small shingle wins most slots, and
+    * cross-doc band collisions inflate ~5× (measured 30 → 144 candidate
+    * pairs at sf0.01). Sums stay ≤ 2^50 pre-mod — exact int64 everywhere.
+    */
+  private def mixK(i: Int, slot: Int): Long =
+    ((((i * 4 + slot + 1) * 2654435761L) >>> 13) & 0xFFFF) | 1L
+  private val MixP = Seq(1000000007L, 1000000009L, 1000000021L, 1000000033L,
+    1000000087L, 1000000093L, 1000000097L, 1000000103L,
+    1000000123L, 1000000181L, 1000000207L, 1000000223L)
+
+  /** Spark: per-slot `min` of the word mix (HashAggregate over bigint). */
+  private def sigAggCols: Seq[Column] = (0 until NumHashes).map(i =>
+    min((element_at(col("w"), 1) * mixK(i, 0) + element_at(col("w"), 2) * mixK(i, 1) +
+         element_at(col("w"), 3) * mixK(i, 2) + element_at(col("w"), 4) * mixK(i, 3)) % MixP(i))
+      .as(s"h$i"))
+
+  /** DuckDB: word j = hex chars [8j, 8j+8) of md5(sh), folded as base-16
+    * digits (list_reduce seeds with the first digit — Horner). */
+  private def sqlWord(j: Int): String =
+    s"list_reduce(list_transform(range(0, 8), k -> " +
+      s"strpos('0123456789abcdef', substr(h, ${8 * j} + k + 1, 1)) - 1), (a, b) -> a * 16 + b)"
+  private def sqlSigCols: String = (0 until NumHashes).map(i =>
+    s"MIN((w1 * ${mixK(i, 0)} + w2 * ${mixK(i, 1)} + w3 * ${mixK(i, 2)} + " +
+      s"w4 * ${mixK(i, 3)}) % ${MixP(i)}) AS h$i")
+    .mkString(",\n         ")
+  private def sqlSigStages: String =
+    s"""hx AS (
+       |  SELECT doc_id, md5(sh) AS h FROM sh
+       |), wds AS (
+       |  SELECT doc_id, ${sqlWord(0)} AS w1, ${sqlWord(1)} AS w2,
+       |         ${sqlWord(2)} AS w3, ${sqlWord(3)} AS w4
+       |  FROM hx
+       |), sigs AS (
+       |  SELECT doc_id,
+       |         $sqlSigCols
+       |  FROM wds GROUP BY doc_id
+       |)""".stripMargin
+
+  /** LSH band key over RowsPerBand signature slots (both dialects must
+    * produce identical strings: bigints print identically, ':' joined). */
+  private def bandKeyCols: Seq[Column] = (0 until NumBands).map { b =>
+    val parts = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}").cast("string"))
+    md5(concat_ws(":", parts: _*))
+  }
+  private def sqlBandSelects: String = (0 until NumBands).map { b =>
+    val parts = (0 until RowsPerBand).map(r => s"h${b * RowsPerBand + r}").mkString(", ")
+    s"SELECT doc_id, $b AS band, md5(concat_ws(':', $parts)) AS bkey FROM sigs"
+  }.mkString("\n  UNION ALL\n  ")
+
   /** Word 3-shingle set per doc (distinct), as a Spark column over `words`. */
   private val shinglesExpr =
     "array_distinct(transform(sequence(1, size(words) - 2), i -> " +
@@ -224,15 +286,10 @@ object TextPipeline extends QueryModule {
       .select(col("doc_id"), expr(shinglesExpr).as("shingles"))
       .localCheckpoint(true)
     val sh = d.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val sigCols = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
-    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"), call_function("md5_words", col("sh")).as("w"))
+    val sigs = sh.groupBy(col("doc_id")).agg(sigAggCols.head, sigAggCols.tail: _*)
       .localCheckpoint(true)
-    val bandKeys = (0 until NumBands).map { b =>
-      val parts = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
-      md5(concat(parts: _*))
-    }
-    val bands = sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    val bands = sigs.select(col("doc_id"), posexplode(array(bandKeyCols: _*)).as(Seq("band", "bkey")))
     val x = bands.as("x"); val y = bands.as("y")
     val cands = x.join(y,
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -248,24 +305,14 @@ object TextPipeline extends QueryModule {
   }
 
   def minhashPairsSql: String = {
-    val sigCols = (0 until NumHashes)
-      .map(i => s"MIN(md5('$i:' || sh)) AS h$i").mkString(",\n         ")
-    val bandSelects = (0 until NumBands).map { b =>
-      val parts = (0 until RowsPerBand).map(r => s"h${b * RowsPerBand + r}").mkString(" || ")
-      s"SELECT doc_id, $b AS band, md5($parts) AS bkey FROM sigs"
-    }.mkString("\n  UNION ALL\n  ")
     s"""WITH d0 AS (
        |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM documents
        |), d AS (
        |  SELECT doc_id, $shinglesSqlExpr AS shingles FROM d0 WHERE LEN(ws) >= 3
        |), sh AS (
        |  SELECT doc_id, UNNEST(shingles) AS sh FROM d
-       |), sigs AS (
-       |  SELECT doc_id,
-       |         $sigCols
-       |  FROM sh GROUP BY doc_id
-       |), bands AS (
-       |  $bandSelects
+       |), $sqlSigStages, bands AS (
+       |  $sqlBandSelects
        |), cands AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
@@ -300,14 +347,9 @@ object TextPipeline extends QueryModule {
       .select(col("doc_id"), expr(shinglesExpr).as("shingles"))
       .localCheckpoint(true)
     val sh = d.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val sigCols = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
-    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    val bandKeys = (0 until NumBands).map { b =>
-      val parts = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
-      md5(concat(parts: _*))
-    }
-    val bands = sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+      .select(col("doc_id"), call_function("md5_words", col("sh")).as("w"))
+    val sigs = sh.groupBy(col("doc_id")).agg(sigAggCols.head, sigAggCols.tail: _*)
+    val bands = sigs.select(col("doc_id"), posexplode(array(bandKeyCols: _*)).as(Seq("band", "bkey")))
     val w = Window.partitionBy(col("band"), col("bkey"))
     bands.withColumn("bucket_min", min(col("doc_id")).over(w))
       .groupBy(col("doc_id"))
@@ -316,24 +358,14 @@ object TextPipeline extends QueryModule {
   }
 
   def dupClustersSql: String = {
-    val sigCols = (0 until NumHashes)
-      .map(i => s"MIN(md5('$i:' || sh)) AS h$i").mkString(",\n         ")
-    val bandSelects = (0 until NumBands).map { b =>
-      val parts = (0 until RowsPerBand).map(r => s"h${b * RowsPerBand + r}").mkString(" || ")
-      s"SELECT doc_id, $b AS band, md5($parts) AS bkey FROM sigs"
-    }.mkString("\n  UNION ALL\n  ")
     s"""WITH d0 AS (
        |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM documents
        |), d AS (
        |  SELECT doc_id, $shinglesSqlExpr AS shingles FROM d0 WHERE LEN(ws) >= 3
        |), sh AS (
        |  SELECT doc_id, UNNEST(shingles) AS sh FROM d
-       |), sigs AS (
-       |  SELECT doc_id,
-       |         $sigCols
-       |  FROM sh GROUP BY doc_id
-       |), bands AS (
-       |  $bandSelects
+       |), $sqlSigStages, bands AS (
+       |  $sqlBandSelects
        |), bmin AS (
        |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band, bkey) AS bucket_min FROM bands
        |), c AS (

@@ -23,6 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "dot_product takes exactly 2 arguments")
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("md5_words"),
+      Md5Words.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "md5_words takes exactly 1 argument")
+        Md5Words(children.head)
+      }))
     // rewrite aggregate(zip_with(a, b, *), 0.0, +) -> DotProduct(a, b)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
