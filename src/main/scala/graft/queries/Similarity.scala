@@ -112,7 +112,12 @@ object Similarity extends QueryModule {
       .withColumn("cos", cosine(col("emb"), col("cemb")))
       .select(col("vec_id"), col("cid"), col("cos"))
     // argmax cell per vector: max over (cos, -cid) = highest cos, ties to
-    // the lowest cid — same total order as the oracle's row_number.
+    // the lowest cid — same total order as the oracle's row_number. The
+    // struct ordering key puts a struct in the aggregation buffer, so this
+    // plans as a SortAggregate rather than a HashAggregate — still with
+    // map-side PARTIAL aggregation, so only K≪N×K pre-reduced rows per
+    // partition reach the shuffle (the property that matters at scale; the
+    // row_number window this replaced shuffled and sorted all N×K rows).
     val assign = simsOf(e).groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("cos"), negate(col("cid")))).as("cid"))
     // top-NProbe cells per query: K entries per group, sorted in the agg

@@ -217,6 +217,36 @@ class NexmarkStreamingSpec extends SparkSpec {
       rows(0).getDouble(2) == 500.0)
   }
 
+  test("allowedLateness flavor keeps late events a plain session window drops") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 1704067200000L
+    def bid(ts: Long, person: Long) = Bid(ts, ts, 1L, person, -1L, 10.0)
+    // A session row is late once its window END (ts + gap) is behind the
+    // watermark. Batch 1's person-43 bid pushes the watermark to
+    // base+68 s, so the batch-2 event (session end base+61 s) is late by
+    // 7 s — inside the 15 s allowedLateness, beyond the plain watermark.
+    // Batch 3 is the far-future sentinel closing every session.
+    val batches = Seq(
+      Seq(bid(base, 42L), bid(base + 5000, 42L), bid(base + 10000, 42L),
+          bid(base + 70000, 43L)),
+      Seq(bid(base + 1000, 42L)),
+      Seq(bid(SentinelTs, SentinelKey)))
+    def run(withLateness: Boolean): Map[Long, Long] = {
+      val ms = MemoryStream[Bid]
+      val q = if (withLateness)
+        NexmarkQueries.sessionsWithLateness(ms.toDS(), "60 seconds", "15 seconds")
+      else NexmarkQueries.sessions(ms.toDS(), "60 seconds")
+      runToCompletion(ms, batches, q)
+        .filter(_.getLong(2) != SentinelKey)
+        .map(r => r.getLong(2) -> r.getLong(3)).toMap
+    }
+    assert(run(withLateness = false) == Map(42L -> 3L, 43L -> 1L),
+      "without lateness the late bid is dropped")
+    assert(run(withLateness = true) == Map(42L -> 4L, 43L -> 1L),
+      "within allowedLateness the late bid joins its session")
+  }
+
   test("streaming dedup drops duplicates within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
