@@ -540,16 +540,19 @@ object TextPipeline extends QueryModule {
     terms.mkString("(", " + ", ")")
   }
 
+  /** Spark side: the native fused kernel ([[graft.spark.RollingMinHashes]]
+    * — one codegen'd pass, O(1) rolling update + k-array minima) replaces
+    * the transform-lambda + full array_sort formulation, whose per-element
+    * interpreted lambdas made this the slowest query in the bench. The
+    * oracle keeps the declarative polynomial (identical exact-int64
+    * values), so the pair still cross-checks the kernel.
+    */
   def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val d = docsNorm(spark, dir).filter(length(col("nc")) >= RollWindow)
-    val codes = expr("transform(split(nc, ''), c -> CAST(ascii(c) AS BIGINT))")
-    val sparkIdx = (arr: String, i: String) => s"element_at($arr, $i)"
-    val hashes = expr(
-      s"transform(sequence(1, size(codes) - ${RollWindow - 1}), i -> ${rollHashSql(sparkIdx, "i")})")
-    d.select(col("doc_id"), codes.as("codes"))
-      .select(col("doc_id"), hashes.as("hashes"))
-      .select(col("doc_id"),
-              posexplode(slice(array_sort(col("hashes")), 1, RollK)).as(Seq("pos", "min_hash")))
+    d.select(col("doc_id"),
+             call_function("rolling_min_hashes",
+               col("nc"), lit(RollWindow), lit(RollK)).as("mins"))
+      .select(col("doc_id"), posexplode(col("mins")).as(Seq("pos", "min_hash")))
       .select(col("doc_id"), (col("pos") + 1).as("rank"), col("min_hash"))
   }
 

@@ -30,6 +30,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "md5_words takes exactly 1 argument")
         Md5Words(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_min_hashes"),
+      RollingMinHashes.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3,
+          "rolling_min_hashes takes (str, window, k)")
+        def lit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+          require(e.foldable, "rolling_min_hashes window/k must be literals")
+          e.eval().asInstanceOf[Number].intValue()
+        }
+        RollingMinHashes(children.head, lit(children(1)), lit(children(2)))
+      }))
     // rewrite aggregate(zip_with(a, b, *), 0.0, +) -> DotProduct(a, b)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
