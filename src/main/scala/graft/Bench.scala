@@ -61,9 +61,21 @@ object Bench {
         sweep()
         r
       }
-      if (runs.isEmpty) None else Some(name -> runs.min)
+      // any failed run disqualifies the query's time entirely: a partially
+      // broken query must never contribute a (possibly lucky) number
+      if (runs.isEmpty || errors.contains(name)) None else Some(name -> runs.min)
     }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // full JSON string escape incl. control chars — a tab/CR in an
+    // exception message would otherwise invalidate the whole report line
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -60,13 +60,19 @@ object TaggedCodec {
   }
 
   /** Split a partition file written as concatenated [[encodeFramed]]
-    * records back into value byte arrays. */
+    * records back into value byte arrays. Validates each length prefix so
+    * a truncated or corrupt file fails with a clear error (offset + length)
+    * instead of a raw BufferUnderflow/NegativeArraySize inside the task. */
   def sliceFramed(content: Array[Byte]): Iterator[Array[Byte]] =
     new Iterator[Array[Byte]] {
       private val buf = java.nio.ByteBuffer.wrap(content)
       def hasNext: Boolean = buf.remaining() >= 4
       def next(): Array[Byte] = {
+        val pos = buf.position()
         val len = buf.getInt()
+        if (len < 0 || len > buf.remaining())
+          throw new IllegalArgumentException(
+            s"corrupt tagged frame at offset $pos: length $len with ${buf.remaining()} bytes left")
         val out = new Array[Byte](len)
         buf.get(out)
         out

@@ -212,12 +212,15 @@ object NexmarkQueries {
   def sessionsWithLateness(bids: Dataset[Bid], gap: String,
                            lateness: String = "15 seconds",
                            wm: String = "2 seconds"): DataFrame = {
-    val wmTotal = {
-      // watermark delay + allowed lateness, both "N seconds" strings
-      val secs = (s: String) => s.trim.split("\\s+")(0).toLong
-      s"${secs(wm) + secs(lateness)} seconds"
+    // parse with Spark's own interval grammar so any valid duration string
+    // ("1 minute", "500 milliseconds", ...) combines correctly
+    def micros(s: String): Long = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      require(iv.months == 0, s"calendar months not supported in '$s'")
+      iv.days * 86400L * 1000000L + iv.microseconds
     }
-    sessions(bids, gap, wmTotal)
+    sessions(bids, gap, s"${micros(wm) + micros(lateness)} microseconds")
   }
 
   /** CM (A3, cm/CM.java:272-303): SUM(cpu) per jobId per 2 s tumbling

@@ -116,14 +116,36 @@ object NexmarkStateful {
   case class PA(personId: Long, isPerson: Boolean, creationTs: Long, ingestionTs: Long)
   case class Q8State(personTs: Long, personIngest: Long, hasPerson: Boolean, othersSeen: Long)
 
+  /** Per-JVM probe counters, keyed by a per-query id. The reference's
+    * `seenAuctions` (NexmarkQuery8.java:610,635) is a PLAIN OPERATOR FIELD
+    * — one counter per subtask across ALL keys, not keyed state. A keyed
+    * counter would sample almost never (the generator rotates hot keys far
+    * below the 200k threshold, so no single key accumulates enough). The
+    * Spark analog of "per subtask" is one counter per executor JVM per
+    * query instance; closures capture the id string and resolve the
+    * counter on the executor, so task re-serialization never resets it.
+    */
+  private object ProbeCounters {
+    private val counters =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    private val nextId = new java.util.concurrent.atomic.AtomicInteger()
+    def freshId(): String = s"q8probe-${nextId.incrementAndGet()}"
+    def get(id: String): java.util.concurrent.atomic.AtomicLong =
+      counters.computeIfAbsent(id, _ => new java.util.concurrent.atomic.AtomicLong())
+  }
+
   /** NexmarkQuery8.java:602-662 (reused by Q11 with bids,
     * NexmarkQuery11File.java:397-457): keep the latest person per key; emit
     * one output per person element immediately; emit a sampled probe (id
     * negated, sink discriminates by sign — NexmarkQuery8.java:388-414)
-    * every `sampleEvery`-th non-person element.
+    * every `sampleEvery`-th non-person element counted ACROSS keys per JVM
+    * (see [[ProbeCounters]]). The keyed `othersSeen` count is retained as
+    * the bounded analog of the reference's unbounded `matchingAuctions`
+    * ListState (accumulated, never read back — :634).
     */
   def joinUdfStateful(elems: Dataset[PA], sampleEvery: Long = 200000L): Dataset[Query8Output] = {
     import elems.sparkSession.implicits._
+    val counterId = ProbeCounters.freshId()
     val withTime = elems.toDF
       .withColumn("eventTime", timestamp_millis(col("creationTs")))
       .withWatermark("eventTime", "2 seconds")
@@ -135,6 +157,7 @@ object NexmarkStateful {
         case (personId, rows, state: GroupState[Q8State]) =>
           var st = state.getOption.getOrElse(Q8State(-1L, -1L, hasPerson = false, 0L))
           val out = Iterator.newBuilder[Query8Output]
+          val seen = ProbeCounters.get(counterId)
           rows.foreach { e =>
             if (e.isPerson) {
               st = st.copy(personTs = e.creationTs, personIngest = e.ingestionTs, hasPerson = true)
@@ -142,7 +165,7 @@ object NexmarkStateful {
               out += Query8Output(e.creationTs, e.creationTs, e.ingestionTs, -1L, -1L, personId)
             } else {
               st = st.copy(othersSeen = st.othersSeen + 1)
-              if (st.othersSeen % sampleEvery == 0) // :635 (1-per-200k sample)
+              if (seen.incrementAndGet() % sampleEvery == 0) // :635 (1-per-200k)
                 out += Query8Output(e.creationTs, -1L, -1L, e.creationTs, e.ingestionTs, -personId)
             }
           }

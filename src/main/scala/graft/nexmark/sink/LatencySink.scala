@@ -176,6 +176,36 @@ final class CsvAppender(path: String, header: String,
 
 object CsvAppender { val DefaultFlushBytes: Long = 8L * 1024 * 1024 }
 
+/** Shared machinery for the cumulative CSV sinks: the reference layout
+  * (subtask, ts, per-series count/mean/min/max), NaN for empty series
+  * (SummaryStatistics on n = 0), the final-row-then-flush close(), and a
+  * micro-batch re-execution guard — foreachBatch re-delivers the same
+  * batchId after a transient failure, and merging it twice would
+  * double-count the cumulative stats. (A restart from checkpoint recreates
+  * the sink, so stats and guard reset together — consistent from scratch.)
+  */
+private[sink] abstract class CumulativeCsvSink(csvPath: String, header: String,
+                                               flushBytes: Long, now: () => Long,
+                                               subtask: Int) {
+  import LatencySink.Stats
+  protected def series: Seq[Stats]
+  protected val appender = new CsvAppender(csvPath, header, flushBytes)
+  private var lastBatchId = -1L
+
+  protected def freshBatch(batchId: Long): Boolean =
+    if (batchId <= lastBatchId) false else { lastBatchId = batchId; true }
+
+  private def fmt(s: Stats, f: Stats => Double): String =
+    if (s.count == 0) "NaN" else f(s).toString
+  protected def csvRow(ts: Long): String =
+    (Seq(subtask.toString, ts.toString) ++
+      series.map(_.count.toString) ++ series.map(fmt(_, _.mean)) ++
+      series.map(fmt(_, _.min)) ++ series.map(fmt(_, _.max))).mkString(",")
+
+  /** Reference close(): one final updateCSV row, then flush+close. */
+  def close(): Unit = { appender.append(Seq(csvRow(now()))); appender.close() }
+}
+
 /** Q8 3-series cumulative latency sink (NexmarkQuery8.java:245-414).
   *
   * Contract reproduced from the reference sink:
@@ -199,17 +229,16 @@ final class Q8CsvSink(csvPath: String,
                       thresholdMs: Long = LatencySink.DefaultThresholdMs,
                       now: () => Long = () => System.currentTimeMillis(),
                       subtask: Int = 0,
-                      flushBytes: Long = CsvAppender.DefaultFlushBytes) {
+                      flushBytes: Long = CsvAppender.DefaultFlushBytes)
+    extends CumulativeCsvSink(csvPath, Q8CsvSink.Header, flushBytes, now, subtask) {
   import LatencySink.Stats
 
-  val Header: String =
-    "subtask,ts,personCount,auctionCount,flightTimeCount,personMean,auctionMean," +
-      "flightTimeMean,personMin,auctionMin,flightTimeMin,personMax,auctionMax,flightTimeMax"
+  val Header: String = Q8CsvSink.Header
 
   private val person = new Stats
   private val auction = new Stats
   private val flight = new Stats
-  private val appender = new CsvAppender(csvPath, Header, flushBytes)
+  override protected def series: Seq[Stats] = Seq(person, auction, flight)
 
   /** count/sum/sumSq/min/max of `v` over rows matching `cond`. */
   private def condStats(cond: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
@@ -223,13 +252,16 @@ final class Q8CsvSink(csvPath: String,
     n
   }
 
-  def recordBatch(batch: DataFrame, batchId: Long): Unit = {
+  def recordBatch(batch: DataFrame, batchId: Long): Unit = if (freshBatch(batchId)) {
     val nowMs = now()
     val lat = batch.select(
       col("personId"),
       (lit(nowMs) - col("personCreationTimestamp")).cast("double").as("pLat"),
       (lit(nowMs) - col("auctionCreationTimestamp")).cast("double").as("aLat"),
       (lit(nowMs) - col("auctionIngestionTimestamp")).cast("double").as("fLat"))
+    // `personId > 0` is the reference's own discriminator verbatim
+    // (NexmarkQuery8.java:384): person id 0 is sign-ambiguous there too
+    // and lands in the probe branch — kept for fidelity, not "fixed".
     val isPerson = col("personId") > 0
     // person: strict < threshold (:386); auction/flight: <= (:390-393)
     val probeOk = !isPerson && col("aLat") <= thresholdMs
@@ -242,18 +274,12 @@ final class Q8CsvSink(csvPath: String,
     // the reference's updateCSV runs on probe arrival only (:394)
     if (probes > 0) appender.append(Seq(csvRow(nowMs)))
   }
+}
 
-  private def fmt(s: Stats, f: Stats => Double): String =
-    if (s.count == 0) "NaN" else f(s).toString
-  private def csvRow(ts: Long): String = {
-    val series = Seq(person, auction, flight)
-    (Seq(subtask.toString, ts.toString) ++
-      series.map(_.count.toString) ++ series.map(fmt(_, _.mean)) ++
-      series.map(fmt(_, _.min)) ++ series.map(fmt(_, _.max))).mkString(",")
-  }
-
-  /** Reference close(): one final updateCSV row, then flush+close. */
-  def close(): Unit = { appender.append(Seq(csvRow(now()))); appender.close() }
+object Q8CsvSink {
+  val Header: String =
+    "subtask,ts,personCount,auctionCount,flightTimeCount,personMean,auctionMean," +
+      "flightTimeMean,personMin,auctionMin,flightTimeMin,personMax,auctionMax,flightTimeMax"
 }
 
 /** Q5b throttled cumulative latency sink (NexmarkQuery5b.java:219-365):
@@ -270,19 +296,18 @@ final class Q5bCsvSink(csvPath: String,
                        minRowIntervalMs: Long = 5000L,
                        now: () => Long = () => System.currentTimeMillis(),
                        subtask: Int = 0,
-                       flushBytes: Long = CsvAppender.DefaultFlushBytes) {
+                       flushBytes: Long = CsvAppender.DefaultFlushBytes)
+    extends CumulativeCsvSink(csvPath, Q5bCsvSink.Header, flushBytes, now, subtask) {
   import LatencySink.Stats
 
-  val Header: String =
-    "subtask,ts,bidCount,flightTimeCount,bidMean,flightTimeMean," +
-      "bidMin,flightTimeMin,bidMax,flightTimeMax"
+  val Header: String = Q5bCsvSink.Header
 
   private val bid = new Stats
   private val flightT = new Stats
-  private val appender = new CsvAppender(csvPath, Header, flushBytes)
+  override protected def series: Seq[Stats] = Seq(bid, flightT)
   private var prevRowMs = 0L // NexmarkQuery5b.java:357 `prevValue`
 
-  def recordBatch(batch: DataFrame, batchId: Long): Unit = {
+  def recordBatch(batch: DataFrame, batchId: Long): Unit = if (freshBatch(batchId)) {
     val nowMs = now()
     val ok = (lit(nowMs) - col(creationCol)).cast("double") <= thresholdMs
     val r = batch.agg(
@@ -305,17 +330,12 @@ final class Q5bCsvSink(csvPath: String,
       }
     }
   }
+}
 
-  private def fmt(s: Stats, f: Stats => Double): String =
-    if (s.count == 0) "NaN" else f(s).toString
-  private def csvRow(ts: Long): String = {
-    val series = Seq(bid, flightT)
-    (Seq(subtask.toString, ts.toString) ++
-      series.map(_.count.toString) ++ series.map(fmt(_, _.mean)) ++
-      series.map(fmt(_, _.min)) ++ series.map(fmt(_, _.max))).mkString(",")
-  }
-
-  def close(): Unit = { appender.append(Seq(csvRow(now()))); appender.close() }
+object Q5bCsvSink {
+  val Header: String =
+    "subtask,ts,bidCount,flightTimeCount,bidMean,flightTimeMean," +
+      "bidMin,flightTimeMin,bidMax,flightTimeMax"
 }
 
 /** K4: the generator's Kafka partitioner — MurmurHash3-32 (seed 104729),

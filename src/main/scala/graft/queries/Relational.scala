@@ -71,9 +71,13 @@ object Relational extends QueryModule {
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(centsSum("l_extendedprice * (1 - l_discount)").as("revenue"))
+    // eager 10-row materialization: the rank join below reads `top` through
+    // two lineages (top + ahead); without it the whole join/agg/TakeOrdered
+    // pipeline re-executes for the broadcast side
     val top = rev
       .orderBy(col("revenue").desc_nulls_last, col("c_custkey").asc)
       .limit(10)
+      .localCheckpoint(true)
     // rk = 1 + #rows strictly ahead in the (revenue desc, custkey asc)
     // total order — exactly row_number, computed over the 10-row result.
     val ahead = top.select(col("revenue").as("rev2"), col("c_custkey").as("key2"))

@@ -38,7 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "rolling_min_hashes takes (str, window, k)")
         def lit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
           require(e.foldable, "rolling_min_hashes window/k must be literals")
-          e.eval().asInstanceOf[Number].intValue()
+          e.eval() match {
+            case n: java.lang.Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"rolling_min_hashes window/k must be integer literals, got $other")
+          }
         }
         RollingMinHashes(children.head, lit(children(1)), lit(children(2)))
       }))

@@ -138,9 +138,11 @@ class NexmarkStreamingSpec extends SparkSpec {
     // one output per person element (NexmarkQuery8.java:612-633)
     val personOutputs = out.filter(_.getLong(5) > 0)
     assert(personOutputs.size == persons.size)
-    // sampled auction probes: negative ids, one per 500 auctions on some key
+    // sampled auction probes: negative ids, one per 500 auctions counted
+    // across ALL keys (the reference's counter is a per-subtask operator
+    // field, NexmarkQuery8.java:610,635 — not keyed state)
     val probes = out.filter(_.getLong(5) < 0)
-    assert(probes.size == auctions.groupBy(_.personId).values.map(_.size / 500).sum)
+    assert(probes.size == auctions.size / 500)
   }
 
   test("stateful qx winning bid matches the declarative interval-join argmax") {
