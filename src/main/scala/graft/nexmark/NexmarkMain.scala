@@ -10,8 +10,9 @@ import graft.nexmark.sink.LatencySink
   * generator sources, latency-CSV or noop sinks.
   *
   * Usage: runMain graft.nexmark.NexmarkMain --q5 [seconds] [rowsPerBatch]
-  * Flags: --q5 --q5s --q8 --q8s --q11 --qx --q7 --sessions --q5b --debug
-  * (s-suffixed = stateful exact-timer port; plain = declarative flavor).
+  * Flags: --q5 --q5s --q8 --q8s --q11 --qx --qxt --q7 --sessions --q5b
+  * --debug (s-suffixed = stateful exact-timer port; plain = declarative;
+  * --qxt = Spark 4 transformWithState flavor on RocksDB state).
   * File-backed batch flavors (no broker in this environment): --q8fc
   * --q5fc --q11fc --cm, and --q0 — the generator pipeline
   * (GeneratorPipeline.java:31-208) as a two-phase flow: events → tagged
@@ -170,6 +171,12 @@ object NexmarkMain {
           NexmarkSources.bidStream(spark, cfg, rowsPerBatch), "5 seconds")
       case "--qx" =>
         NexmarkStateful.qxStateful(
+          NexmarkSources.bidStream(spark, cfg, rowsPerBatch),
+          NexmarkSources.auctionStream(spark, cfg, rowsPerBatch)).toDF
+      case "--qxt" => // transformWithState flavor (needs RocksDB provider)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        graft.nexmark.queries.NexmarkTws.qxWinningBidsTws(
           NexmarkSources.bidStream(spark, cfg, rowsPerBatch),
           NexmarkSources.auctionStream(spark, cfg, rowsPerBatch)).toDF
       case "--q7" =>

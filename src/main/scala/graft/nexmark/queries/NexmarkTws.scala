@@ -1,0 +1,97 @@
+package graft.nexmark.queries
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import graft.nexmark._
+import graft.nexmark.queries.NexmarkStateful.AB
+
+/** QX winning-bid on Spark 4's `transformWithState` — the API whose state
+  * model maps 1:1 onto the reference's Flink `KeyedProcessFunction`
+  * (NexmarkQueryX.java:613-763):
+  *
+  *   | reference (Flink)                      | this port                  |
+  *   |----------------------------------------|----------------------------|
+  *   | `ValueState<AuctionEvent0>` in-flight  | `ValueState[Long]` (end)   |
+  *   | `ListState<BidEvent0>` window contents | `ListState[QxBid]`         |
+  *   | `registerEventTimeTimer(auction.end)`  | `getHandle.registerTimer`  |
+  *   | `onTimer`: emit + clear                | `handleExpiredTimer`       |
+  *
+  * Contrast [[NexmarkStateful.qxStateful]] (flatMapGroupsWithState): there
+  * the single `GroupState` value forces the running-max reformulation and
+  * one timeout per key; `transformWithState` gives real named state
+  * variables and true per-key timers, so the reference's accumulate-then-
+  * resolve structure carries over verbatim (bids buffered in ListState,
+  * winner chosen at timer fire). Requires the RocksDB state store
+  * provider, the analog of the reference's RocksDB backend (pom.xml:
+  * 204-218). The winner rule matches qxStateful's deterministic order:
+  * price desc, then timestamp desc, then lower bidder.
+  */
+object NexmarkTws {
+
+  case class QxBid(bidder: Long, price: Double, ts: Long)
+
+  class QxWinningBidProcessor extends StatefulProcessor[Long, AB, WinningBid] {
+    @transient private var inFlightEnd: ValueState[Long] = _
+    @transient private var bids: ListState[QxBid] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      // names mirror the reference's state descriptors
+      // (NexmarkQueryX.java:502-509)
+      inFlightEnd = getHandle.getValueState[Long](
+        "inflight-auction", Encoders.scalaLong, TTLConfig.NONE)
+      bids = getHandle.getListState[QxBid](
+        "window-contents", Encoders.product[QxBid], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[AB],
+                                 timerValues: TimerValues): Iterator[WinningBid] = {
+      rows.foreach { e =>
+        if (e.isAuction) {
+          // register once per auction, like the reference's null guard
+          // (NexmarkQueryX.java:641-646)
+          if (!inFlightEnd.exists()) {
+            inFlightEnd.update(e.end)
+            getHandle.registerTimer(e.end)
+          }
+        } else {
+          bids.appendValue(QxBid(e.bidder, e.price, e.ts))
+        }
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[WinningBid] = {
+      var best: QxBid = null
+      bids.get().foreach { b =>
+        val better = best == null || b.price > best.price ||
+          (b.price == best.price && (b.ts > best.ts ||
+            (b.ts == best.ts && b.bidder < best.bidder)))
+        if (better) best = b
+      }
+      inFlightEnd.clear()
+      bids.clear()
+      if (best != null)
+        Iterator.single(WinningBid(key, best.bidder, best.price, best.ts))
+      else Iterator.empty
+    }
+  }
+
+  /** Same input shape as [[NexmarkStateful.qxStateful]]; emits each
+    * auction's winner when the watermark passes `auction.end`. */
+  def qxWinningBidsTws(bids: Dataset[Bid], auctions: Dataset[Auction]): Dataset[WinningBid] = {
+    import bids.sparkSession.implicits._
+    val b = bids.map(x => AB(x.auctionId, isAuction = false, -1L, x.personId, x.bid, x.timestamp))
+    val a = auctions.map(x => AB(x.auctionId, isAuction = true, x.end, -1L, -1.0, x.timestamp))
+    val withTime = b.unionByName(a).toDF
+      .withColumn("eventTime", timestamp_millis(col("ts")))
+      .withWatermark("eventTime", "2 seconds")
+      .as[AB]
+    withTime
+      .groupByKey(_.auctionId)
+      .transformWithState(new QxWinningBidProcessor,
+        TimeMode.EventTime(), OutputMode.Append(), Encoders.product[WinningBid])
+  }
+}

@@ -1,7 +1,7 @@
 package graft.nexmark
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.nexmark.queries.NexmarkStateful
+import graft.nexmark.queries.{NexmarkQueries, NexmarkStateful, NexmarkTws}
 
 /** W8: the reference uses the RocksDB state backend for keyed state
   * (pom.xml:204-218); Spark's analog is RocksDBStateStoreProvider. This
@@ -36,6 +36,55 @@ class RocksDBStateSpec extends SparkSpec {
       val want = bids.groupBy(_.auctionId)
         .view.mapValues(bs => (bs.map(_.bid).max, bs.size.toLong)).toMap
       assert(got == want)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("transformWithState QX port matches the declarative interval-join argmax") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val sentinelTs = 1893456000000L
+      val sentinelKey = Long.MaxValue / 2
+      // unique auctions with bids strictly inside [start, end]
+      val auctions = NexmarkGen.auctions(cfg, 300).toSeq
+        .groupBy(_.auctionId).map(_._2.head).toSeq
+      val bids = auctions.zipWithIndex.flatMap { case (a, i) =>
+        (0 until 5).map { j =>
+          Bid(a.start + j, a.start + j, a.auctionId, 1000L + (i * 5 + j) % 97,
+              -1L, 1.0 + (i * 5 + j) % 13)
+        }
+      }
+      val sentinelAuction = Auction(sentinelTs, sentinelKey, 1L, 1L, 1.0,
+        sentinelTs, sentinelTs + 1000, 1L, "s", "s", sentinelTs)
+      val sentinelAuction2 = sentinelAuction.copy(
+        timestamp = sentinelTs + 120000, auctionId = sentinelKey + 1,
+        start = sentinelTs + 120000, end = sentinelTs + 121000)
+      val msB = MemoryStream[Bid]
+      val msA = MemoryStream[Auction]
+      val result = NexmarkTws.qxWinningBidsTws(msB.toDS(), msA.toDS()).toDF
+      val q = result.writeStream.format("memory").queryName("twsqx")
+        .outputMode("append").start()
+      try {
+        msA.addData(auctions); msB.addData(bids); q.processAllAvailable()
+        msA.addData(Seq(sentinelAuction)); q.processAllAvailable()
+        msA.addData(Seq(sentinelAuction2)); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("twsqx").collect()
+        .filter(_.getLong(0) < sentinelKey)
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val batch = NexmarkQueries.qxWinningBids(
+          spark.createDataset(bids), spark.createDataset(auctions)).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == batch)
+      assert(got.nonEmpty)
     } finally {
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
