@@ -257,33 +257,41 @@ object TextPipeline extends QueryModule {
     s"SELECT doc_id, $b AS band, md5(concat_ws(':', $parts)) AS bkey FROM sigs"
   }.mkString("\n  UNION ALL\n  ")
 
-  /** Word 3-shingle set per doc (distinct), as a Spark column over `words`. */
-  private val shinglesExpr =
-    "array_distinct(transform(sequence(1, size(words) - 2), i -> " +
-      "concat(element_at(words, i), ' ', element_at(words, i + 1), ' ', element_at(words, i + 2))))"
+  /** Word 3-shingle set per doc: the native [[graft.spark.WordShingles]]
+    * kernel (one fused pass + LinkedHashSet distinct) — the declarative
+    * `array_distinct(transform(...concat...))` evaluates its lambda
+    * interpreted per shingle. Measured performance-neutral at sf0.1 (the
+    * pipeline's remaining cost is elsewhere — SURVEY §9.8.4); kept for
+    * the cleaner plan and as reusable library surface. Shingle order
+    * never reaches a query result (mins and intersection sizes only), so
+    * the oracle keeps its own declarative formulation.
+    */
+  private def shinglesCol: Column =
+    call_function("word_shingles", col("words"), lit(3))
   private val shinglesSqlExpr =
     "list_distinct(list_transform(range(1, LEN(ws) - 1), i -> " +
       "ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))"
 
   /** MinHash + LSH near-dup candidates with exact shingle Jaccard.
     *
-    * Signature: NumHashes mins of md5("<i>:<shingle>") (string min — engine
-    * agnostic). Bands of RowsPerBand signature slots; docs sharing any band
-    * key become candidate pairs; exact Jaccard is computed only on
-    * candidates (LSH is the scale path; the verify join is bucket-bounded).
+    * Signature: NumHashes `min(bigint)` slots over the md5-word mix family
+    * (see the object doc). Bands of RowsPerBand signature slots; docs
+    * sharing any band key become candidate pairs; exact Jaccard is
+    * computed only on candidates (LSH is the scale path; the verify join
+    * is bucket-bounded).
     */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // Materialize shingle sets and signatures once: the band self-join and
-    // the pair-verification join would otherwise recompute the (expensive,
-    // SortAggregate-fallback min(string)) subtree four times. At scale this
-    // is the standard topology anyway: the signature table is computed in
-    // one pass, then bucket-joined. Eager localCheckpoint (not persist):
-    // the blocks are freed by the ContextCleaner as soon as the returned
-    // DataFrame is unreferenced — a bare .persist() here leaked blocks
-    // across the 38-query driver loop with no caller able to release them.
+    // the pair-verification join would otherwise recompute the shingle
+    // subtree four times. At scale this is the standard topology anyway:
+    // the signature table is computed in one pass, then bucket-joined.
+    // Eager localCheckpoint (not persist): the blocks are freed by the
+    // ContextCleaner as soon as the returned DataFrame is unreferenced — a
+    // bare .persist() here leaked blocks across the 38-query driver loop
+    // with no caller able to release them.
     val d = docsNorm(spark, dir)
       .filter(size(col("words")) >= 3)
-      .select(col("doc_id"), expr(shinglesExpr).as("shingles"))
+      .select(col("doc_id"), shinglesCol.as("shingles"))
       .localCheckpoint(true)
     val sh = d.select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"), call_function("md5_words", col("sh")).as("w"))
@@ -344,7 +352,7 @@ object TextPipeline extends QueryModule {
     // the clean-cache cost was ~34 s).
     val d = docsNorm(spark, dir)
       .filter(size(col("words")) >= 3)
-      .select(col("doc_id"), expr(shinglesExpr).as("shingles"))
+      .select(col("doc_id"), shinglesCol.as("shingles"))
       .localCheckpoint(true)
     val sh = d.select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"), call_function("md5_words", col("sh")).as("w"))

@@ -46,6 +46,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         RollingMinHashes(children.head, lit(children(1)), lit(children(2)))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      WordShingles.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "word_shingles takes (words, n)")
+        require(children(1).foldable, "word_shingles n must be a literal")
+        val n = children(1).eval() match {
+          case num: java.lang.Number => num.intValue()
+          case other => throw new IllegalArgumentException(
+            s"word_shingles n must be an integer literal, got $other")
+        }
+        WordShingles(children.head, n)
+      }))
     // rewrite aggregate(zip_with(a, b, *), 0.0, +) -> DotProduct(a, b)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
