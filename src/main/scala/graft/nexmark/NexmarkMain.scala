@@ -10,9 +10,11 @@ import graft.nexmark.sink.LatencySink
   * generator sources, latency-CSV or noop sinks.
   *
   * Usage: runMain graft.nexmark.NexmarkMain --q5 [seconds] [rowsPerBatch]
-  * Flags: --q5 --q5s --q8 --q8s --q11 --qx --qxt --q7 --sessions --q5b
-  * --debug (s-suffixed = stateful exact-timer port; plain = declarative;
-  * --qxt = Spark 4 transformWithState flavor on RocksDB state).
+  * Flags: --q5 --q5s --q8 --q8s --q8sliding --q8session --q11 --qx --qxt
+  * --q7 --sessions --q5b --q5bs --debug (s-suffixed = stateful
+  * exact-timer port; plain = declarative; --q8sliding/--q8session = the
+  * reference's window-type switch; --qxt = Spark 4 transformWithState
+  * flavor on RocksDB state).
   * File-backed batch flavors (no broker in this environment): --q8fc
   * --q5fc --q11fc --cm, and --q0 — the generator pipeline
   * (GeneratorPipeline.java:31-208) as a two-phase flow: events → tagged

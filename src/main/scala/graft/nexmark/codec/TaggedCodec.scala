@@ -66,9 +66,14 @@ object TaggedCodec {
   def sliceFramed(content: Array[Byte]): Iterator[Array[Byte]] =
     new Iterator[Array[Byte]] {
       private val buf = java.nio.ByteBuffer.wrap(content)
-      def hasNext: Boolean = buf.remaining() >= 4
+      // any leftover byte means another record must follow — a tail
+      // shorter than a length prefix is truncation, reported in next()
+      def hasNext: Boolean = buf.remaining() > 0
       def next(): Array[Byte] = {
         val pos = buf.position()
+        if (buf.remaining() < 4)
+          throw new IllegalArgumentException(
+            s"truncated tagged frame at offset $pos: ${buf.remaining()} bytes of length prefix")
         val len = buf.getInt()
         if (len < 0 || len > buf.remaining())
           throw new IllegalArgumentException(

@@ -124,6 +124,11 @@ object NexmarkStateful {
     * Spark analog of "per subtask" is one counter per executor JVM per
     * query instance; closures capture the id string and resolve the
     * counter on the executor, so task re-serialization never resets it.
+    * Like the reference's field (NOT in snapshotState — :647-649), the
+    * counter is outside checkpointed state: a task retry or restore
+    * re-counts, so WHICH element carries a probe is nondeterministic
+    * under failure. Probes are latency samples, not results — only their
+    * rate matters, exactly as in the reference.
     */
   private object ProbeCounters {
     private val counters =

@@ -33,7 +33,16 @@ object NexmarkTws {
   case class QxBid(bidder: Long, price: Double, ts: Long)
 
   class QxWinningBidProcessor extends StatefulProcessor[Long, AB, WinningBid] {
+    // inFlightEnd stores the auction's end as the payload analog of the
+    // reference's ValueState<AuctionEvent0> (only presence gates timer
+    // registration — the timer itself carries the expiry, like the
+    // reference's onTimer). `resolved` marks a key whose timer already
+    // fired, so post-resolution bids are DROPPED instead of accumulating
+    // forever: the reference appends them to its never-again-read
+    // ListState unboundedly (processElement has no resolved check), which
+    // this port improves to a single residual boolean per key.
     @transient private var inFlightEnd: ValueState[Long] = _
+    @transient private var resolved: ValueState[Boolean] = _
     @transient private var bids: ListState[QxBid] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
@@ -41,13 +50,15 @@ object NexmarkTws {
       // (NexmarkQueryX.java:502-509)
       inFlightEnd = getHandle.getValueState[Long](
         "inflight-auction", Encoders.scalaLong, TTLConfig.NONE)
+      resolved = getHandle.getValueState[Boolean](
+        "resolved", Encoders.scalaBoolean, TTLConfig.NONE)
       bids = getHandle.getListState[QxBid](
         "window-contents", Encoders.product[QxBid], TTLConfig.NONE)
     }
 
     override def handleInputRows(key: Long, rows: Iterator[AB],
                                  timerValues: TimerValues): Iterator[WinningBid] = {
-      rows.foreach { e =>
+      if (!resolved.exists()) rows.foreach { e =>
         if (e.isAuction) {
           // register once per auction, like the reference's null guard
           // (NexmarkQueryX.java:641-646)
@@ -56,6 +67,11 @@ object NexmarkTws {
             getHandle.registerTimer(e.end)
           }
         } else {
+          // no ts <= end filter, like the reference: onTimer scans the
+          // full list without re-checking the window (:481-491), so a bid
+          // with ts past `end` that arrives before the timer fires is
+          // eligible — the declarative flavor's BETWEEN start AND end is
+          // the spec-clean variant
           bids.appendValue(QxBid(e.bidder, e.price, e.ts))
         }
       }
@@ -73,6 +89,7 @@ object NexmarkTws {
       }
       inFlightEnd.clear()
       bids.clear()
+      resolved.update(true)
       if (best != null)
         Iterator.single(WinningBid(key, best.bidder, best.price, best.ts))
       else Iterator.empty

@@ -192,8 +192,12 @@ private[sink] abstract class CumulativeCsvSink(csvPath: String, header: String,
   protected val appender = new CsvAppender(csvPath, header, flushBytes)
   private var lastBatchId = -1L
 
-  protected def freshBatch(batchId: Long): Boolean =
-    if (batchId <= lastBatchId) false else { lastBatchId = batchId; true }
+  /** True if this batchId has not completed before. Call [[doneBatch]]
+    * only AFTER the batch's stats merged successfully — marking on entry
+    * would make a retry of a failed batch skip itself and lose the data.
+    */
+  protected def freshBatch(batchId: Long): Boolean = batchId > lastBatchId
+  protected def doneBatch(batchId: Long): Unit = lastBatchId = batchId
 
   private def fmt(s: Stats, f: Stats => Double): String =
     if (s.count == 0) "NaN" else f(s).toString
@@ -271,6 +275,7 @@ final class Q8CsvSink(csvPath: String,
     merge(person, r, 0)
     val probes = merge(auction, r, 5)
     merge(flight, r, 10)
+    doneBatch(batchId)
     // the reference's updateCSV runs on probe arrival only (:394)
     if (probes > 0) appender.append(Seq(csvRow(nowMs)))
   }
@@ -324,10 +329,11 @@ final class Q5bCsvSink(csvPath: String,
     if (n > 0) {
       bid.add(n, r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
       flightT.add(n, r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8))
-      if (nowMs - prevRowMs > minRowIntervalMs) { // :357-360
-        appender.append(Seq(csvRow(nowMs)))
-        prevRowMs = nowMs
-      }
+    }
+    doneBatch(batchId)
+    if (n > 0 && nowMs - prevRowMs > minRowIntervalMs) { // :357-360
+      appender.append(Seq(csvRow(nowMs)))
+      prevRowMs = nowMs
     }
   }
 }

@@ -20,8 +20,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Shingle ORDER never reaches a query result (signatures take mins over
   * the set, Jaccard takes intersection sizes), so the first-occurrence
   * order only needs to be deterministic, not oracle-matched. Null word
-  * elements are not supported (normalized-text `split` never produces
-  * them).
+  * elements are rejected with an error (normalized-text `split` never
+  * produces them; silently skipping them would misform shingles).
   */
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
@@ -61,7 +61,13 @@ object WordShingles {
     var i = 0
     while (i < count) {
       var j = 0
-      while (j < n) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      while (j < n) {
+        val w = words.getUTF8String(i + j)
+        if (w == null) throw new IllegalArgumentException(
+          s"word_shingles: null word element at index ${i + j}")
+        parts(j) = w
+        j += 1
+      }
       seen.add(UTF8String.concatWs(Space, parts: _*))
       i += 1
     }
