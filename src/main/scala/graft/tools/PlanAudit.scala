@@ -17,20 +17,33 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println(f"${"query"}%-24s ${"xchg"}%4s ${"bhj"}%4s ${"smj"}%4s ${"bnlj"}%5s ${"sortagg"}%7s ${"wscg"}%5s  readSchemaCols")
+    println(f"${"query"}%-24s ${"xchg"}%4s ${"bhj"}%4s ${"smj"}%4s ${"bnlj"}%5s ${"sortagg"}%7s ${"gwin"}%5s  readSchemaCols")
+    var globalWindows = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         val plan = df.queryExecution.executedPlan
         val s = plan.toString
         def c(p: String) = p.r.findAllIn(s).size
+        // partition-less WindowExec: every row through ONE task — the
+        // scale-killer pattern. Detected from the logical plan: a Window
+        // node with an empty partitionBy spec.
+        val gwin = df.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }.size
+        globalWindows += gwin
         val scans = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(s)
           .map(_.group(1).split(",").length).toSeq
         println(f"$name%-24s ${c("Exchange")}%4d ${c("BroadcastHashJoin")}%4d " +
           f"${c("SortMergeJoin")}%4d ${c("BroadcastNestedLoopJoin")}%5d " +
-          f"${c("SortAggregate")}%7d ${c("WholeStageCodegen")}%5d  ${scans.mkString(",")}")
-      } catch { case e: Throwable => println(f"$name%-24s ERROR ${e.getMessage.take(60)}") }
+          f"${c("SortAggregate")}%7d $gwin%5d  ${scans.mkString(",")}")
+      } catch { case e: Throwable =>
+        println(f"$name%-24s ERROR ${Option(e.getMessage).getOrElse(e.getClass.getName).take(60)}") }
     }
+    // r_monthly_trend's post-aggregation lag window is the one sanctioned
+    // global window (bounded by the calendar — Relational.scala comment)
+    println(s"global-window (no partition) occurrences: $globalWindows (expected: 1, r_monthly_trend)")
     spark.stop()
   }
 }
