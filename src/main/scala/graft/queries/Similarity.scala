@@ -248,6 +248,50 @@ object Similarity extends QueryModule {
        |""".stripMargin
   }
 
+  /** Inner-product top-k per query vector — the second standard ANN
+    * metric besides cosine. Deliberately written as the DOCUMENTED Spark
+    * idiom `aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) ->
+    * acc + v)`: the [[graft.spark.RewriteDotProduct]] optimizer rule
+    * rewrites it to the fused native [[graft.spark.DotProduct]] loop, so
+    * this query oracle-gates BOTH the rewrite's semantics preservation
+    * and the native kernel's arithmetic (sequential index-order fold —
+    * bit-identical to DuckDB's list_inner_product). Top-k is the same
+    * salted two-phase rank as [[knnBrute]].
+    */
+  def dotTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val c = e.select(col("vec_id"), col("emb").as("cemb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("ip",
+        expr("aggregate(zip_with(qemb, cemb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+      .select(col("query_id"), col("vec_id"), col("ip"))
+    val w1 = Window.partitionBy(col("query_id"), pmod(col("vec_id"), lit(Salts)))
+      .orderBy(col("ip").desc_nulls_last, col("vec_id").asc)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc_nulls_last, col("vec_id").asc)
+    scored.withColumn("prk", row_number().over(w1)).filter(col("prk") <= TopK)
+      .withColumn("rk", row_number().over(w2)).filter(col("rk") <= TopK)
+      .select(col("query_id"), col("vec_id"), round(col("ip"), 6).as("ip6"), col("rk"))
+  }
+
+  def dotTopkSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+       |  WHERE sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) > 0
+       |), q AS (
+       |  SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id % $QueryMod = 0
+       |), s AS (
+       |  SELECT query_id, vec_id, list_inner_product(qemb, emb) AS ip
+       |  FROM q, e WHERE vec_id <> query_id
+       |)
+       |SELECT query_id, vec_id, ROUND(ip, 6) AS ip6,
+       |       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ip DESC NULLS LAST, vec_id ASC) AS rk
+       |FROM s QUALIFY rk <= $TopK
+       |""".stripMargin
+
   /** Per-label vector statistics (sanity/profiling pass). */
   def labelStats(spark: SparkSession, dir: String): DataFrame =
     vecs(spark, dir).groupBy(col("label"))
@@ -267,6 +311,7 @@ object Similarity extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_knn_brute" -> (knnBrute _),
     "s_knn_ivf" -> (knnIvf _),
+    "s_dot_topk" -> (dotTopk _),
     "s_lsh_dup_pairs" -> (lshDupPairs _),
     "s_label_stats" -> (labelStats _),
   )
@@ -274,6 +319,7 @@ object Similarity extends QueryModule {
   val oracles: Map[String, String] = Map(
     "s_knn_brute" -> knnBruteSql,
     "s_knn_ivf" -> knnIvfSql,
+    "s_dot_topk" -> dotTopkSql,
     "s_lsh_dup_pairs" -> lshDupPairsSql,
     "s_label_stats" -> labelStatsSql,
   )

@@ -51,6 +51,13 @@ class DotProductSpec extends SparkSpec {
     assert(r.isNullAt(2) && r.isNullAt(3), "null element: both must be NULL")
   }
 
+  test("RewriteDotProduct fires inside the s_dot_topk library query") {
+    val df = graft.queries.Similarity.dotTopk(spark, "/root/testdata/sf0.001")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("dot_product"),
+      s"s_dot_topk should run on the native kernel via the rewrite:\n$optimized")
+  }
+
   test("dot_product SQL function matches the HOF computation") {
     val r = spark.sql(
       """SELECT dot_product(array(1D, 2D, 3D), array(4D, 5D, 6D)) AS d,
