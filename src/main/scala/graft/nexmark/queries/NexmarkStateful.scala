@@ -131,12 +131,34 @@ object NexmarkStateful {
     * rate matters, exactly as in the reference.
     */
   private object ProbeCounters {
-    private val counters =
-      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    /** Bounded registry: queries have no executor-side termination hook, so
+      * entries of long-gone query instances cannot be removed exactly when
+      * their query stops; instead the registry is an access-ordered LRU
+      * capped at [[MaxEntries]]. Every live query touches its counter on
+      * each task, so under the cap active entries are never evicted; stale
+      * instances age out instead of accumulating forever. (Worst case of a
+      * wrongful eviction — >MaxEntries query instances live in one JVM —
+      * resets that instance's probe phase, which only shifts WHICH element
+      * carries a probe: already nondeterministic under retries, see above.)
+      */
+    private val MaxEntries = 1024
+    private val counters = new java.util.LinkedHashMap[
+        String, java.util.concurrent.atomic.AtomicLong](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.util.concurrent.atomic.AtomicLong]): Boolean =
+        size() > MaxEntries
+    }
     private val nextId = new java.util.concurrent.atomic.AtomicInteger()
     def freshId(): String = s"q8probe-${nextId.incrementAndGet()}"
-    def get(id: String): java.util.concurrent.atomic.AtomicLong =
-      counters.computeIfAbsent(id, _ => new java.util.concurrent.atomic.AtomicLong())
+    def get(id: String): java.util.concurrent.atomic.AtomicLong = counters.synchronized {
+      val existing = counters.get(id)
+      if (existing != null) existing
+      else {
+        val fresh = new java.util.concurrent.atomic.AtomicLong()
+        counters.put(id, fresh)
+        fresh
+      }
+    }
   }
 
   /** NexmarkQuery8.java:602-662 (reused by Q11 with bids,

@@ -32,18 +32,31 @@ object NexmarkTws {
 
   case class QxBid(bidder: Long, price: Double, ts: Long)
 
-  class QxWinningBidProcessor extends StatefulProcessor[Long, AB, WinningBid] {
+  /** @param purgeHorizonMs event-time horizon after which residual state is
+    *   purged — the `resolved` tombstone after resolution, and buffered bids
+    *   whose auction never arrived. Defaults to the reference's 4 h failsafe
+    *   window ([[NexmarkStateful.QXBackupTimeoutMs]], NexmarkQueryX.java:629),
+    *   so every key's state is bounded by that horizon. (The reference leaks
+    *   both: post-resolution bids append to a never-again-read ListState and
+    *   orphan bids have no timer at all.) State TTL (`TTLConfig`) is
+    *   processing-time-only in Spark, so an event-time query expresses the
+    *   bound with a second timer per key instead.
+    */
+  class QxWinningBidProcessor(purgeHorizonMs: Long = NexmarkStateful.QXBackupTimeoutMs)
+      extends StatefulProcessor[Long, AB, WinningBid] {
     // inFlightEnd stores the auction's end as the payload analog of the
     // reference's ValueState<AuctionEvent0> (only presence gates timer
     // registration — the timer itself carries the expiry, like the
     // reference's onTimer). `resolved` marks a key whose timer already
     // fired, so post-resolution bids are DROPPED instead of accumulating
-    // forever: the reference appends them to its never-again-read
-    // ListState unboundedly (processElement has no resolved check), which
-    // this port improves to a single residual boolean per key.
+    // forever; the flag itself is purged by a timer at resolution +
+    // purgeHorizonMs. `cleanupAt` tracks the pending orphan-bid cleanup
+    // timer so it registers once and can be cancelled when the auction
+    // shows up.
     @transient private var inFlightEnd: ValueState[Long] = _
     @transient private var resolved: ValueState[Boolean] = _
     @transient private var bids: ListState[QxBid] = _
+    @transient private var cleanupAt: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       // names mirror the reference's state descriptors
@@ -54,6 +67,8 @@ object NexmarkTws {
         "resolved", Encoders.scalaBoolean, TTLConfig.NONE)
       bids = getHandle.getListState[QxBid](
         "window-contents", Encoders.product[QxBid], TTLConfig.NONE)
+      cleanupAt = getHandle.getValueState[Long](
+        "cleanup-at", Encoders.scalaLong, TTLConfig.NONE)
     }
 
     override def handleInputRows(key: Long, rows: Iterator[AB],
@@ -65,6 +80,11 @@ object NexmarkTws {
           if (!inFlightEnd.exists()) {
             inFlightEnd.update(e.end)
             getHandle.registerTimer(e.end)
+            // the auction's own timer owns this key's lifecycle now
+            if (cleanupAt.exists()) {
+              getHandle.deleteTimer(cleanupAt.get())
+              cleanupAt.clear()
+            }
           }
         } else {
           // no ts <= end filter, like the reference: onTimer scans the
@@ -73,6 +93,13 @@ object NexmarkTws {
           // eligible — the declarative flavor's BETWEEN start AND end is
           // the spec-clean variant
           bids.appendValue(QxBid(e.bidder, e.price, e.ts))
+          // orphan-bid bound: if no auction is in flight, arm one cleanup
+          // timer so a key whose auction never arrives still frees its list
+          if (!inFlightEnd.exists() && !cleanupAt.exists()) {
+            val at = e.ts + purgeHorizonMs
+            getHandle.registerTimer(at)
+            cleanupAt.update(at)
+          }
         }
       }
       Iterator.empty
@@ -80,25 +107,35 @@ object NexmarkTws {
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
                                     expiredTimerInfo: ExpiredTimerInfo): Iterator[WinningBid] = {
-      var best: QxBid = null
-      bids.get().foreach { b =>
-        val better = best == null || b.price > best.price ||
-          (b.price == best.price && (b.ts > best.ts ||
-            (b.ts == best.ts && b.bidder < best.bidder)))
-        if (better) best = b
+      if (inFlightEnd.exists()) {
+        // auction resolution (reference onTimer, NexmarkQueryX.java:691-762)
+        var best: QxBid = null
+        bids.get().foreach { b =>
+          val better = best == null || b.price > best.price ||
+            (b.price == best.price && (b.ts > best.ts ||
+              (b.ts == best.ts && b.bidder < best.bidder)))
+          if (better) best = b
+        }
+        inFlightEnd.clear()
+        bids.clear()
+        resolved.update(true)
+        // purge the tombstone once late bids can no longer plausibly arrive
+        getHandle.registerTimer(expiredTimerInfo.getExpiryTimeInMs() + purgeHorizonMs)
+        if (best != null)
+          Iterator.single(WinningBid(key, best.bidder, best.price, best.ts))
+        else Iterator.empty
+      } else {
+        if (resolved.exists()) resolved.clear() // tombstone purge
+        else { bids.clear(); cleanupAt.clear() } // orphan-bid cleanup
+        Iterator.empty
       }
-      inFlightEnd.clear()
-      bids.clear()
-      resolved.update(true)
-      if (best != null)
-        Iterator.single(WinningBid(key, best.bidder, best.price, best.ts))
-      else Iterator.empty
     }
   }
 
   /** Same input shape as [[NexmarkStateful.qxStateful]]; emits each
     * auction's winner when the watermark passes `auction.end`. */
-  def qxWinningBidsTws(bids: Dataset[Bid], auctions: Dataset[Auction]): Dataset[WinningBid] = {
+  def qxWinningBidsTws(bids: Dataset[Bid], auctions: Dataset[Auction],
+                       purgeHorizonMs: Long = NexmarkStateful.QXBackupTimeoutMs): Dataset[WinningBid] = {
     import bids.sparkSession.implicits._
     val b = bids.map(x => AB(x.auctionId, isAuction = false, -1L, x.personId, x.bid, x.timestamp))
     val a = auctions.map(x => AB(x.auctionId, isAuction = true, x.end, -1L, -1.0, x.timestamp))
@@ -108,7 +145,7 @@ object NexmarkTws {
       .as[AB]
     withTime
       .groupByKey(_.auctionId)
-      .transformWithState(new QxWinningBidProcessor,
+      .transformWithState(new QxWinningBidProcessor(purgeHorizonMs),
         TimeMode.EventTime(), OutputMode.Append(), Encoders.product[WinningBid])
   }
 }

@@ -139,6 +139,14 @@ object LatencySink {
   * `flushBytes` (8 MiB default). `close()` flushes unconditionally. A
   * non-positive `flushBytes` flushes every append (for golden tests that
   * read the file mid-run).
+  *
+  * Restart semantics: the cumulative sinks' stats reset when a sink is
+  * recreated (checkpoint restart), so appending to a pre-existing file
+  * would produce a series whose cumulative counts drop mid-file —
+  * consumers parsing it as monotone would misread it. A fresh appender
+  * therefore ROTATES any existing non-empty file to the first free
+  * `<path>.N` before writing, so every file holds exactly one monotone
+  * run (and the rotated files preserve the history).
   */
 final class CsvAppender(path: String, header: String,
                         flushBytes: Long = CsvAppender.DefaultFlushBytes) {
@@ -148,12 +156,15 @@ final class CsvAppender(path: String, header: String,
   private def ensure(): Unit = if (writer == null) {
     val f = new File(path)
     Option(f.getParentFile).foreach(_.mkdirs())
-    val fresh = !f.exists()
-    writer = new java.io.BufferedWriter(new FileWriter(f, true))
-    if (fresh) {
-      writer.write(header); writer.newLine()
-      writtenSoFar += (header.length + 1) * 2
+    if (f.exists() && f.length() > 0) {
+      val rotated = Iterator.from(1).map(n => new File(s"$path.$n"))
+        .find(!_.exists()).get
+      if (!f.renameTo(rotated))
+        throw new java.io.IOException(s"cannot rotate $path to $rotated")
     }
+    writer = new java.io.BufferedWriter(new FileWriter(f, true))
+    writer.write(header); writer.newLine()
+    writtenSoFar += (header.length + 1) * 2
   }
 
   def append(rows: Seq[String]): Unit = synchronized {

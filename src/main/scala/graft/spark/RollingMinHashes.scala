@@ -23,15 +23,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * equal the direct Σ codes[i+j]·31^(w-1-j) polynomial both engines
   * compute — the DuckDB oracle keeps the declarative formulation.
   *
-  * Input contract: ASCII text (bytes == code points), which the
-  * normalized-text column guarantees (`[a-z0-9 ]` after normalization);
-  * matches `ascii(c)` per-char codes in both dialects.
+  * Input contract (ENFORCED where checkable): `window` is bounded to
+  * [[RollingMinHashes.MaxWindow]] (= 10) at analysis time — the largest
+  * width for which the polynomial 255·Σ_{j<w}31^j ≈ 6.97e15 stays below
+  * 2^53, so the kernel's int64 values equal what an engine computing the
+  * same polynomial in DOUBLE (the DuckDB-oracle formulation) produces,
+  * for every byte value. The remaining caveat is data-dependent and only
+  * documented: the kernel hashes UTF-8 BYTES, so non-ASCII text hashes
+  * per byte rather than per code point (diverging from a per-character
+  * `ascii(c)` formulation). The normalized-text column (`[a-z0-9 ]`)
+  * guarantees ASCII, where bytes == code points.
   */
 case class RollingMinHashes(child: Expression, window: Int, k: Int)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType if window > 0 && k > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType if window > 0 && window <= RollingMinHashes.MaxWindow && k > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType if window > RollingMinHashes.MaxWindow => TypeCheckResult.TypeCheckFailure(
+      s"rolling_min_hashes window must be <= ${RollingMinHashes.MaxWindow} " +
+        "(larger windows overflow the exact-arithmetic bound 255*sum(31^j) < 2^53 " +
+        "that keeps the hash values identical across int64 and double engines)")
     case StringType => TypeCheckResult.TypeCheckFailure(
       "rolling_min_hashes requires positive window and k")
     case t => TypeCheckResult.TypeCheckFailure(
@@ -52,10 +64,15 @@ case class RollingMinHashes(child: Expression, window: Int, k: Int)
 }
 
 object RollingMinHashes {
+  /** Largest window for which 255·Σ_{j<w}31^j < 2^53 (see class doc). */
+  val MaxWindow: Int = 10
+
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[RollingMinHashes].getName, null, "rolling_min_hashes",
     "_FUNC_(s, window, k) - k smallest rolling 31-polynomial hashes of " +
-      "window-char substrings, ascending.", "")
+      "window-char substrings, ascending. Contract: window <= 10 (exact-" +
+      "arithmetic bound, enforced); hashes UTF-8 bytes, so non-ASCII text " +
+      "hashes per byte, not per code point — normalize to ASCII first.", "")
 
   def compute(s: UTF8String, window: Int, k: Int): GenericArrayData = {
     val bytes = s.getBytes

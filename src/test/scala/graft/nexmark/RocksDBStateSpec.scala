@@ -92,4 +92,60 @@ class RocksDBStateSpec extends SparkSpec {
       }
     }
   }
+
+  test("TWS QX purges orphan bids and the resolved tombstone after the horizon") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val t0 = 1893456000000L
+      val horizon = 10000L
+      val key = 7L
+      val sk = Long.MaxValue / 2 // sentinel auction keys advance the watermark
+      def bid(ts: Long, bidder: Long, price: Double) =
+        Bid(ts, ts, key, bidder, -1L, price)
+      def auction(id: Long, ts: Long, end: Long) =
+        Auction(ts, id, 1L, 1L, 1.0, ts, end, 1L, "s", "s", ts)
+      val msB = MemoryStream[Bid]
+      val msA = MemoryStream[Auction]
+      val q = NexmarkTws.qxWinningBidsTws(msB.toDS(), msA.toDS(), purgeHorizonMs = horizon)
+        .toDF.writeStream.format("memory").queryName("twspurge")
+        .outputMode("append").start()
+      try {
+        def step(f: => Unit): Unit = { f; q.processAllAvailable() }
+        // orphan bids (highest price in the run — they'd win if retained)
+        step { msB.addData(Seq(bid(t0, 111L, 99.0), bid(t0 + 1, 112L, 99.0))) }
+        step { msA.addData(Seq(auction(sk, t0 + 20000, t0 + 21000))) }      // wm -> t0+18s
+        step { msA.addData(Seq(auction(sk + 1, t0 + 22000, t0 + 23000))) }  // cleanup timer (t0+10s) fires
+        // the real auction for `key` + one fresh bid
+        step {
+          msA.addData(Seq(auction(key, t0 + 22000, t0 + 30000)))
+          msB.addData(Seq(bid(t0 + 22001, 222L, 42.0)))
+        }
+        step { msA.addData(Seq(auction(sk + 2, t0 + 40000, t0 + 41000))) }  // wm -> t0+38s
+        step { msA.addData(Seq(auction(sk + 3, t0 + 60000, t0 + 61000))) }  // key resolves (end t0+30s < wm)
+        step { msA.addData(Seq(auction(sk + 4, t0 + 80000, t0 + 81000))) }  // tombstone purge (t0+40s) fires
+        // second lifecycle of the same key proves `resolved` was purged
+        step {
+          msA.addData(Seq(auction(key, t0 + 80000, t0 + 90000)))
+          msB.addData(Seq(bid(t0 + 80001, 333L, 7.5)))
+        }
+        step { msA.addData(Seq(auction(sk + 5, t0 + 100000, t0 + 101000))) } // wm -> t0+98s
+        step { msA.addData(Seq(auction(sk + 6, t0 + 120000, t0 + 121000))) } // second resolution fires
+      } finally q.stop()
+      val got = spark.table("twspurge").collect()
+        .filter(_.getLong(0) == key)
+        .map(r => (r.getLong(1), r.getDouble(2))).toSet
+      // orphan 99.0 bids were purged (not 111/112); tombstone was purged
+      // (second lifecycle emitted at all)
+      assert(got == Set((222L, 42.0), (333L, 7.5)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

@@ -132,6 +132,28 @@ class SinkAndSourceSpec extends SparkSpec {
     assert(lines(2).split(",")(6) == "100.0") // bidMin across all batches
   }
 
+  test("K1-K3: a fresh sink rotates a pre-existing CSV so each file is one monotone run") {
+    import graft.nexmark.sink.CsvAppender
+    val dir = Files.createTempDirectory("csvrotate")
+    val csv = s"$dir/lat.csv"
+    // run 1 writes two rows
+    val a1 = new CsvAppender(csv, "h1,h2", flushBytes = 1)
+    a1.append(Seq("1,100", "2,200")); a1.close()
+    // "restart": a fresh appender (recreated sink, reset cumulative stats)
+    // must NOT append non-monotone rows to the old file — it rotates it
+    val a2 = new CsvAppender(csv, "h1,h2", flushBytes = 1)
+    a2.append(Seq("1,50")); a2.close()
+    val run2 = scala.io.Source.fromFile(csv).getLines().toSeq
+    assert(run2 == Seq("h1,h2", "1,50"))
+    val run1 = scala.io.Source.fromFile(s"$csv.1").getLines().toSeq
+    assert(run1 == Seq("h1,h2", "1,100", "2,200"))
+    // a third run rotates to the next free suffix, preserving both
+    val a3 = new CsvAppender(csv, "h1,h2", flushBytes = 1)
+    a3.append(Seq("9,900")); a3.close()
+    assert(scala.io.Source.fromFile(s"$csv.2").getLines().toSeq == run2)
+    assert(scala.io.Source.fromFile(csv).getLines().toSeq == Seq("h1,h2", "9,900"))
+  }
+
   test("K4: reference partitioner port is byte-exact degenerate for ids < 2^32") {
     // the reference hashes only the HIGH 4 key bytes: every id < 2^32
     // hashes identically (the documented reason partitionFor diverges)

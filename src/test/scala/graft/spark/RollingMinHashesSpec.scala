@@ -33,4 +33,14 @@ class RollingMinHashesSpec extends SparkSpec {
     assert(r.getSeq[Long](1).length == 3 && r.getSeq[Long](1).distinct.length == 1)
     assert(r.getSeq[Long](2).length == 2)
   }
+
+  test("rolling_min_hashes rejects windows beyond the exact-arithmetic bound") {
+    // w = 10 is the largest window with 255*sum(31^j) < 2^53 (see class doc)
+    assert(spark.sql("SELECT rolling_min_hashes('abcdefghijkl', 10, 3)")
+      .collect()(0).getSeq[Long](0).length == 3)
+    val e = intercept[Exception] {
+      spark.sql("SELECT rolling_min_hashes('abcdefghijkl', 11, 3)").collect()
+    }
+    assert(e.getMessage.contains("window must be <= 10"), e.getMessage)
+  }
 }
