@@ -194,20 +194,35 @@ object Similarity extends QueryModule {
     */
   private val LshBands = 4
   private val LshBitsPerBand = 12
-  private def lshCoordPairs: Seq[(Int, Seq[(Int, Int, Int)])] =
-    (0 until LshBands).map { b =>
-      b -> (0 until LshBitsPerBand).map { j =>
-        val i1 = b * LshBitsPerBand + j
+  private def coordPairs(nBands: Int, bitsPerBand: Int): Seq[(Int, Seq[(Int, Int, Int)])] =
+    (0 until nBands).map { b =>
+      b -> (0 until bitsPerBand).map { j =>
+        val i1 = b * bitsPerBand + j
         (1 << j, i1, (37 * i1 + 11) % 64)
       }
     }
+  private def lshCoordPairs: Seq[(Int, Seq[(Int, Int, Int)])] =
+    coordPairs(LshBands, LshBitsPerBand)
 
-  def lshDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val bandKeys = lshCoordPairs.map { case (_, bits) =>
+  /** One sign-comparison band key Column per band. */
+  private def bandKeyCols(pairs: Seq[(Int, Seq[(Int, Int, Int)])]): Seq[Column] =
+    pairs.map { case (_, bits) =>
       bits.map { case (w, i1, i2) =>
         expr(s"CASE WHEN element_at(emb, ${i1 + 1}) > element_at(emb, ${i2 + 1}) THEN $w ELSE 0 END")
       }.reduce(_ + _)
     }
+
+  /** DuckDB UNION ALL band-select block over CTE `e(vec_id, emb)`. */
+  private def bandSelectsSql(pairs: Seq[(Int, Seq[(Int, Int, Int)])]): String =
+    pairs.map { case (b, bits) =>
+      val sum = bits.map { case (w, i1, i2) =>
+        s"CASE WHEN emb[${i1 + 1}] > emb[${i2 + 1}] THEN $w ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, $sum AS bkey FROM e"
+    }.mkString("\n  UNION ALL\n  ")
+
+  def lshDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bandKeys = bandKeyCols(lshCoordPairs)
     val e = vecs(spark, dir)
     val bands = e.select(col("vec_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
@@ -226,12 +241,7 @@ object Similarity extends QueryModule {
   }
 
   def lshDupPairsSql: String = {
-    val bandSelects = lshCoordPairs.map { case (b, bits) =>
-      val sum = bits.map { case (w, i1, i2) =>
-        s"CASE WHEN emb[${i1 + 1}] > emb[${i2 + 1}] THEN $w ELSE 0 END"
-      }.mkString(" + ")
-      s"SELECT vec_id, $b AS band, $sum AS bkey FROM e"
-    }.mkString("\n  UNION ALL\n  ")
+    val bandSelects = bandSelectsSql(lshCoordPairs)
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
        |  WHERE sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) > 0
@@ -245,6 +255,138 @@ object Similarity extends QueryModule {
        |SELECT vec_a, vec_b, ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos6
        |FROM cands JOIN e a ON vec_a = a.vec_id JOIN e b ON vec_b = b.vec_id
        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.15
+       |""".stripMargin
+  }
+
+  /** Embedding-cosine near-duplicate DEDUP: the full near-dup pipeline the
+    * pair query above feeds — LSH band candidates, exact-cosine verify at
+    * the threshold, then a canonical-representative pick so every vector
+    * maps to one keeper row.
+    *
+    * Canonicalization is the same 1-hop min-id assignment as the text
+    * pipeline's [[TextPipeline.dupClusters]]: a vector's canon_id is the
+    * smallest id among itself and its verified near-duplicates. Because
+    * verified pairs are oriented (vec_a < vec_b), only the min over a
+    * vector's *smaller* partners matters — one hash aggregation plus a
+    * broadcast-able left join against the (small) partner-min table; no
+    * iteration, no window over the full vector set. Full connected
+    * components would iterate the same pass to a fixed point (documented,
+    * not needed for dedup-keep-one semantics).
+    *
+    * Scale: candidates are band-bucket bounded exactly like
+    * [[lshDupPairs]]; the verify join touches candidates only; the final
+    * join is |vectors| ⋈ |vectors-with-a-smaller-dup| (small) — linear
+    * end to end.
+    */
+  private val DedupTau = 0.15
+  def cosineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val bands = e.select(col("vec_id"),
+      posexplode(array(bandKeyCols(lshCoordPairs): _*)).as(Seq("band", "bkey")))
+    val x = bands.as("x"); val y = bands.as("y")
+    val cands = x.join(y,
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val ea = e.select(col("vec_id").as("vec_a"), col("emb").as("qemb"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("emb").as("cemb"))
+    val verified = cands.join(ea, "vec_a").join(eb, "vec_b")
+      .filter(cosine(col("qemb"), col("cemb")) >= DedupTau)
+      .select(col("vec_a"), col("vec_b"))
+    // min smaller-partner per vector; partners are oriented a < b so the
+    // min over vec_a is always < vec_b — coalesce(minA, own id) = 1-hop min
+    val partnerMin = verified.groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("min_dup"))
+    e.select(col("vec_id"))
+      .join(broadcast(partnerMin), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("min_dup"), col("vec_id")).as("canon_id"))
+      .withColumn("is_canonical", (col("vec_id") === col("canon_id")).cast("int"))
+  }
+
+  def cosineDedupSql: String = {
+    val bandSelects = bandSelectsSql(lshCoordPairs)
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+       |  WHERE sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) > 0
+       |), bands AS (
+       |  $bandSelects
+       |), cands AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
+       |), verified AS (
+       |  SELECT vec_a, vec_b FROM cands JOIN e a ON vec_a = a.vec_id JOIN e b ON vec_b = b.vec_id
+       |  WHERE list_cosine_similarity(a.emb, b.emb) >= $DedupTau
+       |), pm AS (
+       |  SELECT vec_b AS vec_id, MIN(vec_a) AS min_dup FROM verified GROUP BY vec_b
+       |)
+       |SELECT e.vec_id, COALESCE(min_dup, e.vec_id) AS canon_id,
+       |       CAST(e.vec_id = COALESCE(min_dup, e.vec_id) AS INT) AS is_canonical
+       |FROM e LEFT JOIN pm ON e.vec_id = pm.vec_id
+       |""".stripMargin
+  }
+
+  /** LSH-bucketed ANN top-k — the bucketed scale path next to [[knnIvf]]:
+    * a query's candidate set is every vector sharing at least one band
+    * bucket with it; only candidates are cosine-scored and ranked.
+    *
+    * Bucket geometry differs from the dup-pair path on purpose: KNN wants
+    * RECALL (a top-k result must be *in* some shared bucket), so buckets
+    * are wider — KnnLshBits=6 bits → 64 buckets per band, ~N/64 vectors
+    * per bucket — while dup detection wants PRECISION and uses 12 bits.
+    * At 1 B vectors the same dial applies: bits ≈ log2(N/B) for target
+    * bucket size B, bands set the recall. Candidate generation is the
+    * banded bucket join (linear, skew-free by construction); scoring
+    * touches |candidates| ≈ bands × N/2^bits per query, not N.
+    *
+    * A query with fewer than TopK reachable candidates returns fewer rows
+    * — that's the honest ANN semantics (recall < 1), and the oracle
+    * agrees row-for-row.
+    */
+  private val KnnLshBands = 4
+  private val KnnLshBits = 6
+  def knnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = coordPairs(KnnLshBands, KnnLshBits)
+    val e = vecs(spark, dir)
+    val bands = e.select(col("vec_id"),
+      posexplode(array(bandKeyCols(pairs): _*)).as(Seq("band", "bkey")))
+    val qbands = bands.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("band"), col("bkey"))
+    val cands = broadcast(qbands).join(bands, Seq("band", "bkey"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val c = e.select(col("vec_id"), col("emb").as("cemb"))
+    val scored = cands.join(c, "vec_id").join(broadcast(q), "query_id")
+      .withColumn("cos", cosine(col("qemb"), col("cemb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc_nulls_last, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos6"), col("rk"))
+  }
+
+  def knnLshSql: String = {
+    val bandSelects = bandSelectsSql(coordPairs(KnnLshBands, KnnLshBits))
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+       |  WHERE sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) > 0
+       |), bands AS (
+       |  $bandSelects
+       |), cands AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, v.vec_id
+       |  FROM bands q JOIN bands v ON q.band = v.band AND q.bkey = v.bkey
+       |  WHERE q.vec_id % $QueryMod = 0 AND v.vec_id <> q.vec_id
+       |), scored AS (
+       |  SELECT query_id, c.vec_id, list_cosine_similarity(qe.emb, ce.emb) AS cos
+       |  FROM cands c JOIN e qe ON qe.vec_id = query_id JOIN e ce ON ce.vec_id = c.vec_id
+       |)
+       |SELECT query_id, vec_id, ROUND(cos, 6) AS cos6,
+       |       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC NULLS LAST, vec_id ASC) AS rk
+       |FROM scored QUALIFY rk <= $TopK
        |""".stripMargin
   }
 
@@ -313,6 +455,8 @@ object Similarity extends QueryModule {
     "s_knn_ivf" -> (knnIvf _),
     "s_dot_topk" -> (dotTopk _),
     "s_lsh_dup_pairs" -> (lshDupPairs _),
+    "s_cosine_dedup" -> (cosineDedup _),
+    "s_knn_lsh" -> (knnLsh _),
     "s_label_stats" -> (labelStats _),
   )
 
@@ -321,6 +465,8 @@ object Similarity extends QueryModule {
     "s_knn_ivf" -> knnIvfSql,
     "s_dot_topk" -> dotTopkSql,
     "s_lsh_dup_pairs" -> lshDupPairsSql,
+    "s_cosine_dedup" -> cosineDedupSql,
+    "s_knn_lsh" -> knnLshSql,
     "s_label_stats" -> labelStatsSql,
   )
 }
