@@ -176,6 +176,65 @@ object Relational extends QueryModule {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |""".stripMargin
 
+  /** Arbitrary GROUPING SETS (beyond rollup's prefix chain): the
+    * (priority, status) / (priority) / () lattice in one pass. Spark plans
+    * one Expand + one hash aggregation — rows are replicated once per
+    * matching set BEFORE the partial agg, so the shuffle still carries
+    * only |distinct groups| × |sets| pre-reduced rows at 100 TB.
+    * `grouping()` flags (not NULL checks) disambiguate the ALL rows from
+    * genuine NULL group values.
+    */
+  def groupingSetsSummary(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           centsSum("o_totalprice").as("sum_total"),
+           grouping(col("o_orderpriority")).as("gp"),
+           grouping(col("o_orderstatus")).as("gs"))
+      .select(
+        when(col("gp") === 1, lit("ALL")).otherwise(col("o_orderpriority")).as("priority"),
+        when(col("gs") === 1, lit("ALL")).otherwise(col("o_orderstatus")).as("status"),
+        col("n_orders"), col("sum_total"))
+  }
+
+  def groupingSetsSummarySql: String =
+    """SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+      |       CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+      |       COUNT(*) AS n_orders,
+      |       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+      |""".stripMargin
+
+  /** Pivot (long→wide): order counts by priority × status. Explicit value
+    * list (`O`/`F`/`P`) so the plan is a single pass — Spark's
+    * values-unspecified pivot runs an extra distinct job first, and an
+    * unbounded value set is a schema explosion at scale. Empty cells are
+    * count 0 (coalesced: Spark pivot yields NULL for no-row cells, the
+    * oracle's FILTER count yields 0).
+    */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupBy(col("o_orderpriority").as("priority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .select(col("priority"),
+        coalesce(col("O"), lit(0L)).as("n_open"),
+        coalesce(col("F"), lit(0L)).as("n_filled"),
+        coalesce(col("P"), lit(0L)).as("n_pending"))
+  }
+
+  def pivotStatusSql: String =
+    """SELECT o_orderpriority AS priority,
+      |       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+      |       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+      |       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+      |FROM orders GROUP BY o_orderpriority
+      |""".stripMargin
+
   /** Running total per customer over their orders (window aggregation).
     * Frame is ROWS UNBOUNDED PRECEDING over a total order (date, key) so
     * both engines accumulate the same integer cents in the same order.
@@ -359,6 +418,8 @@ object Relational extends QueryModule {
     "r_region_revenue" -> (regionRevenue _),
     "r_semi_anti_customers" -> (semiAntiCustomers _),
     "r_rollup_summary" -> (rollupSummary _),
+    "r_grouping_sets" -> (groupingSetsSummary _),
+    "r_pivot" -> (pivotStatus _),
     "r_running_order_total" -> (runningOrderTotal _),
     "r_priority_stats" -> (priorityStats _),
     "r_json_props" -> (jsonProps _),
@@ -374,6 +435,8 @@ object Relational extends QueryModule {
     "r_region_revenue" -> regionRevenueSql,
     "r_semi_anti_customers" -> semiAntiCustomersSql,
     "r_rollup_summary" -> rollupSummarySql,
+    "r_grouping_sets" -> groupingSetsSummarySql,
+    "r_pivot" -> pivotStatusSql,
     "r_running_order_total" -> runningOrderTotalSql,
     "r_priority_stats" -> priorityStatsSql,
     "r_json_props" -> jsonPropsSql,
