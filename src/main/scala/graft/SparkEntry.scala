@@ -17,6 +17,7 @@ object SparkEntry {
     graft.queries.Relational,
     graft.queries.TextPipeline,
     graft.queries.Similarity,
+    graft.queries.StreamingBench,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,6 +1,6 @@
 package graft.nexmark
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import graft.nexmark.codec.BinaryCodec
 
 /** Spark-native source layer (SURVEY §2.1):
@@ -62,15 +62,28 @@ object NexmarkSources {
   def bidStreamDsv2(spark: SparkSession, cfg: GenConfig, parallelism: Int,
                     rows: Long, rowsPerBatch: Long): Dataset[Bid] = {
     import spark.implicits._
+    entityStreamDsv2(spark, "bids", cfg, parallelism, rows, rowsPerBatch).as[Bid]
+  }
+  def personStreamDsv2(spark: SparkSession, cfg: GenConfig, parallelism: Int,
+                       rows: Long, rowsPerBatch: Long): Dataset[Person] = {
+    import spark.implicits._
+    entityStreamDsv2(spark, "persons", cfg, parallelism, rows, rowsPerBatch).as[Person]
+  }
+  def auctionStreamDsv2(spark: SparkSession, cfg: GenConfig, parallelism: Int,
+                        rows: Long, rowsPerBatch: Long): Dataset[Auction] = {
+    import spark.implicits._
+    entityStreamDsv2(spark, "auctions", cfg, parallelism, rows, rowsPerBatch).as[Auction]
+  }
+  private def entityStreamDsv2(spark: SparkSession, entity: String, cfg: GenConfig,
+                               parallelism: Int, rows: Long, rowsPerBatch: Long): DataFrame =
     spark.readStream.format("nexmark")
-      .option("entity", "bids")
+      .option("entity", entity)
       .option("rows", rows).option("rowsPerBatch", rowsPerBatch)
       .option("parallelism", parallelism)
       .option("seed", cfg.seed)
       .option("baseTimestamp", cfg.baseTimestamp)
       .option("eventsPerSecond", cfg.eventsPerSecond)
-      .load().as[Bid]
-  }
+      .load()
 
   private def rateStream(spark: SparkSession, rowsPerBatch: Int): Dataset[Long] = {
     import spark.implicits._

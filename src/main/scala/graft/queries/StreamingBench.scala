@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.nexmark.{GenConfig, NexmarkSources}
+import graft.nexmark.queries.{NexmarkQueries, NexmarkStateful}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** End-to-end streaming THROUGHPUT surface: bounded generator volumes
+  * through the real Structured Streaming topologies, measured by the same
+  * driver bench that times the batch queries. These are the artifacts
+  * behind "matches the reference's single-node throughput": each entry
+  * drives `rows(sf)` events through source → query → file sink inside the
+  * query function, so the bench's wall-second number IS events ÷ seconds.
+  *
+  * Design choices, all scale-first:
+  *   - the source is the DSv2 `format("nexmark")` generator — one input
+  *     partition per reference subtask, admission-controlled batches
+  *     (deterministic batch boundaries → deterministic watermark sequence
+  *     → deterministic append-mode output, which the driver's rows-only
+  *     check relies on);
+  *   - the sink is a PARQUET FILE SINK, not a memory sink: results stay
+  *     executor-side exactly as they would on a cluster; the returned
+  *     DataFrame just re-reads the sink directory;
+  *   - append mode + watermark: the final, unfinalized window is withheld
+  *     — honest streaming semantics (the reference's sinks also only see
+  *     fired windows). Volumes are sized so multiple windows finalize at
+  *     every tested sf ≥ 0.01.
+  *
+  * No oracle entries: DuckDB cannot run a watermark/trigger pipeline, so
+  * the driver records the weaker rows-only check for these (the windowed
+  * AGGREGATION semantics are oracle-gated separately via the batch
+  * queries; specs cover the streaming paths).
+  */
+object StreamingBench extends QueryModule {
+
+  private val Parallelism = 8
+  /** Per-subtask admission-control batch size: fixed (not sf-scaled) so
+    * watermark advancement per batch — and therefore output — stays
+    * deterministic per sf.
+    */
+  private val RowsPerBatch = 50000L
+
+  /** Scale factor encoded in the test-data dir name ("…/sf0.1"). */
+  private def sfOf(dir: String): Double =
+    "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.01)
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run a bounded streaming DataFrame to a parquet file sink with
+    * Trigger.AvailableNow, return the sink contents (empty-but-typed if no
+    * window finalized).
+    *
+    * shuffle.partitions is pinned to the source parallelism for the run:
+    * every stateful operator creates one state store PER shuffle partition
+    * and commits each of them EVERY micro-batch, so a 3-stateful-operator
+    * pipeline (agg → join → agg) at 32 partitions × 7 batches pays ~700
+    * state commits of pure overhead. Sizing stores to the actual
+    * parallelism is the same knob a cluster deployment tunes (state store
+    * count ≈ cores, not default-200). Restored after the run so batch
+    * queries in the same session keep their own setting.
+    */
+  private def runToParquet(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val id = s"${name}_${runSeq.incrementAndGet()}"
+    val base = java.nio.file.Files.createTempDirectory(s"graftstream_$id")
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", Parallelism)
+    try {
+      df.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val wrote = new java.io.File(out).listFiles() != null &&
+      new java.io.File(out).listFiles().exists(f => f.getName.endsWith(".parquet"))
+    if (wrote) spark.read.schema(df.schema).parquet(out)
+    else // no finalized window at this volume: empty but schema-typed
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+  }
+
+  /** Q5 hot-auctions windowed agg over a generated bid stream.
+    * sf0.1 → 1,000,000 bids (125k per subtask × 8).
+    */
+  def streamQ5Hot(spark: SparkSession, dir: String): DataFrame = {
+    val rows = math.max(1L, (10000000L * sfOf(dir) / Parallelism).toLong)
+    val bids = NexmarkSources.bidStreamDsv2(
+      spark, GenConfig(eventsPerSecond = 1000L), Parallelism, rows, RowsPerBatch)
+    runToParquet(spark, NexmarkQueries.q5HotAuctions(bids, "5 seconds"), "q5hot")
+  }
+
+  /** Q8 new-users windowed two-stream join: persons ⋈ auctions per window.
+    * Person and auction streams cover the SAME event-time span (person
+    * eps scaled by the 1:4 volume ratio) so the min-watermark across the
+    * two sources advances steadily instead of stalling on the smaller
+    * stream.  sf0.1 → 250k persons + 1M auctions.
+    */
+  def streamQ8Join(spark: SparkSession, dir: String): DataFrame = {
+    val sf = sfOf(dir)
+    val aRows = math.max(1L, (10000000L * sf / Parallelism).toLong)
+    val pRows = math.max(1L, aRows / 4)
+    val persons = NexmarkSources.personStreamDsv2(
+      spark, GenConfig(eventsPerSecond = 250L), Parallelism, pRows, RowsPerBatch)
+    val auctions = NexmarkSources.auctionStreamDsv2(
+      spark, GenConfig(eventsPerSecond = 1000L), Parallelism, aRows, RowsPerBatch)
+    runToParquet(spark, NexmarkQueries.q8NewUsers(persons, auctions, "5 seconds"), "q8join")
+  }
+
+  /** QX winning-bid arbitrary-state port (flatMapGroupsWithState with
+    * event-time timers at auction end): the stateful-throughput number.
+    * eps 100 stretches the event-time span (~125 s at sf0.1) so most
+    * 10-second auctions END inside the stream and resolve via their timer.
+    * sf0.1 → 100k auctions + 400k bids.
+    */
+  def streamQxWinning(spark: SparkSession, dir: String): DataFrame = {
+    val sf = sfOf(dir)
+    val aRows = math.max(1L, (1000000L * sf / Parallelism).toLong)
+    val bRows = aRows * 4
+    val auctions = NexmarkSources.auctionStreamDsv2(
+      spark, GenConfig(eventsPerSecond = 100L), Parallelism, aRows, RowsPerBatch)
+    val bids = NexmarkSources.bidStreamDsv2(
+      spark, GenConfig(eventsPerSecond = 400L), Parallelism, bRows, RowsPerBatch)
+    runToParquet(spark, NexmarkStateful.qxStateful(bids, auctions).toDF, "qxwin")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_q5_hot" -> (streamQ5Hot _),
+    "stream_q8_join" -> (streamQ8Join _),
+    "stream_qx_winning" -> (streamQxWinning _),
+  )
+
+  /** No DuckDB oracles: trigger/watermark pipelines are not expressible in
+    * batch SQL; the driver records rows-only checks.
+    */
+  val oracles: Map[String, String] = Map.empty
+}
