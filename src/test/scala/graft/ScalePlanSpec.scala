@@ -1,0 +1,104 @@
+package graft
+
+import graft.nexmark.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Plan-shape proofs for the two cluster-scale techniques that can't show
+  * up in the MB-scale bench numbers but decide 100 TB viability:
+  *
+  *   1. BUCKETED CO-LOCATED JOIN — pre-bucketing both fact tables on the
+  *      join key removes the per-query shuffle entirely (SURVEY §9.3's
+  *      "reuse a partitioning across stages": pay one shuffle at write
+  *      time, join shuffle-free forever after). The assertion is on the
+  *      physical plan: a SortMergeJoin with NO Exchange on either side.
+  *
+  *   2. AQE SKEW-JOIN SPLIT — the runtime guard for hot keys the salting
+  *      in knnBrute handles statically: AQE splits an oversized shuffle
+  *      partition into parallel sub-reads. Thresholds are lowered so the
+  *      MB-scale fixture triggers the same code path a hot key would at
+  *      production scale; the assertion is the `skew=true` marker on the
+  *      final adaptive plan.
+  *
+  * Both tests save/restore every session conf they touch (the
+  * SparkSession is shared across suites).
+  */
+class ScalePlanSpec extends SparkSpec {
+
+  private def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("bucketed tables join without any exchange (co-located SMJ)") {
+    val dir = java.nio.file.Files.createTempDirectory("graftbuckets")
+    val sfDir = "/root/testdata/sf0.001"
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "false", // inspect the static plan
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1" // force the SMJ path
+    ) {
+      try {
+        Tables.lineitem(spark, sfDir)
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$dir/li").saveAsTable("li_bucketed")
+        Tables.orders(spark, sfDir)
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$dir/ord").saveAsTable("ord_bucketed")
+
+        val joined = spark.table("li_bucketed")
+          .join(spark.table("ord_bucketed"),
+                col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_custkey").agg(sum("l_extendedprice").as("rev"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+        // the join itself must be exchange-free; the groupBy above the
+        // join still shuffles (on o_custkey), so scope the assertion to
+        // the subtree below the join by planning the bare join
+        val bare = spark.table("li_bucketed")
+          .join(spark.table("ord_bucketed"),
+                col("l_orderkey") === col("o_orderkey"))
+        val barePlan = bare.queryExecution.executedPlan.toString
+        assert(!barePlan.contains("Exchange"),
+          s"bucketed join must not shuffle:\n$barePlan")
+        assert(bare.count() > 0)
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+      }
+    }
+  }
+
+  test("AQE splits a skewed shuffle partition (skew=true in final plan)") {
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // production defaults are 256 MB / factor 5; scaled to the fixture
+      // so one hot key exceeds factor x median exactly like a hot seller
+      // would at 100 TB
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768"
+    ) {
+      // key 0 carries ~1/3 of all rows; the rest are unique
+      val big = spark.range(300000L)
+        .select(when(col("id") % 3 === 0, 0L).otherwise(col("id")).as("k"),
+                col("id").as("v"))
+      val small = spark.range(0L, 1000L).select(col("id").as("k"), lit(1).as("w"))
+      val joined = big.join(small, "k")
+      // collect() executes joined's OWN QueryExecution (count() would plan
+      // a fresh one and leave this plan unexecuted / isFinalPlan=false)
+      assert(joined.collect().nonEmpty)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE skew split in final plan:\n$finalPlan")
+    }
+  }
+}
