@@ -434,6 +434,49 @@ object Similarity extends QueryModule {
        |FROM s QUALIFY rk <= $TopK
        |""".stripMargin
 
+  /** Symmetric int8 vector quantization (the 4× storage/bandwidth cut an
+    * embedding store takes before ANN serving): per-vector scale =
+    * max(|x_i|), q_i = round(x_i / scale × 127). Pure map work — no
+    * shuffle, no UDF, one codegen'd projection. The output is the
+    * quantization AUDIT (scale + q-space summary per vector: sum, min,
+    * max, saturation count) rather than the int8 array itself — array
+    * columns don't cross the driver's hash compare, and the summary pins
+    * down every quantized value arithmetically.
+    *
+    * Cross-engine exactness: x / scale * 127 evaluates left-to-right in
+    * both engines on identical doubles; ROUND(double) to an integer is
+    * half-away-from-zero in BOTH Spark and DuckDB (the banned pattern is
+    * ROUND(x, n) with n > 0, whose scaling differs).
+    */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .withColumn("scale", expr("array_max(transform(emb, x -> abs(x)))"))
+      .withColumn("q", expr("transform(emb, x -> cast(round(x / scale * 127) as bigint))"))
+      .select(col("vec_id"), col("scale"),
+        expr("aggregate(q, 0L, (a, v) -> a + v)").as("q_sum"),
+        expr("array_min(q)").as("q_min"),
+        expr("array_max(q)").as("q_max"),
+        expr("cast(size(filter(q, v -> abs(v) = 127)) as bigint)").as("n_saturated"))
+
+  def quantizeInt8Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      |  WHERE sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) > 0
+      |), s AS (
+      |  SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS scale FROM e
+      |), q AS (
+      |  SELECT vec_id, scale,
+      |         list_transform(emb, x -> CAST(ROUND(x / scale * 127) AS BIGINT)) AS qv
+      |  FROM s
+      |)
+      |SELECT vec_id, scale,
+      |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+      |       list_min(qv) AS q_min,
+      |       list_max(qv) AS q_max,
+      |       CAST(LEN(list_filter(qv, v -> abs(v) = 127)) AS BIGINT) AS n_saturated
+      |FROM q
+      |""".stripMargin
+
   /** Per-label vector statistics (sanity/profiling pass). */
   def labelStats(spark: SparkSession, dir: String): DataFrame =
     vecs(spark, dir).groupBy(col("label"))
@@ -457,6 +500,7 @@ object Similarity extends QueryModule {
     "s_lsh_dup_pairs" -> (lshDupPairs _),
     "s_cosine_dedup" -> (cosineDedup _),
     "s_knn_lsh" -> (knnLsh _),
+    "s_quantize_int8" -> (quantizeInt8 _),
     "s_label_stats" -> (labelStats _),
   )
 
@@ -467,6 +511,7 @@ object Similarity extends QueryModule {
     "s_lsh_dup_pairs" -> lshDupPairsSql,
     "s_cosine_dedup" -> cosineDedupSql,
     "s_knn_lsh" -> knnLshSql,
+    "s_quantize_int8" -> quantizeInt8Sql,
     "s_label_stats" -> labelStatsSql,
   )
 }

@@ -648,6 +648,90 @@ object TextPipeline extends QueryModule {
       |FROM f WHERE frame_idx % 4 = 0
       |""".stripMargin
 
+  /** Corpus vocabulary: global top-K words by frequency. Two shuffles
+    * total — explode feeds a partial-aggregated count (shuffle bytes ∝
+    * |vocab|, not |tokens|), then orderBy.limit plans as
+    * TakeOrderedAndProject (per-partition K-row heap + K-row merge), so
+    * the full vocabulary is never sorted on one node. Tie-break on the
+    * word keeps the cut deterministic.
+    */
+  private val VocabK = 100
+  def vocabTopk(spark: SparkSession, dir: String): DataFrame =
+    docsNorm(spark, dir)
+      .select(explode(col("words")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(VocabK)
+
+  def vocabTopkSql: String =
+    s"""SELECT word, COUNT(*) AS cnt
+       |FROM (SELECT UNNEST(string_split(${normSql("text")}, ' ')) AS word FROM documents)
+       |WHERE LENGTH(word) > 0
+       |GROUP BY word
+       |ORDER BY cnt DESC, word ASC
+       |LIMIT $VocabK
+       |""".stripMargin
+
+  /** Document-length histogram: 100-char buckets with per-bucket token
+    * stats — the size-profile pass every corpus curation run starts with.
+    * Single hash aggregation; bucket arithmetic is exact int math.
+    */
+  def lenHistogram(spark: SparkSession, dir: String): DataFrame =
+    docsNorm(spark, dir)
+      .select(floor(length(col("nc")).cast("double") / 100.0).cast("bigint").as("bucket"),
+              size(col("words")).as("n_tokens"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("sum_tokens"),
+           expr(Det.r4("sum(n_tokens) / count(1)")).as("avg_tokens"))
+
+  def lenHistogramSql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(FLOOR(LENGTH(${normSql("text")}) / 100.0) AS BIGINT) AS bucket,
+       |         LEN(string_split(${normSql("text")}, ' ')) AS n_tokens
+       |  FROM documents
+       |)
+       |SELECT bucket, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
+       |       ${Det.r4("SUM(n_tokens) / COUNT(1)")} AS avg_tokens
+       |FROM d GROUP BY bucket
+       |""".stripMargin
+
+  /** Deterministic stratified sampling: keep-rate per language stratum,
+    * keyed on a content hash (first md5 word via the native
+    * [[graft.spark.Md5Words]] kernel) so the sample is reproducible
+    * across engines, runs, AND repartitions — rand()-based sampling is
+    * none of those. The downsampling step of every training-data mix:
+    * map-side filter, no shuffle at all.
+    */
+  private val SampleRates: Seq[(String, Int)] = Seq("en" -> 50, "de" -> 35)
+  private val DefaultRate = 20
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = SampleRates.foldRight(lit(DefaultRate)) { case ((l, r), acc) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+              pmod(element_at(call_function("md5_words", col("text")), 1), lit(100L)).as("samp_key"))
+      .withColumn("keep_rate", rate)
+      .filter(col("samp_key") < col("keep_rate"))
+      .select(col("doc_id"), col("lang"), col("source"), col("samp_key"))
+  }
+
+  def stratifiedSampleSql: String = {
+    val rateCase = SampleRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", s" ELSE $DefaultRate END")
+    // first md5 word: hex chars [0, 8) folded as base-16 digits (Horner)
+    s"""WITH hx AS (
+       |  SELECT doc_id, lang, source, md5(text) AS h FROM documents
+       |), keyed AS (
+       |  SELECT doc_id, lang, source, CAST(${sqlWord(0)} % 100 AS BIGINT) AS samp_key FROM hx
+       |)
+       |SELECT doc_id, lang, source, samp_key
+       |FROM keyed WHERE samp_key < $rateCase
+       |""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> (tokenStats _),
     "t_lang_id" -> (langId _),
@@ -661,6 +745,9 @@ object TextPipeline extends QueryModule {
     "t_dup_clusters" -> (dupClusters _),
     "t_corpus_filter" -> (corpusFilter _),
     "t_winnow_fingerprint" -> (winnowFingerprint _),
+    "t_vocab_topk" -> (vocabTopk _),
+    "t_len_histogram" -> (lenHistogram _),
+    "t_stratified_sample" -> (stratifiedSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -676,5 +763,8 @@ object TextPipeline extends QueryModule {
     "t_dup_clusters" -> dupClustersSql,
     "t_corpus_filter" -> corpusFilterSql,
     "t_winnow_fingerprint" -> winnowFingerprintSql,
+    "t_vocab_topk" -> vocabTopkSql,
+    "t_len_histogram" -> lenHistogramSql,
+    "t_stratified_sample" -> stratifiedSampleSql,
   )
 }
