@@ -159,6 +159,17 @@ object NexmarkStateful {
         fresh
       }
     }
+
+    /** Per-task handle: resolves the shared counter ONCE per deserialized
+      * task (transient lazy val) instead of taking the registry lock once
+      * per key-group per micro-batch — with person-id key cardinality that
+      * lock would serialize millions of group invocations per batch across
+      * all cores. The LRU is still touched every task, so active entries
+      * stay hot under the cap.
+      */
+    final class Handle(id: String) extends Serializable {
+      @transient lazy val counter: java.util.concurrent.atomic.AtomicLong = get(id)
+    }
   }
 
   /** NexmarkQuery8.java:602-662 (reused by Q11 with bids,
@@ -172,7 +183,7 @@ object NexmarkStateful {
     */
   def joinUdfStateful(elems: Dataset[PA], sampleEvery: Long = 200000L): Dataset[Query8Output] = {
     import elems.sparkSession.implicits._
-    val counterId = ProbeCounters.freshId()
+    val probe = new ProbeCounters.Handle(ProbeCounters.freshId())
     val withTime = elems.toDF
       .withColumn("eventTime", timestamp_millis(col("creationTs")))
       .withWatermark("eventTime", "2 seconds")
@@ -184,7 +195,7 @@ object NexmarkStateful {
         case (personId, rows, state: GroupState[Q8State]) =>
           var st = state.getOption.getOrElse(Q8State(-1L, -1L, hasPerson = false, 0L))
           val out = Iterator.newBuilder[Query8Output]
-          val seen = ProbeCounters.get(counterId)
+          val seen = probe.counter
           rows.foreach { e =>
             if (e.isPerson) {
               st = st.copy(personTs = e.creationTs, personIngest = e.ingestionTs, hasPerson = true)

@@ -78,13 +78,17 @@ object NexmarkTws {
           // register once per auction, like the reference's null guard
           // (NexmarkQueryX.java:641-646)
           if (!inFlightEnd.exists()) {
-            inFlightEnd.update(e.end)
-            getHandle.registerTimer(e.end)
-            // the auction's own timer owns this key's lifecycle now
+            // retire the orphan-cleanup timer BEFORE registering at e.end:
+            // if cleanupAt == e.end the (key, ts) timer slot is shared, and
+            // delete-after-register would remove the resolution timer just
+            // armed — leaving the auction unresolved and its state retained
+            // forever
             if (cleanupAt.exists()) {
               getHandle.deleteTimer(cleanupAt.get())
               cleanupAt.clear()
             }
+            inFlightEnd.update(e.end)
+            getHandle.registerTimer(e.end)
           }
         } else {
           // no ts <= end filter, like the reference: onTimer scans the

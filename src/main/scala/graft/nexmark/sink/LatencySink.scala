@@ -152,8 +152,13 @@ final class CsvAppender(path: String, header: String,
                         flushBytes: Long = CsvAppender.DefaultFlushBytes) {
   private var writer: java.io.BufferedWriter = _
   private var writtenSoFar: Long = 0
+  private var closed = false
 
   private def ensure(): Unit = if (writer == null) {
+    // append-after-close would silently rotate the file THIS appender just
+    // wrote and split one logical run across two files — make it loud
+    if (closed)
+      throw new IllegalStateException(s"append after close() on CsvAppender($path)")
     val f = new File(path)
     Option(f.getParentFile).foreach(_.mkdirs())
     if (f.exists() && f.length() > 0) {
@@ -182,6 +187,7 @@ final class CsvAppender(path: String, header: String,
 
   def close(): Unit = synchronized {
     if (writer != null) { writer.flush(); writer.close(); writer = null }
+    closed = true
   }
 }
 

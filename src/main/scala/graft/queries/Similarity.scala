@@ -36,6 +36,15 @@ object Similarity extends QueryModule {
   private val TopK = 5
   private val Salts = 8
 
+  /** Shared DuckDB oracle CTE body (the SQL twin of [[vecs]]): vectors
+    * with a positive norm, cast to double. Interpolated into every
+    * similarity oracle so the norm guard can never silently diverge
+    * between queries.
+    */
+  private val VecsCteSql: String =
+    "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings\n" +
+    "  WHERE sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) > 0"
+
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
@@ -75,8 +84,7 @@ object Similarity extends QueryModule {
 
   def knnBruteSql: String =
     s"""WITH e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-       |  WHERE sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) > 0
+       |  $VecsCteSql
        |), q AS (
        |  SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id % $QueryMod = 0
        |), s AS (
@@ -144,8 +152,7 @@ object Similarity extends QueryModule {
 
   def knnIvfSql: String =
     s"""WITH e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-       |  WHERE sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) > 0
+       |  $VecsCteSql
        |), cent AS (
        |  SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % $CentroidMod = 0
        |), sims AS (
@@ -243,8 +250,7 @@ object Similarity extends QueryModule {
   def lshDupPairsSql: String = {
     val bandSelects = bandSelectsSql(lshCoordPairs)
     s"""WITH e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-       |  WHERE sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) > 0
+       |  $VecsCteSql
        |), bands AS (
        |  $bandSelects
        |), cands AS (
@@ -260,18 +266,21 @@ object Similarity extends QueryModule {
 
   /** Embedding-cosine near-duplicate DEDUP: the full near-dup pipeline the
     * pair query above feeds — LSH band candidates, exact-cosine verify at
-    * the threshold, then a canonical-representative pick so every vector
-    * maps to one keeper row.
+    * the threshold, then a canonical-representative pick.
     *
-    * Canonicalization is the same 1-hop min-id assignment as the text
+    * Canonicalization is the same 1-HOP min-id assignment as the text
     * pipeline's [[TextPipeline.dupClusters]]: a vector's canon_id is the
-    * smallest id among itself and its verified near-duplicates. Because
-    * verified pairs are oriented (vec_a < vec_b), only the min over a
-    * vector's *smaller* partners matters — one hash aggregation plus a
-    * broadcast-able left join against the (small) partner-min table; no
-    * iteration, no window over the full vector set. Full connected
-    * components would iterate the same pass to a fixed point (documented,
-    * not needed for dedup-keep-one semantics).
+    * smallest id among itself and its DIRECT verified near-duplicates
+    * (is_canonical=1 ⟺ "no verified near-dup with a smaller id"). On a
+    * duplicate CHAIN a→b→c where (a,c) itself is not verified, c's
+    * canon_id is b, which is itself non-canonical — transitive-closure
+    * semantics (every canon_id canonical) would need the same pass
+    * iterated to a fixed point (O(log chain-length) rounds), which real
+    * near-dup thresholds (~0.95) rarely require. Because verified pairs
+    * are oriented (vec_a < vec_b), only the min over a vector's *smaller*
+    * partners matters — one hash aggregation plus a broadcast-able left
+    * join against the (small) partner-min table; no iteration, no window
+    * over the full vector set.
     *
     * Scale: candidates are band-bucket bounded exactly like
     * [[lshDupPairs]]; the verify join touches candidates only; the final
@@ -308,8 +317,7 @@ object Similarity extends QueryModule {
   def cosineDedupSql: String = {
     val bandSelects = bandSelectsSql(lshCoordPairs)
     s"""WITH e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-       |  WHERE sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) > 0
+       |  $VecsCteSql
        |), bands AS (
        |  $bandSelects
        |), cands AS (
@@ -372,8 +380,7 @@ object Similarity extends QueryModule {
   def knnLshSql: String = {
     val bandSelects = bandSelectsSql(coordPairs(KnnLshBands, KnnLshBits))
     s"""WITH e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-       |  WHERE sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) > 0
+       |  $VecsCteSql
        |), bands AS (
        |  $bandSelects
        |), cands AS (
@@ -421,8 +428,7 @@ object Similarity extends QueryModule {
 
   def dotTopkSql: String =
     s"""WITH e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-       |  WHERE sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) > 0
+       |  $VecsCteSql
        |), q AS (
        |  SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id % $QueryMod = 0
        |), s AS (
@@ -459,9 +465,8 @@ object Similarity extends QueryModule {
         expr("cast(size(filter(q, v -> abs(v) = 127)) as bigint)").as("n_saturated"))
 
   def quantizeInt8Sql: String =
-    """WITH e AS (
-      |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-      |  WHERE sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) > 0
+    s"""WITH e AS (
+      |  $VecsCteSql
       |), s AS (
       |  SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS scale FROM e
       |), q AS (

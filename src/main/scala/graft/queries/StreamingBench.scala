@@ -46,6 +46,24 @@ object StreamingBench extends QueryModule {
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Sink/checkpoint temp dirs live until JVM exit (the returned DataFrame
+    * lazily re-reads the sink parquet, so they can't be deleted inline);
+    * a shutdown hook bounds the accumulation across bench/verify/spec
+    * invocations on the shared box.
+    */
+  private val tmpDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    sys.addShutdownHook {
+      tmpDirs.forEach { base =>
+        try {
+          java.nio.file.Files.walk(base)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+        } catch { case _: Throwable => () }
+      }
+    }
+  }
+
   /** Run a bounded streaming DataFrame to a parquet file sink with
     * Trigger.AvailableNow, return the sink contents (empty-but-typed if no
     * window finalized).
@@ -62,6 +80,7 @@ object StreamingBench extends QueryModule {
   private def runToParquet(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
     val id = s"${name}_${runSeq.incrementAndGet()}"
     val base = java.nio.file.Files.createTempDirectory(s"graftstream_$id")
+    tmpDirs.add(base)
     val out = s"$base/out"; val ckpt = s"$base/ckpt"
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", Parallelism)
