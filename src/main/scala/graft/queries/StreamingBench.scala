@@ -142,10 +142,38 @@ object StreamingBench extends QueryModule {
     runToParquet(spark, NexmarkStateful.qxStateful(bids, auctions).toDF, "qxwin")
   }
 
+  /** Same QX topology on the Spark 4 transformWithState API (named
+    * state + real per-key timers) over RocksDB — the 1:1 Flink
+    * KeyedProcessFunction mapping's throughput number, measured against
+    * [[streamQxWinning]]'s flatMapGroupsWithState at identical volume.
+    * Provider conf is set/restored around the run (transformWithState
+    * requires multi-column-family state, i.e. RocksDB).
+    */
+  def streamQxTws(spark: SparkSession, dir: String): DataFrame = {
+    val sf = sfOf(dir)
+    val aRows = math.max(1L, (1000000L * sf / Parallelism).toLong)
+    val bRows = aRows * 4
+    val auctions = NexmarkSources.auctionStreamDsv2(
+      spark, GenConfig(eventsPerSecond = 100L), Parallelism, aRows, RowsPerBatch)
+    val bids = NexmarkSources.bidStreamDsv2(
+      spark, GenConfig(eventsPerSecond = 400L), Parallelism, bRows, RowsPerBatch)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runToParquet(spark,
+      graft.nexmark.queries.NexmarkTws.qxWinningBidsTws(bids, auctions).toDF, "qxtws")
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_q5_hot" -> (streamQ5Hot _),
     "stream_q8_join" -> (streamQ8Join _),
     "stream_qx_winning" -> (streamQxWinning _),
+    "stream_qx_tws" -> (streamQxTws _),
   )
 
   /** No DuckDB oracles: trigger/watermark pipelines are not expressible in
