@@ -732,6 +732,45 @@ object TextPipeline extends QueryModule {
        |""".stripMargin
   }
 
+  /** Cross-table corpus selection: the end-of-pipeline curation decision
+    * joining TEXT signals (token count) with EMBEDDING signals (vector
+    * norm) — keep docs that pass both. documents⋈embeddings on the shared
+    * id is the fact-fact equi-join of this schema: one hash shuffle on the
+    * id here; at 100 TB both sides would be bucketBy(id) at write time and
+    * the join goes Exchange-free (the exact plan proven in
+    * `ScalePlanSpec`'s co-located-join test). Norm doubles are sequential
+    * IEEE folds, bit-identical across engines (same contract as
+    * [[Similarity]]).
+    */
+  private val CurationMinTokens = 20
+  def embedCuration(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsNorm(spark, dir)
+      .select(col("doc_id"), col("lang"), size(col("words")).as("n_tokens"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        expr("sqrt(aggregate(transform(cast(embedding as array<double>), x -> x * x), 0D, (a, x) -> a + x))")
+          .as("nrm"))
+    d.join(e, d("doc_id") === e("vec_id"))
+      .filter(col("n_tokens") >= CurationMinTokens &&
+              col("nrm") >= 0.5 && col("nrm") <= 2.0)
+      .select(col("doc_id"), col("lang"), col("label"), col("n_tokens"), col("nrm"))
+  }
+
+  def embedCurationSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |         LEN(string_split(${normSql("text")}, ' ')) AS n_tokens
+       |  FROM documents
+       |), e AS (
+       |  SELECT vec_id, label,
+       |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+       |  FROM embeddings
+       |)
+       |SELECT doc_id, lang, label, n_tokens, nrm
+       |FROM d JOIN e ON doc_id = vec_id
+       |WHERE n_tokens >= $CurationMinTokens AND nrm >= 0.5 AND nrm <= 2.0
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> (tokenStats _),
     "t_lang_id" -> (langId _),
@@ -748,6 +787,7 @@ object TextPipeline extends QueryModule {
     "t_vocab_topk" -> (vocabTopk _),
     "t_len_histogram" -> (lenHistogram _),
     "t_stratified_sample" -> (stratifiedSample _),
+    "t_embed_curation" -> (embedCuration _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -766,5 +806,6 @@ object TextPipeline extends QueryModule {
     "t_vocab_topk" -> vocabTopkSql,
     "t_len_histogram" -> lenHistogramSql,
     "t_stratified_sample" -> stratifiedSampleSql,
+    "t_embed_curation" -> embedCurationSql,
   )
 }

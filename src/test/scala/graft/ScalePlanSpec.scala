@@ -74,6 +74,33 @@ class ScalePlanSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // the third scale lever next to bucketing and skew split: when a dim
+    // side is filtered selectively, Catalyst injects a bloom-filter
+    // semi-join onto the fact scan so non-matching fact rows die at the
+    // scan instead of crossing the shuffle — at 100 TB that is the
+    // difference between shuffling the full fact table and shuffling the
+    // matching slice. Thresholds lowered so the MB-scale fixture takes
+    // the same code path.
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // keep the SMJ shape
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0"
+    ) {
+      val sfDir = "/root/testdata/sf0.001"
+      val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_extendedprice")
+      val o = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT") // selective dim side
+        .select("o_orderkey", "o_custkey")
+      val joined = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("might_contain"),
+        s"expected an injected runtime bloom filter:\n$plan")
+      assert(joined.count() > 0)
+    }
+  }
+
   test("AQE splits a skewed shuffle partition (skew=true in final plan)") {
     withConfs(
       "spark.sql.adaptive.enabled" -> "true",
