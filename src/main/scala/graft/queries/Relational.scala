@@ -235,6 +235,82 @@ object Relational extends QueryModule {
       |FROM orders GROUP BY o_orderpriority
       |""".stripMargin
 
+  /** FULL OUTER join with genuinely unmatched rows on BOTH sides:
+    * customers who placed only urgent orders vs only low-priority orders
+    * vs both. Each side is pre-aggregated before the join (shuffle carries
+    * |distinct customers| rows, not |orders|), and the join key is the
+    * same custkey both sides so one hash shuffle serves agg + join.
+    */
+  def outerJoinPriorities(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey").as("ck_u")).agg(count(lit(1)).as("n_urgent"))
+    val low = o.filter(col("o_orderpriority") === "5-LOW")
+      .groupBy(col("o_custkey").as("ck_l")).agg(count(lit(1)).as("n_low"))
+    urgent.join(low, col("ck_u") === col("ck_l"), "full_outer")
+      .select(coalesce(col("ck_u"), col("ck_l")).as("custkey"),
+              coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+              coalesce(col("n_low"), lit(0L)).as("n_low"))
+      .withColumn("has_both",
+        (col("n_urgent") > 0 && col("n_low") > 0).cast("int"))
+  }
+
+  def outerJoinPrioritiesSql: String =
+    """WITH u AS (
+      |  SELECT o_custkey AS ck_u, COUNT(*) AS n_urgent FROM orders
+      |  WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+      |), l AS (
+      |  SELECT o_custkey AS ck_l, COUNT(*) AS n_low FROM orders
+      |  WHERE o_orderpriority = '5-LOW' GROUP BY o_custkey
+      |)
+      |SELECT COALESCE(ck_u, ck_l) AS custkey,
+      |       COALESCE(n_urgent, 0) AS n_urgent,
+      |       COALESCE(n_low, 0) AS n_low,
+      |       CAST(COALESCE(n_urgent, 0) > 0 AND COALESCE(n_low, 0) > 0 AS INT) AS has_both
+      |FROM u FULL OUTER JOIN l ON ck_u = ck_l
+      |""".stripMargin
+
+  /** Window-frame breadth in one pass: an integer RANGE frame (30-day
+    * rolling spend — peers included by value, not row position), ntile
+    * quartiles over an independent ordering, and a ROWS-frame
+    * first_value. All three windows share the custkey partition key, so
+    * Spark plans ONE shuffle and re-sorts within partitions per ordering.
+    * Money in the rolling frame uses integer cents (set-based frame sum —
+    * order-independent and exact).
+    */
+  def windowFrames(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("bigint").as("d"),
+        col("o_totalprice"))
+    val wRange = Window.partitionBy(col("custkey")).orderBy(col("d"))
+      .rangeBetween(-30, Window.currentRow)
+    val wNtile = Window.partitionBy(col("custkey"))
+      .orderBy(col("o_totalprice").desc, col("orderkey").asc)
+    val wRows = Window.partitionBy(col("custkey"))
+      .orderBy(col("d").asc, col("orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(col("custkey"), col("orderkey"), col("d"),
+        (sum(expr("cast(round(o_totalprice * 100) as bigint)")).over(wRange)
+          .cast("double") / 100.0).as("roll30"),
+        ntile(4).over(wNtile).cast("bigint").as("spend_quartile"),
+        first(col("orderkey")).over(wRows).as("first_ok"))
+  }
+
+  def windowFramesSql: String =
+    """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+      |       CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS d,
+      |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+      |         PARTITION BY o_custkey ORDER BY (CAST(o_orderdate AS DATE) - DATE '1992-01-01')
+      |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS roll30,
+      |       CAST(NTILE(4) OVER (PARTITION BY o_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS spend_quartile,
+      |       FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+      |         ORDER BY (CAST(o_orderdate AS DATE) - DATE '1992-01-01') ASC, o_orderkey ASC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_ok
+      |FROM orders
+      |""".stripMargin
+
   /** Running total per customer over their orders (window aggregation).
     * Frame is ROWS UNBOUNDED PRECEDING over a total order (date, key) so
     * both engines accumulate the same integer cents in the same order.
@@ -420,6 +496,8 @@ object Relational extends QueryModule {
     "r_rollup_summary" -> (rollupSummary _),
     "r_grouping_sets" -> (groupingSetsSummary _),
     "r_pivot" -> (pivotStatus _),
+    "r_outer_join" -> (outerJoinPriorities _),
+    "r_window_frames" -> (windowFrames _),
     "r_running_order_total" -> (runningOrderTotal _),
     "r_priority_stats" -> (priorityStats _),
     "r_json_props" -> (jsonProps _),
@@ -437,6 +515,8 @@ object Relational extends QueryModule {
     "r_rollup_summary" -> rollupSummarySql,
     "r_grouping_sets" -> groupingSetsSummarySql,
     "r_pivot" -> pivotStatusSql,
+    "r_outer_join" -> outerJoinPrioritiesSql,
+    "r_window_frames" -> windowFramesSql,
     "r_running_order_total" -> runningOrderTotalSql,
     "r_priority_stats" -> priorityStatsSql,
     "r_json_props" -> jsonPropsSql,
