@@ -1,5 +1,6 @@
 package graft.nexmark
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 /** DSv2 `format("nexmark")` source: per-partition subtask strides, schema
@@ -51,5 +52,38 @@ class NexmarkDataSourceSpec extends SparkSpec {
     // bounded: 1000 events x 2 subtasks; admission control ceil(1000/300)=4 batches
     assert(spark.table("nexmarkdsv2").count() == 2000)
     assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+  }
+
+  test("checkpoint resume is exactly-once (no duplicate rows after restart)") {
+    // run 1 drains a 1000-events-per-subtask bound to a parquet file sink;
+    // run 2 reuses the SAME checkpoint with the bound raised to 2500 — the
+    // source must resume from the committed offset (eventId 1000), and the
+    // file sink's manifest must admit each batch exactly once: total rows
+    // == 2500 × parallelism with every (subtask-strided) bidId distinct.
+    val base = java.nio.file.Files.createTempDirectory("nexmarkresume")
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    def run(rows: Int): Unit = {
+      val df = spark.readStream.format("nexmark")
+        .option("entity", "bids").option("rows", rows.toString)
+        .option("parallelism", "2").option("rowsPerBatch", "400")
+        .load()
+      val q = df.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    run(1000)
+    val firstCount = spark.read.parquet(out).count()
+    assert(firstCount == 2000, s"run 1 wrote $firstCount")
+    run(2500)
+    val result = spark.read.parquet(out)
+    assert(result.count() == 5000)
+    // the generator emits exactly one bid per (subtask, eventId) and
+    // timestamp == base + eventId, so every timestamp must appear exactly
+    // parallelism (=2) times — a replayed batch would push some to 4,
+    // a skipped one to 0
+    val perTs = result.groupBy("timestamp").count()
+    assert(perTs.count() == 2500)
+    assert(perTs.filter(col("count") =!= 2L).count() == 0)
   }
 }
