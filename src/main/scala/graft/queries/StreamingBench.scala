@@ -132,6 +132,15 @@ object StreamingBench extends QueryModule {
     * sf0.1 → 100k auctions + 400k bids.
     */
   def streamQxWinning(spark: SparkSession, dir: String): DataFrame = {
+    val (bids, auctions) = qxSources(spark, dir)
+    runToParquet(spark, NexmarkStateful.qxStateful(bids, auctions).toDF, "qxwin")
+  }
+
+  /** Shared QX source volumes: stream_qx_winning and stream_qx_tws are a
+    * state-backend HEAD-TO-HEAD, so their inputs must stay identical —
+    * one definition, no drift.
+    */
+  private def qxSources(spark: SparkSession, dir: String) = {
     val sf = sfOf(dir)
     val aRows = math.max(1L, (1000000L * sf / Parallelism).toLong)
     val bRows = aRows * 4
@@ -139,7 +148,7 @@ object StreamingBench extends QueryModule {
       spark, GenConfig(eventsPerSecond = 100L), Parallelism, aRows, RowsPerBatch)
     val bids = NexmarkSources.bidStreamDsv2(
       spark, GenConfig(eventsPerSecond = 400L), Parallelism, bRows, RowsPerBatch)
-    runToParquet(spark, NexmarkStateful.qxStateful(bids, auctions).toDF, "qxwin")
+    (bids, auctions)
   }
 
   /** Same QX topology on the Spark 4 transformWithState API (named
@@ -150,13 +159,7 @@ object StreamingBench extends QueryModule {
     * requires multi-column-family state, i.e. RocksDB).
     */
   def streamQxTws(spark: SparkSession, dir: String): DataFrame = {
-    val sf = sfOf(dir)
-    val aRows = math.max(1L, (1000000L * sf / Parallelism).toLong)
-    val bRows = aRows * 4
-    val auctions = NexmarkSources.auctionStreamDsv2(
-      spark, GenConfig(eventsPerSecond = 100L), Parallelism, aRows, RowsPerBatch)
-    val bids = NexmarkSources.bidStreamDsv2(
-      spark, GenConfig(eventsPerSecond = 400L), Parallelism, bRows, RowsPerBatch)
+    val (bids, auctions) = qxSources(spark, dir)
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,

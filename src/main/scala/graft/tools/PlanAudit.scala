@@ -2,8 +2,9 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Plan-quality audit over every SparkEntry query: counts shuffles,
-  * join strategies, codegen coverage, and scan pruning — the checklist the
+/** Plan-quality audit over every batch SparkEntry query (stream_* entries
+  * are skipped — see the note at the loop): counts shuffles, join
+  * strategies, codegen coverage, and scan pruning — the checklist the
   * 100 TB design review cares about. runMain graft.tools.PlanAudit [sfDir]
   */
 object PlanAudit {

@@ -70,7 +70,9 @@ class NexmarkDataSourceSpec extends SparkSpec {
       val q = df.writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      // fail crisply on timeout: a still-running query would hold the
+      // checkpoint and turn run 2 into a misleading conflict failure
+      assert(q.awaitTermination(120000), "stream did not drain in 120s")
     }
     run(1000)
     val firstCount = spark.read.parquet(out).count()
