@@ -151,6 +151,19 @@ object StreamingBench extends QueryModule {
     (bids, auctions)
   }
 
+  /** Q11 session windows over a generated bid stream — the heaviest
+    * stateful aggregation (merging session state, not fixed panes):
+    * rounds out the streaming surface next to the fixed-window agg (Q5),
+    * the stream-stream join (Q8) and arbitrary state (QX).
+    * sf0.1 → 1,000,000 bids, 5 s gap.
+    */
+  def streamQ11Sessions(spark: SparkSession, dir: String): DataFrame = {
+    val rows = math.max(1L, (10000000L * sfOf(dir) / Parallelism).toLong)
+    val bids = NexmarkSources.bidStreamDsv2(
+      spark, GenConfig(eventsPerSecond = 1000L), Parallelism, rows, RowsPerBatch)
+    runToParquet(spark, NexmarkQueries.sessions(bids, "5 seconds"), "q11sess")
+  }
+
   /** Same QX topology on the Spark 4 transformWithState API (named
     * state + real per-key timers) over RocksDB — the 1:1 Flink
     * KeyedProcessFunction mapping's throughput number, measured against
@@ -177,6 +190,7 @@ object StreamingBench extends QueryModule {
     "stream_q8_join" -> (streamQ8Join _),
     "stream_qx_winning" -> (streamQxWinning _),
     "stream_qx_tws" -> (streamQxTws _),
+    "stream_q11_sessions" -> (streamQ11Sessions _),
   )
 
   /** No DuckDB oracles: trigger/watermark pipelines are not expressible in
