@@ -312,6 +312,71 @@ object EventAnalytics extends QueryModule {
       |QUALIFY rk <= 5
       |""".stripMargin
 
+  /** AS-OF join (trades×quotes shape; the temporal-join operator family the
+    * QX winning-bid interval join belongs to, generalized): for every
+    * 'purchase' event, the same user's most recent 'view' event at-or-before
+    * the purchase time (LEFT semantics — purchases with no prior view keep
+    * nulls).
+    *
+    * Spark has no ASOF JOIN; the scalable formulation is union + running
+    * last_value, NOT a range join: tag views 0 / purchases 1, union, and a
+    * (user_id, ts, side)-ordered running `last(…, ignoreNulls)` carries the
+    * latest view forward to each probe. One shuffle on user_id, linear work
+    * — a non-equi range join would be O(views × purchases) per user and a
+    * backward-scan mapGroups would hold whole users in memory. Views are
+    * pre-reduced per (user_id, ts) with a max_by on event_id so equal-ts
+    * ties are deterministic in both engines (DuckDB ASOF leaves the pick
+    * unspecified otherwise).
+    */
+  def asofViewPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_event_id"),
+           max_by(col("value"), col("event_id")).as("view_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val tagged = views
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+              lit(null).cast("long").as("purchase_id"),
+              col("view_event_id"), col("view_value"))
+      .unionByName(purchases
+        .select(col("user_id"), col("ts"), lit(1).as("side"), col("purchase_id"),
+                lit(null).cast("long").as("view_event_id"),
+                lit(null).cast("double").as("view_value")))
+    // side orders views before probes at equal ts → inclusive (<=) semantics
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("m_event_id", last(col("view_event_id"), ignoreNulls = true).over(w))
+      .withColumn("m_value", last(col("view_value"), ignoreNulls = true).over(w))
+      .withColumn("m_ts", last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("purchase_id"), col("user_id"),
+              unix_millis(col("ts")).as("ts_ms"),
+              col("m_event_id").as("view_event_id"),
+              col("m_value").as("view_value"),
+              (unix_millis(col("ts")) - unix_millis(col("m_ts"))).as("gap_ms"))
+  }
+
+  def asofViewPurchaseSql: String =
+    """WITH v AS (
+      |  SELECT user_id, ts, MAX(event_id) AS view_event_id,
+      |         arg_max(value, event_id) AS view_value
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+      |), p AS (
+      |  SELECT event_id AS purchase_id, user_id, ts
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT p.purchase_id, p.user_id,
+      |       CAST(epoch_ms(p.ts) AS BIGINT) AS ts_ms,
+      |       v.view_event_id, v.view_value,
+      |       CAST(epoch_ms(p.ts) AS BIGINT) - CAST(epoch_ms(v.ts) AS BIGINT) AS gap_ms
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q5_hot_users" -> (hotUsers _),
     "q4_avg_max_value" -> (avgMaxValue _),
@@ -323,6 +388,7 @@ object EventAnalytics extends QueryModule {
     "q_sliding_load" -> (slidingLoad _),
     "qx_union_mix" -> (unionMix _),
     "q_topk_per_type" -> (topkPerType _),
+    "q_asof_join" -> (asofViewPurchase _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -336,5 +402,6 @@ object EventAnalytics extends QueryModule {
     "q_sliding_load" -> slidingLoadSql,
     "qx_union_mix" -> unionMixSql,
     "q_topk_per_type" -> topkPerTypeSql,
+    "q_asof_join" -> asofViewPurchaseSql,
   )
 }
