@@ -147,6 +147,13 @@ object LatencySink {
   * therefore ROTATES any existing non-empty file to the first free
   * `<path>.N` before writing, so every file holds exactly one monotone
   * run (and the rotated files preserve the history).
+  *
+  * Concurrency contract: SINGLE WRITER PER PATH. The rotation scan
+  * (find first free `<path>.N`, then rename) is not atomic; two appenders
+  * racing on the same path can pick the same rotation target and one
+  * rename fails loudly with IOException. Every sink in this codebase owns
+  * a distinct path (one appender per query run), matching the reference,
+  * where each sink instance likewise owns its own file.
   */
 final class CsvAppender(path: String, header: String,
                         flushBytes: Long = CsvAppender.DefaultFlushBytes) {

@@ -348,16 +348,20 @@ object EventAnalytics extends QueryModule {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one struct through the window so event_id/value/ts all come from the
+    // SAME matched view row (independent last() calls would skip a NULL
+    // view_value and pull it from an older view than the matched event_id)
     tagged
-      .withColumn("m_event_id", last(col("view_event_id"), ignoreNulls = true).over(w))
-      .withColumn("m_value", last(col("view_value"), ignoreNulls = true).over(w))
-      .withColumn("m_ts", last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("m", last(
+        when(col("side") === 0,
+             struct(col("ts"), col("view_event_id"), col("view_value"))),
+        ignoreNulls = true).over(w))
       .filter(col("side") === 1)
       .select(col("purchase_id"), col("user_id"),
               unix_millis(col("ts")).as("ts_ms"),
-              col("m_event_id").as("view_event_id"),
-              col("m_value").as("view_value"),
-              (unix_millis(col("ts")) - unix_millis(col("m_ts"))).as("gap_ms"))
+              col("m.view_event_id").as("view_event_id"),
+              col("m.view_value").as("view_value"),
+              (unix_millis(col("ts")) - unix_millis(col("m.ts"))).as("gap_ms"))
   }
 
   def asofViewPurchaseSql: String =

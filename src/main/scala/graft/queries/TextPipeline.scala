@@ -692,7 +692,8 @@ object TextPipeline extends QueryModule {
        |         LEN(string_split(${normSql("text")}, ' ')) AS n_tokens
        |  FROM documents
        |)
-       |SELECT bucket, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
+       |SELECT bucket, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
        |       ${Det.r4("SUM(n_tokens) / COUNT(1)")} AS avg_tokens
        |FROM d GROUP BY bucket
        |""".stripMargin

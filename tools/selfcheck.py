@@ -32,6 +32,14 @@ def compare(name, spark_df, duck_df):
     if len(spark_df) != len(duck_df):
         issues.append(f"row count: spark={len(spark_df)} duck={len(duck_df)}")
     a, b = canon(spark_df), canon(duck_df)
+    # The driver's hash gate is type-sensitive: a DuckDB HUGEINT (SUM of
+    # BIGINT) arrives here as float64 while Spark emits int64 — pandas
+    # value-equality would mask that, so flag dtype-kind drift explicitly.
+    for c in a.columns:
+        if a[c].dtype.kind != b[c].dtype.kind:
+            issues.append(
+                f"dtype kind mismatch col {c}: spark={a[c].dtype} duck={b[c].dtype}"
+                " (cast the oracle, e.g. CAST(SUM(x) AS BIGINT))")
     if len(a) == len(b):
         n_bad = 0
         first = None
