@@ -482,6 +482,105 @@ object Similarity extends QueryModule {
       |FROM q
       |""".stripMargin
 
+  /** Product-quantization ANN (IVF's companion memory-compression path):
+    * the 64-dim space splits into PqM subspaces of PqSubDim dims; each
+    * subspace gets a deterministic codebook (the sub-vectors of the
+    * CentroidMod pivot rows — same pivot rule as [[knnIvf]]'s centroids,
+    * k-means-free so the oracle is exact); every vector is encoded as its
+    * per-subspace nearest codeword and RECONSTRUCTED from the codebook;
+    * queries rank candidates by exact L2² against the reconstruction —
+    * asymmetric distance computation (ADC) in its reconstruction form.
+    *
+    * Scale: the codebook is ~sqrt(N) × PqM tiny arrays — broadcast; both
+    * the encode pass (N × PqM × K sub-distances against the broadcast
+    * codebook) and the scoring pass are shuffle-free narrow maps; encode
+    * argmin is a min_by hash-style aggregate with map-side partials (the
+    * same shape as knnIvf's assignment — never a row_number sort-window).
+    * Storage story at 1 B vectors: PqM bytes/vector instead of 256
+    * (64 × f32) — the 32× cut that makes in-memory ANN serving fit.
+    *
+    * Cross-engine exactness: every distance is the fixed composition
+    * ((a·a - 2·a·b) + b·b) over identical doubles — the three dots are
+    * sequential index-order folds (native dot_product ≡ DuckDB
+    * list_inner_product) and the outer arithmetic is ordered by parens,
+    * so both engines produce bit-identical doubles. Reconstruction order
+    * is pinned by sorting the collected (subspace, codeword) structs.
+    */
+  private val PqM = 8
+  private val PqSubDim = 8
+  private def dp(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
+  private def l2sq(a: Column, b: Column): Column =
+    (dp(a, a) - lit(2.0) * dp(a, b)) + dp(b, b)
+
+  /** PQ encode + reconstruct: (vec_id, remb) where `remb` is the vector
+    * rebuilt from its per-subspace nearest codewords — the decoded form a
+    * PQ index serves from. Exposed separately from [[knnPq]] so the
+    * reconstruction-identity property (a pivot row reconstructs to
+    * itself exactly) is directly testable.
+    */
+  def pqReconstruct(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val subStructs = (0 until PqM).map(j =>
+      struct(lit(j).as("j"), slice(col("emb"), j * PqSubDim + 1, PqSubDim).as("sub")))
+    val subs = e.select(col("vec_id"), explode(array(subStructs: _*)).as("s"))
+      .select(col("vec_id"), col("s.j").as("j"), col("s.sub").as("sub"))
+    val cw = subs.filter(col("vec_id") % CentroidMod === 0)
+      .select(col("vec_id").as("code"), col("j"), col("sub").as("cwv"))
+    // encode: per (vector, subspace) argmin codeword — min over (d2, code)
+    // so ties break to the lowest code id, matching the oracle's row_number
+    val assign = subs.join(broadcast(cw), "j")
+      .withColumn("d2", l2sq(col("sub"), col("cwv")))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+    // reconstruct: codewords back in subspace order, flattened to 64 dims
+    assign.join(broadcast(cw), Seq("j", "code"))
+      .groupBy(col("vec_id"))
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(j, cwv))), s -> s.cwv))").as("remb"))
+  }
+
+  def knnPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val recon = pqReconstruct(spark, dir)
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val scored = recon.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("d2", l2sq(col("qemb"), col("remb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc_nulls_last, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
+      .select(col("query_id"), col("vec_id"), round(col("d2"), 6).as("pqd6"), col("rk"))
+  }
+
+  def knnPqSql: String =
+    s"""WITH e AS (
+       |  $VecsCteSql
+       |), subs AS (
+       |  SELECT vec_id, j, list_slice(emb, j * $PqSubDim + 1, j * $PqSubDim + $PqSubDim) AS sub
+       |  FROM e, range(0, $PqM) t(j)
+       |), cw AS (
+       |  SELECT vec_id AS code, j, sub AS cwv FROM subs WHERE vec_id % $CentroidMod = 0
+       |), enc AS (
+       |  SELECT vec_id, j, code,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY
+       |           ((list_inner_product(sub, sub) - 2.0 * list_inner_product(sub, cwv)) + list_inner_product(cwv, cwv)) ASC,
+       |           code ASC) AS rn
+       |  FROM subs JOIN cw USING (j)
+       |), recon AS (
+       |  SELECT vec_id, flatten(list(cwv ORDER BY j)) AS remb
+       |  FROM enc JOIN cw USING (j, code) WHERE rn = 1 GROUP BY vec_id
+       |), q AS (
+       |  SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id % $QueryMod = 0
+       |), s AS (
+       |  SELECT query_id, r.vec_id,
+       |         ((list_inner_product(qemb, qemb) - 2.0 * list_inner_product(qemb, remb)) + list_inner_product(remb, remb)) AS d2
+       |  FROM q, recon r WHERE r.vec_id <> query_id
+       |)
+       |SELECT query_id, vec_id, ROUND(d2, 6) AS pqd6,
+       |       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC, vec_id ASC) AS rk
+       |FROM s QUALIFY rk <= $TopK
+       |""".stripMargin
+
   /** Per-label vector statistics (sanity/profiling pass). */
   def labelStats(spark: SparkSession, dir: String): DataFrame =
     vecs(spark, dir).groupBy(col("label"))
@@ -507,6 +606,7 @@ object Similarity extends QueryModule {
     "s_knn_lsh" -> (knnLsh _),
     "s_quantize_int8" -> (quantizeInt8 _),
     "s_label_stats" -> (labelStats _),
+    "s_knn_pq" -> (knnPq _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -518,5 +618,6 @@ object Similarity extends QueryModule {
     "s_knn_lsh" -> knnLshSql,
     "s_quantize_int8" -> quantizeInt8Sql,
     "s_label_stats" -> labelStatsSql,
+    "s_knn_pq" -> knnPqSql,
   )
 }

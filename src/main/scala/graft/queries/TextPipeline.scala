@@ -447,7 +447,10 @@ object TextPipeline extends QueryModule {
       s"THEN ascii(substring(h, ${i + 1}, 1)) - 87 " +
       s"ELSE ascii(substring(h, ${i + 1}, 1)) - 48 END)"
 
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc 32-bit SimHash signature (doc_id, simhash) — shared by the
+    * signature query and the hamming near-dup pair query.
+    */
+  private def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
     val d = docsNorm(spark, dir)
     val wordsEx = d.select(col("doc_id"), explode(col("words")).as("w"))
       .withColumn("h", md5(col("w")))
@@ -459,12 +462,19 @@ object TextPipeline extends QueryModule {
     val sig = (0 until 32).map(k =>
       expr(s"CASE WHEN s_$k > 0 THEN CAST(${1L << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
       .reduce(_ + _)
-    val out = agg.withColumn("simhash", sig).select("doc_id", "simhash")
+    agg.withColumn("simhash", sig).select("doc_id", "simhash")
+  }
+
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val out = simhashSigs(spark, dir)
     val w = Window.partitionBy(col("simhash"))
     out.withColumn("group_size", count(lit(1)).over(w))
   }
 
-  def simhashSql: String = {
+  /** Shared CTE chain ending in `o(doc_id, simhash)` — the SQL twin of
+    * [[simhashSigs]].
+    */
+  private def simhashCtesSql: String = {
     val nibCols = (0 until 8).map(i => s"${nibbleSql(i)} AS nib_$i").mkString(",\n         ")
     val sumCols = simhashBitSql("duck").map { case (e, n) => s"$e AS $n" }.mkString(",\n         ")
     val sig = (0 until 32).map(k => s"CASE WHEN s_$k > 0 THEN ${1L << k} ELSE 0 END").mkString(" + ")
@@ -480,9 +490,59 @@ object TextPipeline extends QueryModule {
        |  FROM n GROUP BY doc_id
        |), o AS (
        |  SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM s
-       |)
+       |)""".stripMargin
+  }
+
+  def simhashSql: String =
+    s"""$simhashCtesSql
        |SELECT doc_id, simhash, COUNT(*) OVER (PARTITION BY simhash) AS group_size
        |FROM o
+       |""".stripMargin
+
+  /** SimHash hamming near-duplicate pairs, banded: the 32-bit signature
+    * splits into SimHamBands bands of 8 bits; docs sharing ANY band key
+    * become candidates, and candidates within hamming distance SimHamMax
+    * are reported. Banding is EXACT here, not approximate: by pigeonhole,
+    * two signatures differing in <= SimHamMax (= bands - 1) bits must
+    * agree on at least one full band, so every qualifying pair is in some
+    * shared bucket — the standard "hamming-ball via band exact-match"
+    * trick. Scale: candidates are bucket-bounded (256 buckets per band at
+    * 8 bits; widen bits with log2(N) like the sign-LSH dial), the verify
+    * xor/bit_count is codegen'd integer math, and the signature table is
+    * computed once and reused for both the bucket join sides.
+    */
+  private val SimHamBands = 4
+  private val SimHamMax = SimHamBands - 1
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashSigs(spark, dir).localCheckpoint(true)
+    val bandKeys = (0 until SimHamBands).map(b =>
+      expr(s"shiftright(simhash, ${8 * b}) & 255"))
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    val x = bands.as("x"); val y = bands.as("y")
+    x.join(y,
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        call_function("bit_count",
+          col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= SimHamMax)
+  }
+
+  def simhashPairsSql: String = {
+    val bandSelects = (0 until SimHamBands).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${8 * b}) & 255 AS bkey FROM o")
+      .mkString("\n  UNION ALL\n  ")
+    s"""$simhashCtesSql, bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |         CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |)
+       |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= $SimHamMax
        |""".stripMargin
   }
 
@@ -772,6 +832,163 @@ object TextPipeline extends QueryModule {
        |WHERE n_tokens >= $CurationMinTokens AND nrm >= 0.5 AND nrm <= 2.0
        |""".stripMargin
 
+  /** Benchmark decontamination: flag training documents that share any
+    * DeconN-word shingle with the held-out evaluation set (doc_id %
+    * DeconMod == 0 stands in for the benchmark suite). The canonical
+    * pre-training hygiene pass: eval n-grams are a SMALL set, so the
+    * Spark plan broadcasts them and the big side streams through one
+    * narrow hash join — no shuffle of the corpus, linear at 10 TB of
+    * documents. Output is one row per training doc (n_shingles,
+    * n_overlap, contaminated flag) so clean docs are auditable too.
+    */
+  private val DeconMod = 20
+  private val DeconN = 5
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsNorm(spark, dir)
+    val withSh = d.filter(size(col("words")) >= DeconN)
+      .select(col("doc_id"),
+        call_function("word_shingles", col("words"), lit(DeconN)).as("sh"))
+    val ex = withSh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val ev = ex.filter(col("doc_id") % DeconMod === 0).select(col("s")).distinct()
+    val nsh = withSh.filter(col("doc_id") % DeconMod =!= 0)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+    val ov = ex.filter(col("doc_id") % DeconMod =!= 0)
+      .join(broadcast(ev), "s")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_ov"))
+    d.filter(col("doc_id") % DeconMod =!= 0).select(col("doc_id"))
+      .join(nsh, Seq("doc_id"), "left")
+      .join(ov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_ov"), lit(0L)).as("n_overlap"))
+      .withColumn("is_contaminated", (col("n_overlap") > 0).cast("int"))
+  }
+
+  def decontaminateSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM documents
+       |), sh AS (
+       |  SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, LEN(ws) - ${DeconN - 2}),
+       |         i -> ${(0 until DeconN).map(k => if (k == 0) "ws[i]" else s"ws[i + $k]").mkString(" || ' ' || ")}))) AS s
+       |  FROM d WHERE LEN(ws) >= $DeconN
+       |), ev AS (
+       |  SELECT DISTINCT s FROM sh WHERE doc_id % $DeconMod = 0
+       |), nsh AS (
+       |  SELECT doc_id, COUNT(*) AS n_sh FROM sh WHERE doc_id % $DeconMod <> 0 GROUP BY doc_id
+       |), ov AS (
+       |  SELECT sh.doc_id, COUNT(*) AS n_ov FROM sh JOIN ev USING (s)
+       |  WHERE sh.doc_id % $DeconMod <> 0 GROUP BY sh.doc_id
+       |)
+       |SELECT d.doc_id, COALESCE(n_sh, 0) AS n_shingles, COALESCE(n_ov, 0) AS n_overlap,
+       |       CAST(COALESCE(n_ov, 0) > 0 AS INT) AS is_contaminated
+       |FROM d LEFT JOIN nsh ON d.doc_id = nsh.doc_id LEFT JOIN ov ON d.doc_id = ov.doc_id
+       |WHERE d.doc_id % $DeconMod <> 0
+       |""".stripMargin
+
+  /** Repetition-based quality signals (the Gopher-style repetitiousness
+    * filters): per doc, the most frequent unigram's share, the most
+    * frequent bigram's share, and the duplicate-word fraction — all in
+    * integer basis points (count * 10000 div total; exact cross-engine
+    * math, no float division) — plus the keep verdict at the fixture's
+    * thresholds. Two hash aggregations keyed (doc_id, gram) then doc_id:
+    * shuffle bytes scale with distinct grams per doc, map-side partials
+    * absorb hot docs, no windows, no sorts — linear at corpus scale.
+    */
+  private val RepTop1Bp = 1300
+  private val RepBigramBp = 600
+  private val RepDupBp = 6500
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsNorm(spark, dir)
+    val uni = d.select(col("doc_id"), explode(col("words")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top1_cnt"), sum(col("c")).as("n_words"),
+           count(lit(1)).as("n_distinct"))
+    val bi = d.filter(size(col("words")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i + 1]))")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("topbi_cnt"), sum(col("c")).as("n_bigrams"))
+    uni.join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        expr("top1_cnt * 10000 div n_words").as("top1_bp"),
+        expr("(n_words - n_distinct) * 10000 div n_words").as("dup_bp"),
+        coalesce(expr("topbi_cnt * 10000 div n_bigrams"), lit(0L)).as("top_bigram_bp"))
+      .withColumn("keep",
+        (col("top1_bp") <= RepTop1Bp && col("top_bigram_bp") <= RepBigramBp &&
+          col("dup_bp") <= RepDupBp).cast("int"))
+  }
+
+  def repetitionFilterSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM documents
+       |), uc AS (
+       |  SELECT doc_id, w, COUNT(*) AS c
+       |  FROM (SELECT doc_id, UNNEST(ws) AS w FROM d) GROUP BY doc_id, w
+       |), u AS (
+       |  SELECT doc_id, MAX(c) AS top1_cnt, CAST(SUM(c) AS BIGINT) AS n_words,
+       |         COUNT(*) AS n_distinct
+       |  FROM uc GROUP BY doc_id
+       |), bc AS (
+       |  SELECT doc_id, bg, COUNT(*) AS c
+       |  FROM (SELECT doc_id, UNNEST(list_transform(range(1, LEN(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS bg
+       |        FROM d WHERE LEN(ws) >= 2)
+       |  GROUP BY doc_id, bg
+       |), b AS (
+       |  SELECT doc_id, MAX(c) AS topbi_cnt, CAST(SUM(c) AS BIGINT) AS n_bigrams
+       |  FROM bc GROUP BY doc_id
+       |)
+       |SELECT u.doc_id, n_words,
+       |       top1_cnt * 10000 // n_words AS top1_bp,
+       |       (n_words - n_distinct) * 10000 // n_words AS dup_bp,
+       |       COALESCE(topbi_cnt * 10000 // n_bigrams, 0) AS top_bigram_bp,
+       |       CAST(top1_cnt * 10000 // n_words <= $RepTop1Bp
+       |            AND COALESCE(topbi_cnt * 10000 // n_bigrams, 0) <= $RepBigramBp
+       |            AND (n_words - n_distinct) * 10000 // n_words <= $RepDupBp AS INT) AS keep
+       |FROM u LEFT JOIN b ON u.doc_id = b.doc_id
+       |""".stripMargin
+
+  /** Deterministic sequence packing: the concat-and-chunk step that turns
+    * a filtered corpus into fixed-budget training sequences. Docs are
+    * sharded (doc_id mod PackShards), concatenated in doc_id order within
+    * their shard, and chunked every PackBudget tokens; each doc reports
+    * the bin its first token lands in and its offset inside that bin.
+    * Shard-parallel by construction — one shuffle on shard, a
+    * within-partition sort, and a running sum; no global ordering, so the
+    * same plan packs 10 TB with shards ≈ executor count. The exclusive
+    * cumulative sum (rows to 1 preceding) makes the result independent of
+    * partition count in both engines.
+    */
+  private val PackShards = 8
+  private val PackBudget = 256
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsNorm(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % PackShards).as("shard"),
+              size(col("words")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"cum div $PackBudget").as("bin"),
+        (col("cum") % PackBudget).as("bin_offset"))
+  }
+
+  def packSequencesSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, doc_id % $PackShards AS shard,
+       |         CAST(LEN(string_split(${normSql("text")}, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+       |  FROM d
+       |)
+       |SELECT doc_id, shard, n_tokens, cum // $PackBudget AS bin, cum % $PackBudget AS bin_offset
+       |FROM c
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> (tokenStats _),
     "t_lang_id" -> (langId _),
@@ -789,6 +1006,10 @@ object TextPipeline extends QueryModule {
     "t_len_histogram" -> (lenHistogram _),
     "t_stratified_sample" -> (stratifiedSample _),
     "t_embed_curation" -> (embedCuration _),
+    "t_simhash_pairs" -> (simhashPairs _),
+    "t_decontaminate" -> (decontaminate _),
+    "t_repetition_filter" -> (repetitionFilter _),
+    "t_pack_sequences" -> (packSequences _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -808,5 +1029,9 @@ object TextPipeline extends QueryModule {
     "t_len_histogram" -> lenHistogramSql,
     "t_stratified_sample" -> stratifiedSampleSql,
     "t_embed_curation" -> embedCurationSql,
+    "t_simhash_pairs" -> simhashPairsSql,
+    "t_decontaminate" -> decontaminateSql,
+    "t_repetition_filter" -> repetitionFilterSql,
+    "t_pack_sequences" -> packSequencesSql,
   )
 }

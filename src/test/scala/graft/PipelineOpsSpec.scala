@@ -1,0 +1,96 @@
+package graft
+
+import graft.nexmark.SparkSpec
+import graft.queries.{Similarity, TextPipeline}
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the round-5 training-data operators that the
+  * DuckDB oracle gate cannot express (the oracle proves cross-engine
+  * equality; these prove the answers mean what they claim).
+  */
+class PipelineOpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("simhash banding is EXACT for hamming <= bands-1 (pigeonhole)") {
+    // brute-force all pairs within hamming 3 from the signature surface
+    val sigs = TextPipeline.simhash(spark, dir).select("doc_id", "simhash")
+    val x = sigs.as("x"); val y = sigs.as("y")
+    val brute = x.join(y, col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        call_function("bit_count",
+          col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = TextPipeline.simhashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute, "banded candidate generation must lose no pair within the hamming ball")
+    assert(brute.nonEmpty)
+  }
+
+  test("decontaminate: eval docs excluded, flags match a real shingle overlap") {
+    val out = TextPipeline.decontaminate(spark, dir)
+    assert(out.filter(col("doc_id") % 20 === 0).count() == 0)
+    assert(out.filter(col("n_overlap") > col("n_shingles")).count() == 0)
+    // recompute one flagged doc's overlap directly from word 5-shingles
+    val flagged = out.filter(col("is_contaminated") === 1).select("doc_id", "n_overlap")
+      .collect()
+    assert(flagged.nonEmpty, "fixture must contain at least one contaminated doc")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        split(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")), " ").as("w"))
+      .select(col("doc_id"), call_function("word_shingles", col("w"), lit(5)).as("sh"))
+    val evalSh = docs.filter(col("doc_id") % 20 === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (docId, nOverlap) = (flagged.head.getLong(0), flagged.head.getLong(1))
+    val docSh = docs.filter(col("doc_id") === docId)
+      .select(explode(col("sh")).as("s")).collect().map(_.getString(0)).toSet
+    assert(docSh.count(evalSh.contains).toLong == nOverlap)
+  }
+
+  test("repetitionFilter: basis points bounded, keep consistent with thresholds") {
+    val rows = TextPipeline.repetitionFilter(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (top1, dup, bi) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      Seq(top1, dup, bi).foreach(bp => assert(bp >= 0 && bp <= 10000, s"bp out of range: $r"))
+      val expectKeep = top1 <= 1300 && bi <= 600 && dup <= 6500
+      assert(r.getInt(5) == (if (expectKeep) 1 else 0), s"keep flag inconsistent: $r")
+    }
+    assert(rows.map(_.getInt(5)).distinct.length == 2, "thresholds should split the fixture")
+  }
+
+  test("packSequences: per-shard exclusive prefix sums, every doc packed once") {
+    val out = TextPipeline.packSequences(spark, dir).collect()
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(out.length.toLong == nDocs)
+    assert(out.map(_.getLong(0)).distinct.length.toLong == nDocs)
+    out.groupBy(_.getLong(1)).foreach { case (shard, rows) =>
+      var cum = 0L
+      rows.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(0) % 8 == shard)
+        assert(r.getLong(3) == cum / 256 && r.getLong(4) == cum % 256,
+          s"bin/offset must be the exclusive prefix sum: $r (expected cum=$cum)")
+        cum += r.getLong(2)
+      }
+    }
+  }
+
+  test("knnPq: pivots reconstruct to themselves exactly; top-k is complete") {
+    // pivot rows' sub-vectors ARE codewords with self-distance exactly 0,
+    // so their reconstruction must be bit-identical to the original vector
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val recon = Similarity.pqReconstruct(spark, dir)
+    val pivots = recon.filter(col("vec_id") % 25 === 0).join(e, "vec_id")
+    assert(pivots.count() > 0)
+    assert(pivots.filter(col("remb") =!= col("emb")).count() == 0,
+      "pivot reconstruction must be exact")
+    // non-pivots generally do NOT reconstruct exactly (the compression is real)
+    assert(recon.filter(col("vec_id") % 25 =!= 0).join(e, "vec_id")
+      .filter(col("remb") =!= col("emb")).count() > 0)
+    val out = Similarity.knnPq(spark, dir)
+    assert(out.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
+    assert(out.filter(col("pqd6") < 0).count() == 0)
+  }
+}
