@@ -949,6 +949,84 @@ object TextPipeline extends QueryModule {
        |FROM u LEFT JOIN b ON u.doc_id = b.doc_id
        |""".stripMargin
 
+  /** Per-source quota selection (domain caps): keep at most QuotaK docs
+    * per source, ranked by quality score (ties to the lower doc_id) — the
+    * "no domain dominates the mix" step of corpus assembly. The rank
+    * filter plans as WindowGroupLimit: each partition keeps a K-row heap
+    * per source below the sort, so no task ever materializes a full
+    * source's docs — the property that matters when one domain is 100×
+    * the others.
+    */
+  private val QuotaK = 15 // < the fixture's 25 docs/source, so the cap binds
+  def sourceQuota(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsNorm(spark, dir)
+    val sw = Stopwords.map(s => s"w = '$s'").mkString(" or ")
+    val scored = d.select(
+        col("doc_id"), col("source"),
+        size(col("words")).as("n_tokens"),
+        expr(s"size(filter(words, w -> $sw))").as("stopword_count"),
+        size(array_distinct(col("words"))).as("n_distinct"))
+      .withColumn("score_scaled", expr(scoreScaledSql("n_tokens", "stopword_count", "n_distinct")))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score_scaled").desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= QuotaK)
+      .select(col("doc_id"), col("source"), col("score_scaled"), col("rk"))
+  }
+
+  def sourceQuotaSql: String = {
+    val sw = Stopwords.map(s => s"w = '$s'").mkString(" or ")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, string_split(${normSql("text")}, ' ') AS ws FROM documents
+       |), b AS (
+       |  SELECT doc_id, source,
+       |         LEN(ws) AS n_tokens,
+       |         LEN(list_filter(ws, w -> $sw)) AS stopword_count,
+       |         LEN(list_distinct(ws)) AS n_distinct
+       |  FROM d
+       |), s AS (
+       |  SELECT doc_id, source,
+       |         ${scoreScaledSql("n_tokens", "stopword_count", "n_distinct")} AS score_scaled
+       |  FROM b
+       |)
+       |SELECT doc_id, source, score_scaled,
+       |       ROW_NUMBER() OVER (PARTITION BY source ORDER BY score_scaled DESC, doc_id ASC) AS rk
+       |FROM s QUALIFY rk <= $QuotaK
+       |""".stripMargin
+  }
+
+  /** Deterministic corpus shuffle: the reproducible global permutation a
+    * training run reads the corpus in — shard = content-hash mod
+    * ShuffleShards, position = rank of (hash, doc_id) within the shard.
+    * Content-hash keyed (first md5 word, the [[stratifiedSample]] idiom)
+    * so the permutation is stable across engines, runs, and partition
+    * counts — rand() is none of those. One shuffle on shard + a
+    * within-shard sort; shards ≈ reader parallelism at cluster scale, so
+    * no global sort ever exists.
+    */
+  private val ShuffleShards = 16
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        element_at(call_function("md5_words", col("text")), 1).as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(ShuffleShards.toLong)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    keyed.withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  def corpusShuffleSql: String =
+    s"""WITH hx AS (
+       |  SELECT doc_id, md5(text) AS h FROM documents
+       |), keyed AS (
+       |  SELECT doc_id, CAST(${sqlWord(0)} AS BIGINT) AS skey,
+       |         CAST(${sqlWord(0)} % $ShuffleShards AS BIGINT) AS shard
+       |  FROM hx
+       |)
+       |SELECT doc_id, shard,
+       |       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS pos
+       |FROM keyed
+       |""".stripMargin
+
   /** Deterministic sequence packing: the concat-and-chunk step that turns
     * a filtered corpus into fixed-budget training sequences. Docs are
     * sharded (doc_id mod PackShards), concatenated in doc_id order within
@@ -1010,6 +1088,8 @@ object TextPipeline extends QueryModule {
     "t_decontaminate" -> (decontaminate _),
     "t_repetition_filter" -> (repetitionFilter _),
     "t_pack_sequences" -> (packSequences _),
+    "t_source_quota" -> (sourceQuota _),
+    "t_corpus_shuffle" -> (corpusShuffle _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1033,5 +1113,7 @@ object TextPipeline extends QueryModule {
     "t_decontaminate" -> decontaminateSql,
     "t_repetition_filter" -> repetitionFilterSql,
     "t_pack_sequences" -> packSequencesSql,
+    "t_source_quota" -> sourceQuotaSql,
+    "t_corpus_shuffle" -> corpusShuffleSql,
   )
 }

@@ -76,6 +76,40 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("sourceQuota: cap binds per source, rank dense, WindowGroupLimit in plan") {
+    val df = TextPipeline.sourceQuota(spark, dir)
+    val rows = df.collect()
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      assert(rs.length <= 15, s"source $src over quota")
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length), s"rank not dense for $src")
+      // rank order = score desc, doc_id asc
+      val ordered = rs.sortBy(_.getInt(3))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(2) > b.getLong(2) ||
+            (a.getLong(2) == b.getLong(2) && a.getLong(0) < b.getLong(0)))
+        case _ => ()
+      }
+    }
+    // the rank filter must push below the sort (per-partition K-row heaps)
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
+  test("corpusShuffle: a dense deterministic permutation, shard-parallel") {
+    val out = TextPipeline.corpusShuffle(spark, dir).collect()
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(out.length.toLong == nDocs)
+    assert(out.map(_.getLong(0)).distinct.length.toLong == nDocs, "every doc exactly once")
+    out.groupBy(_.getLong(1)).foreach { case (shard, rs) =>
+      assert(shard >= 0 && shard < 16)
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length), s"pos not dense in shard $shard")
+    }
+    // stable across runs (content-hash keyed, not rand())
+    val again = TextPipeline.corpusShuffle(spark, dir).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
+  }
+
   test("knnPq: pivots reconstruct to themselves exactly; top-k is complete") {
     // pivot rows' sub-vectors ARE codewords with self-distance exactly 0,
     // so their reconstruction must be bit-identical to the original vector
