@@ -10,6 +10,9 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     val only: Set[String] =
       if (args.length > 2) args(2).split(",").toSet else Set.empty
+    // a typo'd filter silently verifying nothing would read as "green"
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(",")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,6 +30,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not leave a STALE previous dump behind —
+        // selfcheck would compare the old parquet and report it green
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) {
+          Files.walk(dir.toPath)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => Files.deleteIfExists(p))
+        }
       }
       // cache hygiene: no query's cached/checkpointed blocks may bleed
       // into the next one's run (38 queries share this session)

@@ -332,6 +332,10 @@ object EventAnalytics extends QueryModule {
     val ev = Tables.events(spark, dir)
     val views = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id"), col("ts"))
+      // the oracle wraps arg_max's arg in a 1-list: bare DuckDB arg_max
+      // SKIPS rows whose arg is NULL (picking an older row's value), while
+      // Spark max_by returns the matched row's value even when NULL — the
+      // list is never NULL, so both engines keep the matched-row semantics
       .agg(max(col("event_id")).as("view_event_id"),
            max_by(col("value"), col("event_id")).as("view_value"))
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -367,7 +371,7 @@ object EventAnalytics extends QueryModule {
   def asofViewPurchaseSql: String =
     """WITH v AS (
       |  SELECT user_id, ts, MAX(event_id) AS view_event_id,
-      |         arg_max(value, event_id) AS view_value
+      |         arg_max([value], event_id)[1] AS view_value
       |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
       |), p AS (
       |  SELECT event_id AS purchase_id, user_id, ts

@@ -268,9 +268,13 @@ object TextPipeline extends QueryModule {
     */
   private def shinglesCol: Column =
     call_function("word_shingles", col("words"), lit(3))
-  private val shinglesSqlExpr =
-    "list_distinct(list_transform(range(1, LEN(ws) - 1), i -> " +
-      "ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))"
+  /** DuckDB distinct word n-shingle expression over a `ws` column —
+    * the SQL twin of `word_shingles(words, n)`. range is [1, LEN-(n-2)),
+    * so the last shingle's final word is ws[LEN].
+    */
+  private def shinglesSqlExpr(n: Int): String =
+    s"list_distinct(list_transform(range(1, LEN(ws) - ${n - 2}), i -> " +
+      (0 until n).map(k => if (k == 0) "ws[i]" else s"ws[i + $k]").mkString(" || ' ' || ") + "))"
 
   /** MinHash + LSH near-dup candidates with exact shingle Jaccard.
     *
@@ -316,7 +320,7 @@ object TextPipeline extends QueryModule {
     s"""WITH d0 AS (
        |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM documents
        |), d AS (
-       |  SELECT doc_id, $shinglesSqlExpr AS shingles FROM d0 WHERE LEN(ws) >= 3
+       |  SELECT doc_id, ${shinglesSqlExpr(3)} AS shingles FROM d0 WHERE LEN(ws) >= 3
        |), sh AS (
        |  SELECT doc_id, UNNEST(shingles) AS sh FROM d
        |), $sqlSigStages, bands AS (
@@ -369,7 +373,7 @@ object TextPipeline extends QueryModule {
     s"""WITH d0 AS (
        |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM documents
        |), d AS (
-       |  SELECT doc_id, $shinglesSqlExpr AS shingles FROM d0 WHERE LEN(ws) >= 3
+       |  SELECT doc_id, ${shinglesSqlExpr(3)} AS shingles FROM d0 WHERE LEN(ws) >= 3
        |), sh AS (
        |  SELECT doc_id, UNNEST(shingles) AS sh FROM d
        |), $sqlSigStages, bands AS (
@@ -845,9 +849,15 @@ object TextPipeline extends QueryModule {
   private val DeconN = 5
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val d = docsNorm(spark, dir)
+    // materialize the shingle table once — eval set, overlap join, and
+    // per-doc counts all consume it (same pattern + rationale as
+    // [[minhashPairs]]: recomputing the widest map stage 3x is the cost
+    // that dominates at corpus scale; localCheckpoint blocks are freed by
+    // the ContextCleaner once unreferenced)
     val withSh = d.filter(size(col("words")) >= DeconN)
       .select(col("doc_id"),
         call_function("word_shingles", col("words"), lit(DeconN)).as("sh"))
+      .localCheckpoint(true)
     val ex = withSh.select(col("doc_id"), explode(col("sh")).as("s"))
     val ev = ex.filter(col("doc_id") % DeconMod === 0).select(col("s")).distinct()
     val nsh = withSh.filter(col("doc_id") % DeconMod =!= 0)
@@ -868,8 +878,7 @@ object TextPipeline extends QueryModule {
     s"""WITH d AS (
        |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM documents
        |), sh AS (
-       |  SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, LEN(ws) - ${DeconN - 2}),
-       |         i -> ${(0 until DeconN).map(k => if (k == 0) "ws[i]" else s"ws[i + $k]").mkString(" || ' ' || ")}))) AS s
+       |  SELECT doc_id, UNNEST(${shinglesSqlExpr(DeconN)}) AS s
        |  FROM d WHERE LEN(ws) >= $DeconN
        |), ev AS (
        |  SELECT DISTINCT s FROM sh WHERE doc_id % $DeconMod = 0
