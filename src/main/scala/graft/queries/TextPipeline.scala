@@ -452,9 +452,22 @@ object TextPipeline extends QueryModule {
       s"ELSE ascii(substring(h, ${i + 1}, 1)) - 48 END)"
 
   /** Per-doc 32-bit SimHash signature (doc_id, simhash) — shared by the
-    * signature query and the hamming near-dup pair query.
+    * signature query and the hamming near-dup pair query. Computed by the
+    * fused native [[graft.spark.SimHash32]] kernel: the whole signature
+    * is one projection per document — no explode, no 32-slot aggregation,
+    * NO shuffle (the declarative formulation below shuffles |docs| groups
+    * of 32 partial sums). Arithmetic is bit-identical by construction;
+    * [[PipelineOpsSpec]] asserts kernel ≡ declarative on the fixture.
     */
-  private def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
+  private def simhashSigs(spark: SparkSession, dir: String): DataFrame =
+    docsNorm(spark, dir)
+      .select(col("doc_id"), call_function("simhash32", col("words")).as("simhash"))
+
+  /** The explode → md5-nibble → 32×SUM(CASE) formulation the kernel
+    * replaces — kept as the equivalence witness (and the shape the DuckDB
+    * oracle runs).
+    */
+  private[graft] def simhashSigsDeclarative(spark: SparkSession, dir: String): DataFrame = {
     val d = docsNorm(spark, dir)
     val wordsEx = d.select(col("doc_id"), explode(col("words")).as("w"))
       .withColumn("h", md5(col("w")))

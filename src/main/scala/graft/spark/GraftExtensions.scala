@@ -59,6 +59,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WordShingles(children.head, n)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash32"),
+      SimHash32.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "simhash32 takes exactly 1 argument")
+        SimHash32(children.head)
+      }))
     // rewrite aggregate(zip_with(a, b, *), 0.0, +) -> DotProduct(a, b)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }

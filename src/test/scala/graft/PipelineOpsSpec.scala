@@ -11,6 +11,14 @@ import org.apache.spark.sql.functions._
 class PipelineOpsSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
+  test("simhash32 kernel is bit-identical to the declarative formulation") {
+    val native = TextPipeline.simhash(spark, dir).select("doc_id", "simhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val decl = TextPipeline.simhashSigsDeclarative(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(native.nonEmpty && native == decl)
+  }
+
   test("simhash banding is EXACT for hamming <= bands-1 (pigeonhole)") {
     // brute-force all pairs within hamming 3 from the signature surface
     val sigs = TextPipeline.simhash(spark, dir).select("doc_id", "simhash")
