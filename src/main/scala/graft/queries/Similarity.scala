@@ -510,8 +510,6 @@ object Similarity extends QueryModule {
   private val PqSubDim = 8
   private def dp(a: Column, b: Column): Column =
     call_function("dot_product", a, b)
-  private def l2sq(a: Column, b: Column): Column =
-    (dp(a, a) - lit(2.0) * dp(a, b)) + dp(b, b)
 
   /** PQ encode + reconstruct: (vec_id, remb) where `remb` is the vector
     * rebuilt from its per-subspace nearest codewords — the decoded form a
@@ -523,14 +521,20 @@ object Similarity extends QueryModule {
     val e = vecs(spark, dir)
     val subStructs = (0 until PqM).map(j =>
       struct(lit(j).as("j"), slice(col("emb"), j * PqSubDim + 1, PqSubDim).as("sub")))
+    // self dot-products hoisted OUT of the K-way join: d2 rows in the
+    // N × PqM × K encode stage then pay one 8-dim dot instead of three
+    // (the composition ((ssq - 2·s·c) + csq) is unchanged, so the values
+    // — and the oracle — are bit-identical)
     val subs = e.select(col("vec_id"), explode(array(subStructs: _*)).as("s"))
       .select(col("vec_id"), col("s.j").as("j"), col("s.sub").as("sub"))
+      .withColumn("ssq", dp(col("sub"), col("sub")))
     val cw = subs.filter(col("vec_id") % CentroidMod === 0)
-      .select(col("vec_id").as("code"), col("j"), col("sub").as("cwv"))
+      .select(col("vec_id").as("code"), col("j"), col("sub").as("cwv"),
+              col("ssq").as("csq"))
     // encode: per (vector, subspace) argmin codeword — min over (d2, code)
     // so ties break to the lowest code id, matching the oracle's row_number
     val assign = subs.join(broadcast(cw), "j")
-      .withColumn("d2", l2sq(col("sub"), col("cwv")))
+      .withColumn("d2", (col("ssq") - lit(2.0) * dp(col("sub"), col("cwv"))) + col("csq"))
       .groupBy(col("vec_id"), col("j"))
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
     // reconstruct: codewords back in subspace order, flattened to 64 dims
@@ -541,11 +545,15 @@ object Similarity extends QueryModule {
 
   def knnPq(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
+    // same hoist in the N × Q scoring stage: query/recon self-dots are
+    // computed once per row of their own side, not once per pair
     val recon = pqReconstruct(spark, dir)
+      .withColumn("rsq", dp(col("remb"), col("remb")))
     val q = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      .withColumn("qsq", dp(col("qemb"), col("qemb")))
     val scored = recon.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("d2", l2sq(col("qemb"), col("remb")))
+      .withColumn("d2", (col("qsq") - lit(2.0) * dp(col("qemb"), col("remb"))) + col("rsq"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("d2").asc_nulls_last, col("vec_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
