@@ -971,6 +971,81 @@ object TextPipeline extends QueryModule {
        |FROM u LEFT JOIN b ON u.doc_id = b.doc_id
        |""".stripMargin
 
+  /** Sub-document chunk dedup (the line/paragraph-level dedup of
+    * CCNet-style pipelines, adapted to flat text): each doc splits into
+    * positional ChunkW-word chunks; a chunk occurrence is a duplicate if
+    * any earlier occurrence (lowest (doc_id, idx)) of the same chunk text
+    * exists ANYWHERE in the corpus. Reports per-doc duplicated-chunk
+    * fraction — the signal used to strip boilerplate that exact
+    * whole-doc dedup misses. One shuffle keyed on the chunk digest
+    * (hash-distributed, skew-free), then a per-doc agg: linear at corpus
+    * scale.
+    */
+  private val ChunkW = 10
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ch = docsNorm(spark, dir).select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, (size(words) + ${ChunkW - 1}) div $ChunkW - 1), " +
+          s"c -> concat_ws(' ', slice(words, c * $ChunkW + 1, $ChunkW)))")).as(Seq("c", "chunk")))
+    val w = Window.partitionBy(md5(col("chunk"))).orderBy(col("doc_id"), col("c"))
+    ch.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_bp", expr("n_dup_chunks * 10000 div n_chunks"))
+  }
+
+  def chunkDedupSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM documents
+       |), cl AS (
+       |  SELECT doc_id, list_transform(range(0, (LEN(ws) + ${ChunkW - 1}) // $ChunkW),
+       |         c -> array_to_string(ws[c * $ChunkW + 1 : c * $ChunkW + $ChunkW], ' ')) AS chunks
+       |  FROM d
+       |), ch AS (
+       |  SELECT doc_id, UNNEST(range(0, LEN(chunks))) AS c, UNNEST(chunks) AS chunk FROM cl
+       |), r AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, c) AS rn
+       |  FROM ch
+       |)
+       |SELECT doc_id, COUNT(*) AS n_chunks,
+       |       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       |       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000 // COUNT(*) AS dup_bp
+       |FROM r GROUP BY doc_id
+       |""".stripMargin
+
+  /** Tokenizer-vocabulary coverage audit: per doc, the fraction of tokens
+    * OUTSIDE the corpus top-VocabK vocabulary (the OOV rate a tokenizer
+    * build checks before committing to a vocab). The vocabulary is tiny
+    * by construction — broadcast; the corpus side is one narrow pass.
+    */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = vocabTopk(spark, dir).select(col("word").as("w"), lit(1).as("in_v"))
+    docsNorm(spark, dir)
+      .select(col("doc_id"), explode(col("words")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_bp", expr("n_oov * 10000 div n_tokens"))
+  }
+
+  def oovRateSql: String =
+    s"""WITH ww AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, UNNEST(string_split(${normSql("text")}, ' ')) AS w FROM documents
+       |  ) WHERE LENGTH(w) > 0
+       |), v AS (
+       |  SELECT word FROM ($vocabTopkSql)
+       |)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |       CAST(SUM(CASE WHEN word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |       CAST(SUM(CASE WHEN word IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000 // COUNT(*) AS oov_bp
+       |FROM ww LEFT JOIN v ON ww.w = v.word
+       |GROUP BY doc_id
+       |""".stripMargin
+
   /** Per-source quota selection (domain caps): keep at most QuotaK docs
     * per source, ranked by quality score (ties to the lower doc_id) — the
     * "no domain dominates the mix" step of corpus assembly. The rank
@@ -1112,6 +1187,8 @@ object TextPipeline extends QueryModule {
     "t_pack_sequences" -> (packSequences _),
     "t_source_quota" -> (sourceQuota _),
     "t_corpus_shuffle" -> (corpusShuffle _),
+    "t_chunk_dedup" -> (chunkDedup _),
+    "t_oov_rate" -> (oovRate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1137,5 +1214,7 @@ object TextPipeline extends QueryModule {
     "t_pack_sequences" -> packSequencesSql,
     "t_source_quota" -> sourceQuotaSql,
     "t_corpus_shuffle" -> corpusShuffleSql,
+    "t_chunk_dedup" -> chunkDedupSql,
+    "t_oov_rate" -> oovRateSql,
   )
 }

@@ -118,6 +118,35 @@ class PipelineOpsSpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
   }
 
+  test("chunkDedup: chunk counts match word counts, dedup finds real dups") {
+    val out = TextPipeline.chunkDedup(spark, dir).collect()
+    val wordCounts = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val (docId, nChunks, nDup, bp) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nChunks == (wordCounts(docId) + 9) / 10, s"chunk count wrong for $docId")
+      assert(nDup <= nChunks && bp == nDup * 10000 / nChunks)
+    }
+    assert(out.map(_.getLong(2)).sum > 0, "fixture must contain duplicated chunks")
+    assert(out.exists(_.getLong(2) == 0), "not every doc should be flagged")
+  }
+
+  test("oovRate: counts bounded, a doc of pure top-vocab words scores 0") {
+    val out = TextPipeline.oovRate(spark, dir).collect()
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) == r.getLong(2) * 10000 / r.getLong(1))
+    }
+    // recompute one doc directly against the collected vocabulary
+    val vocab = TextPipeline.vocabTopk(spark, dir).collect().map(_.getString(0)).toSet
+    val sample = Tables.documents(spark, dir).filter(col("doc_id") === out.head.getLong(0))
+      .select(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .collect().head.getString(0).split(" ").filter(_.nonEmpty)
+    assert(sample.count(w => !vocab.contains(w)).toLong == out.head.getLong(2))
+  }
+
   test("knnPq: pivots reconstruct to themselves exactly; top-k is complete") {
     // pivot rows' sub-vectors ARE codewords with self-distance exactly 0,
     // so their reconstruction must be bit-identical to the original vector
