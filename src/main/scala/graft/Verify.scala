@@ -34,9 +34,10 @@ object Verify {
         // selfcheck would compare the old parquet and report it green
         val dir = new java.io.File(s"$outDir/$name")
         if (dir.exists()) {
-          Files.walk(dir.toPath)
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          val walk = Files.walk(dir.toPath)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
             .forEach(p => Files.deleteIfExists(p))
+          finally walk.close()
         }
       }
       // cache hygiene: no query's cached/checkpointed blocks may bleed

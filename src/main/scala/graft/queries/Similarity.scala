@@ -510,6 +510,12 @@ object Similarity extends QueryModule {
   private val PqSubDim = 8
   private def dp(a: Column, b: Column): Column =
     call_function("dot_product", a, b)
+  /** L2² from precomputed self-dots: the parenthesization is load-bearing
+    * (the DuckDB oracle spells the same ((xsq - 2·a·b) + ysq) composition,
+    * which keeps the doubles bit-identical) — one spelling, two call sites.
+    */
+  private def l2sqPre(xsq: Column, a: Column, b: Column, ysq: Column): Column =
+    (xsq - lit(2.0) * dp(a, b)) + ysq
 
   /** PQ encode + reconstruct: (vec_id, remb) where `remb` is the vector
     * rebuilt from its per-subspace nearest codewords — the decoded form a
@@ -534,7 +540,7 @@ object Similarity extends QueryModule {
     // encode: per (vector, subspace) argmin codeword — min over (d2, code)
     // so ties break to the lowest code id, matching the oracle's row_number
     val assign = subs.join(broadcast(cw), "j")
-      .withColumn("d2", (col("ssq") - lit(2.0) * dp(col("sub"), col("cwv"))) + col("csq"))
+      .withColumn("d2", l2sqPre(col("ssq"), col("sub"), col("cwv"), col("csq")))
       .groupBy(col("vec_id"), col("j"))
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
     // reconstruct: codewords back in subspace order, flattened to 64 dims
@@ -553,7 +559,7 @@ object Similarity extends QueryModule {
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
       .withColumn("qsq", dp(col("qemb"), col("qemb")))
     val scored = recon.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("d2", (col("qsq") - lit(2.0) * dp(col("qemb"), col("remb"))) + col("rsq"))
+      .withColumn("d2", l2sqPre(col("qsq"), col("qemb"), col("remb"), col("rsq")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("d2").asc_nulls_last, col("vec_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)

@@ -461,6 +461,12 @@ object TextPipeline extends QueryModule {
     */
   private def simhashSigs(spark: SparkSession, dir: String): DataFrame =
     docsNorm(spark, dir)
+      // the declarative/oracle formulation EXPLODES words, so a doc with a
+      // NULL or empty word array produces no group and vanishes — the
+      // kernel is a projection (rows survive), so drop those rows here to
+      // keep the surfaces equivalent (unreachable on fixtures: split()
+      // always yields >= 1 element, text is non-NULL)
+      .filter(col("words").isNotNull && size(col("words")) > 0)
       .select(col("doc_id"), call_function("simhash32", col("words")).as("simhash"))
 
   /** The explode → md5-nibble → 32×SUM(CASE) formulation the kernel
@@ -733,22 +739,25 @@ object TextPipeline extends QueryModule {
     * word keeps the cut deterministic.
     */
   private val VocabK = 100
-  def vocabTopk(spark: SparkSession, dir: String): DataFrame =
+  private def vocabTopkWith(spark: SparkSession, dir: String, k: Int): DataFrame =
     docsNorm(spark, dir)
       .select(explode(col("words")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word").asc)
-      .limit(VocabK)
+      .limit(k)
+  def vocabTopk(spark: SparkSession, dir: String): DataFrame =
+    vocabTopkWith(spark, dir, VocabK)
 
-  def vocabTopkSql: String =
+  private def vocabTopkSqlWith(k: Int): String =
     s"""SELECT word, COUNT(*) AS cnt
        |FROM (SELECT UNNEST(string_split(${normSql("text")}, ' ')) AS word FROM documents)
        |WHERE LENGTH(word) > 0
        |GROUP BY word
        |ORDER BY cnt DESC, word ASC
-       |LIMIT $VocabK
+       |LIMIT $k
        |""".stripMargin
+  def vocabTopkSql: String = vocabTopkSqlWith(VocabK)
 
   /** Document-length histogram: 100-char buckets with per-bucket token
     * stats — the size-profile pass every corpus curation run starts with.
@@ -1015,12 +1024,17 @@ object TextPipeline extends QueryModule {
        |""".stripMargin
 
   /** Tokenizer-vocabulary coverage audit: per doc, the fraction of tokens
-    * OUTSIDE the corpus top-VocabK vocabulary (the OOV rate a tokenizer
-    * build checks before committing to a vocab). The vocabulary is tiny
-    * by construction — broadcast; the corpus side is one narrow pass.
+    * OUTSIDE the corpus top-OovVocabK vocabulary (the OOV rate a
+    * tokenizer build checks before committing to a vocab). The vocabulary
+    * is tiny by construction — broadcast; the corpus side is one narrow
+    * pass. OovVocabK is intentionally SMALLER than the fixture's distinct
+    * word count (31) so real OOV tokens exist at every scale factor —
+    * with VocabK=100 the audit would be vacuously zero everywhere.
     */
+  private val OovVocabK = 20
   def oovRate(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = vocabTopk(spark, dir).select(col("word").as("w"), lit(1).as("in_v"))
+    val vocab = vocabTopkWith(spark, dir, OovVocabK)
+      .select(col("word").as("w"), lit(1).as("in_v"))
     docsNorm(spark, dir)
       .select(col("doc_id"), explode(col("words")).as("w"))
       .filter(length(col("w")) > 0)
@@ -1037,7 +1051,7 @@ object TextPipeline extends QueryModule {
        |    SELECT doc_id, UNNEST(string_split(${normSql("text")}, ' ')) AS w FROM documents
        |  ) WHERE LENGTH(w) > 0
        |), v AS (
-       |  SELECT word FROM ($vocabTopkSql)
+       |  SELECT word FROM (${vocabTopkSqlWith(OovVocabK)})
        |)
        |SELECT doc_id, COUNT(*) AS n_tokens,
        |       CAST(SUM(CASE WHEN word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,

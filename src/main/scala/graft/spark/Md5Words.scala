@@ -51,15 +51,10 @@ object Md5Words {
     classOf[Md5Words].getName, null, "md5_words",
     "_FUNC_(s) - the md5 digest of s as 4 big-endian unsigned 32-bit words.", "")
 
-  private val digests = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   /** Called from generated code: one MD5, digest split into 4 unsigned
     * big-endian 32-bit words. */
   def compute(s: UTF8String): GenericArrayData = {
-    val md = digests.get()
+    val md = Digests.md5.get()
     md.reset()
     val d = md.digest(s.getBytes)
     val words = new Array[Long](4)

@@ -49,32 +49,31 @@ object SimHash32 {
     classOf[SimHash32].getName, null, "simhash32",
     "_FUNC_(words) - 32-bit SimHash of the word multiset (md5-nibble bit source).", "")
 
-  private val digests = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
-  /** Called from generated code. Null word elements are rejected loudly
-    * (normalized-text `split` never produces them; a silent skip would
-    * change the signature). */
+  /** Called from generated code. A null word element contributes -1 to
+    * every bit sum — exactly what the declarative `SUM(CASE WHEN <null
+    * condition> THEN 1 ELSE -1)` yields for a null md5, so the kernel
+    * stays bit-identical even on inputs the fixtures never produce. */
   def compute(words: ArrayData): Long = {
-    val md = digests.get()
+    val md = Digests.md5.get()
     val sums = new Array[Int](32)
     val n = words.numElements()
     var w = 0
     while (w < n) {
       val word = words.getUTF8String(w)
-      if (word == null)
-        throw new IllegalArgumentException("simhash32: null word element")
-      md.reset()
-      val d = md.digest(word.getBytes)
-      // nibbles 0..7 = the first 4 digest bytes, high nibble first
-      var k = 0
-      while (k < 32) {
-        val i = k >> 2
-        val nib = if ((i & 1) == 0) (d(i >> 1) >> 4) & 0xf else d(i >> 1) & 0xf
-        sums(k) += (if (((nib >> (k & 3)) & 1) == 1) 1 else -1)
-        k += 1
+      if (word == null) {
+        var k = 0
+        while (k < 32) { sums(k) -= 1; k += 1 }
+      } else {
+        md.reset()
+        val d = md.digest(word.getBytes)
+        // nibbles 0..7 = the first 4 digest bytes, high nibble first
+        var k = 0
+        while (k < 32) {
+          val i = k >> 2
+          val nib = if ((i & 1) == 0) (d(i >> 1) >> 4) & 0xf else d(i >> 1) & 0xf
+          sums(k) += (if (((nib >> (k & 3)) & 1) == 1) 1 else -1)
+          k += 1
+        }
       }
       w += 1
     }

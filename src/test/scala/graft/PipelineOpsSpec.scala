@@ -133,14 +133,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.exists(_.getLong(2) == 0), "not every doc should be flagged")
   }
 
-  test("oovRate: counts bounded, a doc of pure top-vocab words scores 0") {
+  test("oovRate: counts bounded, nonzero corpus OOV, direct recompute agrees") {
     val out = TextPipeline.oovRate(spark, dir).collect()
     out.foreach { r =>
       assert(r.getLong(2) <= r.getLong(1))
       assert(r.getLong(3) == r.getLong(2) * 10000 / r.getLong(1))
     }
-    // recompute one doc directly against the collected vocabulary
-    val vocab = TextPipeline.vocabTopk(spark, dir).collect().map(_.getString(0)).toSet
+    assert(out.map(_.getLong(2)).sum > 0,
+      "the vocab cut must leave real OOV tokens, or the audit is vacuous")
+    // recompute one doc directly against the collected top-20 vocabulary
+    val vocab = TextPipeline.vocabTopk(spark, dir).limit(20)
+      .collect().map(_.getString(0)).toSet
     val sample = Tables.documents(spark, dir).filter(col("doc_id") === out.head.getLong(0))
       .select(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
       .collect().head.getString(0).split(" ").filter(_.nonEmpty)
