@@ -32,12 +32,18 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a failed query must not leave a STALE previous dump behind —
         // selfcheck would compare the old parquet and report it green
-        val dir = new java.io.File(s"$outDir/$name")
-        if (dir.exists()) {
-          val walk = Files.walk(dir.toPath)
-          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => Files.deleteIfExists(p))
-          finally walk.close()
+        // cleanup failures must not escape this catch — they would abort
+        // the remaining queries and defeat the per-query isolation
+        try {
+          val dir = new java.io.File(s"$outDir/$name")
+          if (dir.exists()) {
+            val walk = Files.walk(dir.toPath)
+            try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => Files.deleteIfExists(p))
+            finally walk.close()
+          }
+        } catch { case c: Throwable =>
+          System.err.println(s"[verify] $name stale-dump cleanup failed: ${c.getMessage}")
         }
       }
       // cache hygiene: no query's cached/checkpointed blocks may bleed

@@ -26,10 +26,30 @@ import org.apache.spark.sql.streaming.Trigger
   *     fired windows). Volumes are sized so multiple windows finalize at
   *     every tested sf ≥ 0.01.
   *
-  * No oracle entries: DuckDB cannot run a watermark/trigger pipeline, so
-  * the driver records the weaker rows-only check for these (the windowed
-  * AGGREGATION semantics are oracle-gated separately via the batch
-  * queries; specs cover the streaming paths).
+  * Oracle gate: DuckDB cannot RUN a watermark/trigger pipeline, but it can
+  * verify one. Every event the DSv2 generator emits is a pure function of
+  * (seed, subtask, eventId) — so each entry also persists its EXACT input
+  * event set to parquet (batch-mode read of the same source options), and
+  * the oracle SQL recomputes the streaming result over that parquet:
+  * batch semantics + an explicit watermark cutoff. At the correctness
+  * gate's scale (sf0.01, ≤ 50k rows per subtask = one micro-batch) the
+  * watermark sequence is exactly 0 → (max event time − delay), so the
+  * append-mode output is precisely "all windows/timers finalized under the
+  * final watermark" — which IS expressible in SQL:
+  *   - tumbling windows:  emitted iff window_end ≤ max(ts) − 2000;
+  *   - session windows:   emitted iff last_ts + gap ≤ max(ts) − 2000;
+  *   - two-source joins:  the global watermark is the MIN of the
+  *     per-source watermarks (multipleWatermarkPolicy=min default);
+  *   - event-time timers (flatMapGroupsWithState): fire iff the timeout
+  *     timestamp < the final watermark. qxStateful re-arms its timer on
+  *     every auction event (last end wins → MAX(end) per key) while the
+  *     transformWithState port registers once on the first (→ MIN(end)) —
+  *     both modeled exactly below.
+  * At larger SFs (multi-batch) intermediate watermark advances could drop
+  * late stragglers the single-batch model doesn't see; the oracles are
+  * therefore exact at the verified scales (sf0.001/sf0.01 — one batch),
+  * while the sf0.1 bench runs are timing-only and skip the input dump.
+  * The `<`/`<=` boundary choices are pinned by StreamingOracleBoundarySpec.
   */
 object StreamingBench extends QueryModule {
 
@@ -63,6 +83,50 @@ object StreamingBench extends QueryModule {
       }
     }
   }
+
+  /** Where each entry dumps its deterministic input events for the DuckDB
+    * oracle. A single `current` dir (not per-sf): the oracle must read the
+    * inputs of the SAME run that produced the outputs being compared, and
+    * every consumer (the driver, tools/selfcheck.py) runs the DuckDB
+    * compare immediately after the Verify run that wrote both — so
+    * last-write-wins is exactly right at any scale factor. The one writer
+    * that is NOT followed by a compare, the bench, skips the dump entirely
+    * (see [[dumpInput]]).
+    */
+  private val InputDumpBase = "/root/repo/target/stream_inputs"
+
+  /** Persist the EXACT event set the DSv2 streaming source will emit: the
+    * same `format("nexmark")` table read in BATCH mode with identical
+    * options plans the identical per-subtask [0, rows) id ranges, and every
+    * field is a pure function of (seed, subtask, eventId) — so this parquet
+    * is the streaming input, byte for byte, not a re-simulation of it.
+    *
+    * Benchmarks skip the dump (graft.stream.dumpInputs=false, set by
+    * [[graft.Bench]]): it is part of the correctness surface, not of the
+    * measured pipeline.
+    */
+  private def dumpInput(spark: SparkSession, dir: String, name: String,
+                        entity: String, cfg: GenConfig, rows: Long): Unit =
+    if (sys.props.getOrElse("graft.stream.dumpInputs", "true").toBoolean) {
+      spark.read.format("nexmark")
+        .option("entity", entity)
+        .option("rows", rows)
+        .option("parallelism", Parallelism)
+        .option("seed", cfg.seed)
+        .option("baseTimestamp", cfg.baseTimestamp)
+        .option("eventsPerSecond", cfg.eventsPerSecond)
+        .load()
+        .write.mode("overwrite")
+        .parquet(s"$InputDumpBase/current/$name/$entity")
+    }
+
+  /** DuckDB-side reference to a dumped input (see [[InputDumpBase]] for
+    * why `current`). The single-micro-batch watermark model in the oracles
+    * is exact at every driver-verified scale: the gate runs at sf0.01
+    * (≤ 50k rows per subtask = one batch) and the local probe at sf0.001.
+    */
+  private def inPath(name: String, entity: String): String =
+    s"read_parquet('$InputDumpBase/current/$name/$entity/*.parquet')"
 
   /** Run a bounded streaming DataFrame to a parquet file sink with
     * Trigger.AvailableNow, return the sink contents (empty-but-typed if no
@@ -103,10 +167,28 @@ object StreamingBench extends QueryModule {
     */
   def streamQ5Hot(spark: SparkSession, dir: String): DataFrame = {
     val rows = math.max(1L, (10000000L * sfOf(dir) / Parallelism).toLong)
-    val bids = NexmarkSources.bidStreamDsv2(
-      spark, GenConfig(eventsPerSecond = 1000L), Parallelism, rows, RowsPerBatch)
+    val cfg = GenConfig(eventsPerSecond = 1000L)
+    dumpInput(spark, dir, "stream_q5_hot", "bids", cfg, rows)
+    val bids = NexmarkSources.bidStreamDsv2(spark, cfg, Parallelism, rows, RowsPerBatch)
     runToParquet(spark, NexmarkQueries.q5HotAuctions(bids, "5 seconds"), "q5hot")
   }
+
+  /** q5HotAuctions over the dumped bids: 5 s tumbling windows, emitted iff
+    * window_end ≤ final watermark = max(ts) − 2000 (the 2 s delay).
+    */
+  private val streamQ5HotSql: String =
+    s"""WITH b AS (SELECT * FROM ${inPath("stream_q5_hot", "bids")}),
+      |wm AS (SELECT MAX(timestamp) - 2000 AS w FROM b)
+      |SELECT (timestamp // 5000) * 5000 AS windowStartMs,
+      |       auctionId,
+      |       MAX(bid) AS maxPrice,
+      |       COUNT(*) AS bidCount,
+      |       MAX(timestamp) AS lastTimestamp,
+      |       MAX(ingestionTimestamp) AS lastIngestionTimestamp
+      |FROM b
+      |GROUP BY 1, 2
+      |HAVING (timestamp // 5000) * 5000 + 5000 <= (SELECT w FROM wm)
+      |""".stripMargin
 
   /** Q8 new-users windowed two-stream join: persons ⋈ auctions per window.
     * Person and auction streams cover the SAME event-time span (person
@@ -118,12 +200,47 @@ object StreamingBench extends QueryModule {
     val sf = sfOf(dir)
     val aRows = math.max(1L, (10000000L * sf / Parallelism).toLong)
     val pRows = math.max(1L, aRows / 4)
-    val persons = NexmarkSources.personStreamDsv2(
-      spark, GenConfig(eventsPerSecond = 250L), Parallelism, pRows, RowsPerBatch)
-    val auctions = NexmarkSources.auctionStreamDsv2(
-      spark, GenConfig(eventsPerSecond = 1000L), Parallelism, aRows, RowsPerBatch)
+    val pCfg = GenConfig(eventsPerSecond = 250L)
+    val aCfg = GenConfig(eventsPerSecond = 1000L)
+    dumpInput(spark, dir, "stream_q8_join", "persons", pCfg, pRows)
+    dumpInput(spark, dir, "stream_q8_join", "auctions", aCfg, aRows)
+    val persons = NexmarkSources.personStreamDsv2(spark, pCfg, Parallelism, pRows, RowsPerBatch)
+    val auctions = NexmarkSources.auctionStreamDsv2(spark, aCfg, Parallelism, aRows, RowsPerBatch)
     runToParquet(spark, NexmarkQueries.q8NewUsers(persons, auctions, "5 seconds"), "q8join")
   }
+
+  /** q8NewUsers over the dumped persons/auctions: per (5 s window, person)
+    * the latest person stamps joined to the latest-ingested auction. Two
+    * watermarked sources → the global watermark is the MIN of the two
+    * per-source (max − 2000) watermarks; windows emit iff end ≤ that.
+    * The argmax ordering (ingestion DESC, creation DESC) mirrors the
+    * Spark side's max_by(creation, struct(ingestion, creation)).
+    */
+  private val streamQ8JoinSql: String =
+    s"""WITH p AS (SELECT * FROM ${inPath("stream_q8_join", "persons")}),
+      |a AS (SELECT * FROM ${inPath("stream_q8_join", "auctions")}),
+      |wm AS (SELECT LEAST((SELECT MAX(timestamp) FROM p),
+      |                    (SELECT MAX(timestamp) FROM a)) - 2000 AS w),
+      |pw AS (
+      |  SELECT (timestamp // 5000) * 5000 AS windowStartMs, personId,
+      |         MAX(timestamp) AS personCreation,
+      |         MAX(ingestionTimestamp) AS personIngestion
+      |  FROM p GROUP BY 1, 2
+      |), j AS (
+      |  SELECT pw.windowStartMs, pw.personId, pw.personCreation, pw.personIngestion,
+      |         a.timestamp AS auctionCreation,
+      |         ROW_NUMBER() OVER (PARTITION BY pw.windowStartMs, pw.personId
+      |                            ORDER BY a.ingestionTimestamp DESC, a.timestamp DESC) AS rn,
+      |         MAX(a.ingestionTimestamp) OVER (PARTITION BY pw.windowStartMs, pw.personId)
+      |           AS auctionIngestion
+      |  FROM pw JOIN a ON pw.personId = a.personId
+      |                AND pw.windowStartMs = (a.timestamp // 5000) * 5000
+      |)
+      |SELECT windowStartMs, personId, personCreation, personIngestion,
+      |       auctionCreation, auctionIngestion
+      |FROM j
+      |WHERE rn = 1 AND windowStartMs + 5000 <= (SELECT w FROM wm)
+      |""".stripMargin
 
   /** QX winning-bid arbitrary-state port (flatMapGroupsWithState with
     * event-time timers at auction end): the stateful-throughput number.
@@ -132,22 +249,60 @@ object StreamingBench extends QueryModule {
     * sf0.1 → 100k auctions + 400k bids.
     */
   def streamQxWinning(spark: SparkSession, dir: String): DataFrame = {
-    val (bids, auctions) = qxSources(spark, dir)
+    val (bids, auctions) = qxSources(spark, dir, "stream_qx_winning")
     runToParquet(spark, NexmarkStateful.qxStateful(bids, auctions).toDF, "qxwin")
+  }
+
+  /** QX winner over the dumped bids/auctions. The two entities are unioned
+    * under ONE watermark node, so the final watermark is the MAX over both
+    * streams − 2000. An auction key resolves iff its effective timer fires
+    * under that watermark; which `end` arms the timer differs by port (and
+    * both are deterministic, because each auctionId lives entirely inside
+    * one generator subtask = one map partition, so arrival order is
+    * generation order):
+    *   - qxStateful re-arms on every auction event → the LAST auction's
+    *     end, i.e. MAX(end) per key ([[qxTimerSql]] maxEnd=true);
+    *   - the transformWithState port registers once on the FIRST →
+    *     MIN(end) (maxEnd=false).
+    * Timers fire strictly below the watermark; the winner is the argmax
+    * over ALL the key's bids (both ports skip the [start, end] re-check,
+    * like the reference's onTimer full-list scan) under the deterministic
+    * (price DESC, ts DESC, bidder ASC) order.
+    */
+  private def qxTimerSql(name: String, maxEnd: Boolean): String = {
+    val endAgg = if (maxEnd) "MAX(\"end\")" else "MIN(\"end\")"
+    s"""WITH b AS (SELECT * FROM ${inPath(name, "bids")}),
+      |a AS (SELECT * FROM ${inPath(name, "auctions")}),
+      |wm AS (SELECT GREATEST((SELECT MAX(timestamp) FROM b),
+      |                       (SELECT MAX(timestamp) FROM a)) - 2000 AS w),
+      |resolved AS (
+      |  SELECT auctionId FROM a GROUP BY auctionId
+      |  HAVING $endAgg < (SELECT w FROM wm)
+      |), ranked AS (
+      |  SELECT b.auctionId, b.personId AS bidderId, b.bid,
+      |         b.timestamp AS bidTimestamp,
+      |         ROW_NUMBER() OVER (PARTITION BY b.auctionId
+      |                            ORDER BY b.bid DESC, b.timestamp DESC, b.personId ASC) AS rn
+      |  FROM b JOIN resolved USING (auctionId)
+      |)
+      |SELECT auctionId, bidderId, bid, bidTimestamp FROM ranked WHERE rn = 1
+      |""".stripMargin
   }
 
   /** Shared QX source volumes: stream_qx_winning and stream_qx_tws are a
     * state-backend HEAD-TO-HEAD, so their inputs must stay identical —
     * one definition, no drift.
     */
-  private def qxSources(spark: SparkSession, dir: String) = {
+  private def qxSources(spark: SparkSession, dir: String, name: String) = {
     val sf = sfOf(dir)
     val aRows = math.max(1L, (1000000L * sf / Parallelism).toLong)
     val bRows = aRows * 4
-    val auctions = NexmarkSources.auctionStreamDsv2(
-      spark, GenConfig(eventsPerSecond = 100L), Parallelism, aRows, RowsPerBatch)
-    val bids = NexmarkSources.bidStreamDsv2(
-      spark, GenConfig(eventsPerSecond = 400L), Parallelism, bRows, RowsPerBatch)
+    val aCfg = GenConfig(eventsPerSecond = 100L)
+    val bCfg = GenConfig(eventsPerSecond = 400L)
+    dumpInput(spark, dir, name, "auctions", aCfg, aRows)
+    dumpInput(spark, dir, name, "bids", bCfg, bRows)
+    val auctions = NexmarkSources.auctionStreamDsv2(spark, aCfg, Parallelism, aRows, RowsPerBatch)
+    val bids = NexmarkSources.bidStreamDsv2(spark, bCfg, Parallelism, bRows, RowsPerBatch)
     (bids, auctions)
   }
 
@@ -159,10 +314,41 @@ object StreamingBench extends QueryModule {
     */
   def streamQ11Sessions(spark: SparkSession, dir: String): DataFrame = {
     val rows = math.max(1L, (10000000L * sfOf(dir) / Parallelism).toLong)
-    val bids = NexmarkSources.bidStreamDsv2(
-      spark, GenConfig(eventsPerSecond = 1000L), Parallelism, rows, RowsPerBatch)
+    val cfg = GenConfig(eventsPerSecond = 1000L)
+    dumpInput(spark, dir, "stream_q11_sessions", "bids", cfg, rows)
+    val bids = NexmarkSources.bidStreamDsv2(spark, cfg, Parallelism, rows, RowsPerBatch)
     runToParquet(spark, NexmarkQueries.sessions(bids, "5 seconds"), "q11sess")
   }
+
+  /** Per-bidder 5 s-gap session windows over the dumped bids:
+    * gaps-and-islands (a session breaks when the gap to the previous bid is
+    * ≥ the gap duration — Spark merges [ts, ts+gap) intervals that OVERLAP,
+    * so an exact-gap successor starts a new session), session end = last
+    * ts + gap, emitted iff end ≤ max(ts) − 2000.
+    */
+  private val streamQ11SessionsSql: String =
+    s"""WITH b AS (SELECT * FROM ${inPath("stream_q11_sessions", "bids")}),
+      |wm AS (SELECT MAX(timestamp) - 2000 AS w FROM b),
+      |o AS (
+      |  SELECT personId, timestamp, ingestionTimestamp,
+      |         CASE WHEN lag(timestamp) OVER (PARTITION BY personId ORDER BY timestamp) IS NULL
+      |                OR timestamp - lag(timestamp) OVER (PARTITION BY personId ORDER BY timestamp) >= 5000
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM b
+      |), s AS (
+      |  SELECT personId, timestamp, ingestionTimestamp,
+      |         SUM(brk) OVER (PARTITION BY personId ORDER BY timestamp ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o
+      |)
+      |SELECT MIN(timestamp) AS sessionStartMs,
+      |       MAX(timestamp) + 5000 AS sessionEndMs,
+      |       personId,
+      |       COUNT(*) AS bidCount,
+      |       MAX(timestamp) AS maxTimestamp,
+      |       MAX(ingestionTimestamp) AS maxIngestionTimestamp
+      |FROM s GROUP BY personId, sid
+      |HAVING MAX(timestamp) + 5000 <= (SELECT w FROM wm)
+      |""".stripMargin
 
   /** Same QX topology on the Spark 4 transformWithState API (named
     * state + real per-key timers) over RocksDB — the 1:1 Flink
@@ -172,7 +358,7 @@ object StreamingBench extends QueryModule {
     * requires multi-column-family state, i.e. RocksDB).
     */
   def streamQxTws(spark: SparkSession, dir: String): DataFrame = {
-    val (bids, auctions) = qxSources(spark, dir)
+    val (bids, auctions) = qxSources(spark, dir, "stream_qx_tws")
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
@@ -193,8 +379,14 @@ object StreamingBench extends QueryModule {
     "stream_q11_sessions" -> (streamQ11Sessions _),
   )
 
-  /** No DuckDB oracles: trigger/watermark pipelines are not expressible in
-    * batch SQL; the driver records rows-only checks.
+  /** DuckDB oracles over each entry's dumped input events (see the class
+    * doc): exact at the correctness gate's sf0.01 single-micro-batch scale.
     */
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "stream_q5_hot" -> streamQ5HotSql,
+    "stream_q8_join" -> streamQ8JoinSql,
+    "stream_qx_winning" -> qxTimerSql("stream_qx_winning", maxEnd = true),
+    "stream_qx_tws" -> qxTimerSql("stream_qx_tws", maxEnd = false),
+    "stream_q11_sessions" -> streamQ11SessionsSql,
+  )
 }
