@@ -861,11 +861,16 @@ object TextPipeline extends QueryModule {
   /** Benchmark decontamination: flag training documents that share any
     * DeconN-word shingle with the held-out evaluation set (doc_id %
     * DeconMod == 0 stands in for the benchmark suite). The canonical
-    * pre-training hygiene pass: eval n-grams are a SMALL set, so the
-    * Spark plan broadcasts them and the big side streams through one
-    * narrow hash join — no shuffle of the corpus, linear at 10 TB of
-    * documents. Output is one row per training doc (n_shingles,
-    * n_overlap, contaminated flag) so clean docs are auditable too.
+    * pre-training hygiene pass: a REAL eval side is a benchmark suite —
+    * thousands of documents, a few million distinct shingles — so the
+    * Spark plan broadcasts it and the corpus streams through one narrow
+    * hash join, no corpus shuffle, linear at 10 TB. (The % DeconMod
+    * stand-in is 5% OF THE CORPUS, so at that hypothetical scale the
+    * broadcast would not fit; the hint models the production shape, where
+    * the eval set's size is fixed, not corpus-proportional. Swapping in a
+    * true eval table changes nothing else in the plan.) Output is one row
+    * per training doc (n_shingles, n_overlap, contaminated flag) so clean
+    * docs are auditable too.
     */
   private val DeconMod = 20
   private val DeconN = 5
@@ -986,21 +991,43 @@ object TextPipeline extends QueryModule {
     * any earlier occurrence (lowest (doc_id, idx)) of the same chunk text
     * exists ANYWHERE in the corpus. Reports per-doc duplicated-chunk
     * fraction — the signal used to strip boilerplate that exact
-    * whole-doc dedup misses. One shuffle keyed on the chunk digest
-    * (hash-distributed, skew-free), then a per-doc agg: linear at corpus
-    * scale.
+    * whole-doc dedup misses.
+    *
+    * Skew-free by construction: a per-doc occurrence is a dup unless it is
+    * its chunk's GLOBAL first, so
+    *   n_dup_chunks(d) = n_chunks(d) − #{digests whose first occurrence is in d}
+    * which needs no per-digest sort at all — only hash aggregates whose
+    * map-side partials absorb the hot key (a boilerplate chunk occurring
+    * 10⁸ times contributes one partial row per map task, not a 10⁸-row
+    * sort partition; the earlier row_number-over-Window formulation put
+    * exactly that inside one WindowExec task, which AQE cannot split).
+    * Stages: agg by (digest, doc) → agg by digest (min struct(doc_id, c),
+    * the same (doc_id, idx) order the old sort used) → count firsts per
+    * doc → join back on doc_id (key cardinality = #docs, no chunk skew).
+    * The (digest, doc) exchange is planned once and reused by both
+    * branches (ReuseExchange), so the corpus is scanned and exploded once.
     */
   private val ChunkW = 10
   def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    // guard the empty-words case explicitly: Spark's sequence(0, -1) yields
+    // the DESCENDING [0, -1] while DuckDB's range(0, 0) is empty — split()
+    // never returns an empty array today, but the cross-engine trap is real
     val ch = docsNorm(spark, dir).select(col("doc_id"),
       posexplode(expr(
-        s"transform(sequence(0, (size(words) + ${ChunkW - 1}) div $ChunkW - 1), " +
-          s"c -> concat_ws(' ', slice(words, c * $ChunkW + 1, $ChunkW)))")).as(Seq("c", "chunk")))
-    val w = Window.partitionBy(md5(col("chunk"))).orderBy(col("doc_id"), col("c"))
-    ch.withColumn("rn", row_number().over(w))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-           sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+        s"CASE WHEN size(words) = 0 THEN array() ELSE " +
+          s"transform(sequence(0, (size(words) + ${ChunkW - 1}) div $ChunkW - 1), " +
+          s"c -> concat_ws(' ', slice(words, c * $ChunkW + 1, $ChunkW))) END")).as(Seq("c", "chunk")))
+    val g1 = ch.groupBy(md5(col("chunk")).as("dg"), col("doc_id"))
+      .agg(count(lit(1)).as("k"), min(col("c")).as("minc"))
+    val perDoc = g1.groupBy(col("doc_id")).agg(sum(col("k")).as("n_chunks"))
+    val firstsPerDoc = g1
+      .groupBy(col("dg"))
+      .agg(min(struct(col("doc_id"), col("minc"))).as("first"))
+      .groupBy(col("first").getField("doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_first"))
+    perDoc.join(firstsPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_first"), lit(0L))).as("n_dup_chunks"))
       .withColumn("dup_bp", expr("n_dup_chunks * 10000 div n_chunks"))
   }
 

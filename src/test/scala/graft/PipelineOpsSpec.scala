@@ -165,6 +165,10 @@ class PipelineOpsSpec extends SparkSpec {
       .filter(col("remb") =!= col("emb")).count() > 0)
     val out = Similarity.knnPq(spark, dir)
     assert(out.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
-    assert(out.filter(col("pqd6") < 0).count() == 0)
+    // tolerance, not 0: d2 = (qsq - 2*q.r) + rsq can cancel to a tiny
+    // negative double when a reconstruction nearly equals the query; both
+    // engines compute it bit-identically, so the cross-engine gate is
+    // unaffected — only this sanity floor needs the epsilon
+    assert(out.filter(col("pqd6") < -1e-6).count() == 0)
   }
 }

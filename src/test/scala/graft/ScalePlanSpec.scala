@@ -128,4 +128,15 @@ class ScalePlanSpec extends SparkSpec {
         s"expected AQE skew split in final plan:\n$finalPlan")
     }
   }
+
+  test("chunkDedup plans as hash aggregates — no WindowExec on the digest key") {
+    // a boilerplate chunk occurring 10^8 times must never become a single
+    // sort partition: the dedup is hash-agg only (map-side partials absorb
+    // the hot key), and the only join key is doc_id (cardinality = #docs)
+    val df = graft.queries.TextPipeline.chunkDedup(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected no WindowExec:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected hash aggregation:\n$plan")
+    assert(df.count() > 0)
+  }
 }
