@@ -109,23 +109,30 @@ object Similarity extends QueryModule {
     * against broadcast centroids, and recomputing N×K/QueryMod rows is far
     * cheaper than caching N×K rows across the whole job.
     */
-  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir)
+  /** IVF candidate generation shared by [[knnIvf]] and [[knnIvfPq]]:
+    * (query_id, vec_id) pairs where vec_id sits in one of the query's
+    * NProbe nearest coarse cells (self excluded).
+    *
+    * Cell assignment is an argmax over (cos, -cid) = highest cos, ties to
+    * the lowest cid — same total order as the oracle's row_number. The
+    * struct ordering key puts a struct in the aggregation buffer, so this
+    * plans as a SortAggregate rather than a HashAggregate — still with
+    * map-side PARTIAL aggregation, so only K≪N×K pre-reduced rows per
+    * partition reach the shuffle (the property that matters at scale; the
+    * row_number window this replaced shuffled and sorted all N×K rows).
+    * The probe set (top-NProbe cells per *query*) only touches the
+    * 1/QueryMod query subset, so the similarity map is recomputed for that
+    * branch instead of persisted: both branches are shuffle-free map work
+    * against broadcast centroids.
+    */
+  private def ivfCandidates(e: DataFrame): DataFrame = {
     val cent = e.filter(col("vec_id") % CentroidMod === 0)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
-    val all = e.select(col("vec_id"), col("emb").as("cemb"), col("nrm").as("cnrm"))
     def simsOf(df: DataFrame): DataFrame = df
       .select(col("vec_id"), col("emb"))
       .crossJoin(broadcast(cent))
       .withColumn("cos", cosine(col("emb"), col("cemb")))
       .select(col("vec_id"), col("cid"), col("cos"))
-    // argmax cell per vector: max over (cos, -cid) = highest cos, ties to
-    // the lowest cid — same total order as the oracle's row_number. The
-    // struct ordering key puts a struct in the aggregation buffer, so this
-    // plans as a SortAggregate rather than a HashAggregate — still with
-    // map-side PARTIAL aggregation, so only K≪N×K pre-reduced rows per
-    // partition reach the shuffle (the property that matters at scale; the
-    // row_number window this replaced shuffled and sorted all N×K rows).
     val assign = simsOf(e).groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("cos"), negate(col("cid")))).as("cid"))
     // top-NProbe cells per query: K entries per group, sorted in the agg
@@ -135,12 +142,17 @@ object Similarity extends QueryModule {
       .agg(slice(array_sort(collect_list(struct(negate(col("cos")).as("ncos"), col("cid")))),
                  1, NProbe).as("top"))
       .select(col("vec_id").as("query_id"), explode(col("top.cid")).as("cid"))
-    val candIds = probes.join(assign, "cid")
+    probes.join(assign, "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
+  }
+
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val all = e.select(col("vec_id"), col("emb").as("cemb"), col("nrm").as("cnrm"))
     val q = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
-    val scored = candIds
+    val scored = ivfCandidates(e)
       .join(all, "vec_id")
       .join(broadcast(q), "query_id")
       .withColumn("cos", cosine(col("qemb"), col("cemb")))
@@ -523,26 +535,43 @@ object Similarity extends QueryModule {
     * reconstruction-identity property (a pivot row reconstructs to
     * itself exactly) is directly testable.
     */
-  def pqReconstruct(spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir)
+  /** (vec_id, j, sub, ssq): each vector split into its PqM sub-vectors,
+    * with the self dot-product hoisted OUT of the K-way encode join: d2
+    * rows in the N × PqM × K encode stage then pay one 8-dim dot instead
+    * of three (the composition ((ssq - 2·s·c) + csq) is unchanged, so the
+    * values — and the oracle — are bit-identical).
+    */
+  private def pqSubs(e: DataFrame): DataFrame = {
     val subStructs = (0 until PqM).map(j =>
       struct(lit(j).as("j"), slice(col("emb"), j * PqSubDim + 1, PqSubDim).as("sub")))
-    // self dot-products hoisted OUT of the K-way join: d2 rows in the
-    // N × PqM × K encode stage then pay one 8-dim dot instead of three
-    // (the composition ((ssq - 2·s·c) + csq) is unchanged, so the values
-    // — and the oracle — are bit-identical)
-    val subs = e.select(col("vec_id"), explode(array(subStructs: _*)).as("s"))
+    e.select(col("vec_id"), explode(array(subStructs: _*)).as("s"))
       .select(col("vec_id"), col("s.j").as("j"), col("s.sub").as("sub"))
       .withColumn("ssq", dp(col("sub"), col("sub")))
-    val cw = subs.filter(col("vec_id") % CentroidMod === 0)
+  }
+
+  /** (code, j, cwv, csq): the deterministic per-subspace codebook — the
+    * sub-vectors of the CentroidMod pivot rows.
+    */
+  private def pqCodewords(subs: DataFrame): DataFrame =
+    subs.filter(col("vec_id") % CentroidMod === 0)
       .select(col("vec_id").as("code"), col("j"), col("sub").as("cwv"),
               col("ssq").as("csq"))
-    // encode: per (vector, subspace) argmin codeword — min over (d2, code)
-    // so ties break to the lowest code id, matching the oracle's row_number
-    val assign = subs.join(broadcast(cw), "j")
+
+  /** (vec_id, j, code): per (vector, subspace) argmin codeword — min over
+    * (d2, code) so ties break to the lowest code id, matching the oracle's
+    * row_number.
+    */
+  private def pqEncode(subs: DataFrame, cw: DataFrame): DataFrame =
+    subs.join(broadcast(cw), "j")
       .withColumn("d2", l2sqPre(col("ssq"), col("sub"), col("cwv"), col("csq")))
       .groupBy(col("vec_id"), col("j"))
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+
+  def pqReconstruct(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val subs = pqSubs(e)
+    val cw = pqCodewords(subs)
+    val assign = pqEncode(subs, cw)
     // reconstruct: codewords back in subspace order, flattened to 64 dims
     assign.join(broadcast(cw), Seq("j", "code"))
       .groupBy(col("vec_id"))
@@ -595,6 +624,101 @@ object Similarity extends QueryModule {
        |FROM s QUALIFY rk <= $TopK
        |""".stripMargin
 
+  /** IVFADC — the production serving composition of [[knnIvf]] (coarse
+    * pruning) and [[knnPq]] (memory compression): candidates come ONLY
+    * from the query's NProbe nearest coarse cells, and are scored by
+    * asymmetric distance through a per-query LOOKUP TABLE — for each
+    * (query, subspace) the distances to all K codewords are precomputed
+    * once, so scoring a candidate is PqM table lookups + an ordered sum
+    * instead of a 64-dim dot (the knnPq baseline scores brute-force
+    * against full reconstructions; this is the indexed path).
+    *
+    * 1 B-vector cost model (K' coarse cells, K codewords, M = PqM):
+    * per query ≈ K' coarse dots + M·K LUT sub-distances (a few thousand
+    * flops) + NProbe · (N/K') · M lookups — with K' = 2¹⁶ and NProbe = 32
+    * that is ~0.5 M candidate rows × 8 byte-indexed adds per query, vs
+    * 1 B × 64-dim dots for brute force (≈ 4000× less arithmetic), while
+    * the index stores M bytes per vector (32× smaller than f32). The
+    * Spark shapes are the scale shapes: the codebook and LUT broadcast
+    * (Q × M × K rows — queries are batched, the corpus is not), the
+    * candidate join is the bucket join, and the fold is codegen'd.
+    *
+    * Cross-engine exactness: each per-subspace partial is the pinned
+    * ((ssq − 2·s·c) + csq) composition; the PqM partials are summed in
+    * subspace order by a sequential fold (array_sort by j, then
+    * aggregate) whose DuckDB twin is list_reduce(list(pd ORDER BY j)) —
+    * both produce ((p0+p1)+…)+p7 bit-identically (Spark's fold seeds
+    * with 0.0; 0.0 + p0 ≡ p0 in IEEE for any non-negative-zero p0).
+    */
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val subs = pqSubs(e)
+    val cw = pqCodewords(subs)
+    val codes = pqEncode(subs, cw)
+    val lut = subs.filter(col("vec_id") % QueryMod === 0)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cw), "j")
+      .withColumn("pd", l2sqPre(col("ssq"), col("sub"), col("cwv"), col("csq")))
+      .select(col("query_id"), col("j"), col("code"), col("pd"))
+    val scored = ivfCandidates(e)
+      .join(codes, "vec_id")
+      .join(broadcast(lut), Seq("query_id", "j", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(collect_list(struct(col("j"), col("pd"))).as("ps"))
+      .withColumn("d2", expr("aggregate(array_sort(ps), 0D, (a, x) -> a + x.pd)"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc_nulls_last, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
+      .select(col("query_id"), col("vec_id"), round(col("d2"), 6).as("pqd6"), col("rk"))
+  }
+
+  def knnIvfPqSql: String =
+    s"""WITH e AS (
+       |  $VecsCteSql
+       |), cent AS (
+       |  SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % $CentroidMod = 0
+       |), sims AS (
+       |  SELECT e.vec_id, cid,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY list_cosine_similarity(cemb, emb) DESC NULLS LAST, cid ASC) AS crk
+       |  FROM e, cent
+       |), assign AS (
+       |  SELECT vec_id, cid FROM sims WHERE crk = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cid FROM sims WHERE crk <= $NProbe AND vec_id % $QueryMod = 0
+       |), cands AS (
+       |  SELECT query_id, a.vec_id FROM probes p JOIN assign a ON p.cid = a.cid
+       |  WHERE a.vec_id <> query_id
+       |), subs AS (
+       |  SELECT vec_id, j, list_slice(emb, j * $PqSubDim + 1, j * $PqSubDim + $PqSubDim) AS sub
+       |  FROM e, range(0, $PqM) t(j)
+       |), cw AS (
+       |  SELECT vec_id AS code, j, sub AS cwv FROM subs WHERE vec_id % $CentroidMod = 0
+       |), enc AS (
+       |  SELECT vec_id, j, code,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY
+       |           ((list_inner_product(sub, sub) - 2.0 * list_inner_product(sub, cwv)) + list_inner_product(cwv, cwv)) ASC,
+       |           code ASC) AS rn
+       |  FROM subs JOIN cw USING (j)
+       |), codes AS (
+       |  SELECT vec_id, j, code FROM enc WHERE rn = 1
+       |), lut AS (
+       |  SELECT s.vec_id AS query_id, cw.j, cw.code,
+       |         ((list_inner_product(s.sub, s.sub) - 2.0 * list_inner_product(s.sub, cw.cwv)) + list_inner_product(cw.cwv, cw.cwv)) AS pd
+       |  FROM subs s JOIN cw ON s.j = cw.j WHERE s.vec_id % $QueryMod = 0
+       |), d AS (
+       |  SELECT c.query_id, c.vec_id,
+       |         list_reduce(list(l.pd ORDER BY l.j), (a, b) -> a + b) AS d2
+       |  FROM cands c
+       |  JOIN codes k ON k.vec_id = c.vec_id
+       |  JOIN lut l ON l.query_id = c.query_id AND l.j = k.j AND l.code = k.code
+       |  GROUP BY c.query_id, c.vec_id
+       |)
+       |SELECT query_id, vec_id, ROUND(d2, 6) AS pqd6,
+       |       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC NULLS LAST, vec_id ASC) AS rk
+       |FROM d QUALIFY rk <= $TopK
+       |""".stripMargin
+
   /** Per-label vector statistics (sanity/profiling pass). */
   def labelStats(spark: SparkSession, dir: String): DataFrame =
     vecs(spark, dir).groupBy(col("label"))
@@ -621,6 +745,7 @@ object Similarity extends QueryModule {
     "s_quantize_int8" -> (quantizeInt8 _),
     "s_label_stats" -> (labelStats _),
     "s_knn_pq" -> (knnPq _),
+    "s_knn_ivfpq" -> (knnIvfPq _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -633,5 +758,6 @@ object Similarity extends QueryModule {
     "s_quantize_int8" -> quantizeInt8Sql,
     "s_label_stats" -> labelStatsSql,
     "s_knn_pq" -> knnPqSql,
+    "s_knn_ivfpq" -> knnIvfPqSql,
   )
 }

@@ -171,4 +171,22 @@ class PipelineOpsSpec extends SparkSpec {
     // unaffected — only this sanity floor needs the epsilon
     assert(out.filter(col("pqd6") < -1e-6).count() == 0)
   }
+
+  test("knnIvfPq: LUT-summed ADC distance equals the flat reconstruction L2^2") {
+    // the per-query LUT path sums PqM per-subspace partials; the flat path
+    // computes one 64-dim composition against the reconstruction — equal
+    // mathematically, different floating-point order, so compare within an
+    // epsilon far below any ranking gap
+    val out = Similarity.knnIvfPq(spark, dir)
+    assert(out.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
+    assert(out.filter(col("pqd6") < -1e-6).count() == 0)
+    val recon = Similarity.pqReconstruct(spark, dir)
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("qemb"))
+    val checked = out.join(recon, "vec_id").join(q, "query_id")
+      .withColumn("flat", expr(
+        "aggregate(zip_with(qemb, remb, (a, b) -> (a - b) * (a - b)), 0D, (s, x) -> s + x)"))
+      .filter(abs(col("pqd6") - round(col("flat"), 6)) > 1e-6)
+    assert(checked.count() == 0, "LUT distance must match the reconstruction distance")
+  }
 }
