@@ -300,8 +300,10 @@ object Similarity extends QueryModule {
     * end to end.
     */
   private val DedupTau = 0.15
-  def cosineDedup(spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir)
+  /** (vec_a < vec_b) pairs whose cosine clears DedupTau — the verified
+    * dup-pair EDGE LIST both dedup flavors cluster over.
+    */
+  private def verifiedDupPairs(e: DataFrame): DataFrame = {
     val bands = e.select(col("vec_id"),
       posexplode(array(bandKeyCols(lshCoordPairs): _*)).as(Seq("band", "bkey")))
     val x = bands.as("x"); val y = bands.as("y")
@@ -312,17 +314,45 @@ object Similarity extends QueryModule {
       .distinct()
     val ea = e.select(col("vec_id").as("vec_a"), col("emb").as("qemb"))
     val eb = e.select(col("vec_id").as("vec_b"), col("emb").as("cemb"))
-    val verified = cands.join(ea, "vec_a").join(eb, "vec_b")
+    cands.join(ea, "vec_a").join(eb, "vec_b")
       .filter(cosine(col("qemb"), col("cemb")) >= DedupTau)
       .select(col("vec_a"), col("vec_b"))
+  }
+
+  def cosineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
     // min smaller-partner per vector; partners are oriented a < b so the
     // min over vec_a is always < vec_b — coalesce(minA, own id) = 1-hop min
-    val partnerMin = verified.groupBy(col("vec_b").as("vec_id"))
+    val partnerMin = verifiedDupPairs(e).groupBy(col("vec_b").as("vec_id"))
       .agg(min(col("vec_a")).as("min_dup"))
     e.select(col("vec_id"))
       .join(broadcast(partnerMin), Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("min_dup"), col("vec_id")).as("canon_id"))
+      .withColumn("is_canonical", (col("vec_id") === col("canon_id")).cast("int"))
+  }
+
+  /** Connected-components embedding dedup: the fixed point of
+    * [[cosineDedup]]'s min-partner pass over the verified pair graph, so
+    * chained near-dups a→b→c all canonicalize onto a (the 1-hop pass
+    * leaves c on b). Reuses [[TextPipeline.ccIterate]] — each verified
+    * pair becomes its own two-member "bucket" ((band, bkey) = (vec_a,
+    * vec_b), exact, no hashing), and the same shuffle-linear
+    * label-propagation rounds run to convergence. Oracle: DuckDB
+    * recursive CTE over the symmetric verified edges.
+    */
+  def cosineDedupCC(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val pairs = verifiedDupPairs(e).localCheckpoint(true)
+    val buckets = pairs
+      .select(col("vec_a").as("doc_id"), col("vec_a").as("band"), col("vec_b").as("bkey"))
+      .unionByName(pairs
+        .select(col("vec_b").as("doc_id"), col("vec_a").as("band"), col("vec_b").as("bkey")))
+    val (labels, _) = TextPipeline.ccIterate(buckets)
+    e.select(col("vec_id"))
+      .join(broadcast(labels.select(col("doc_id").as("vec_id"), col("cluster_id"))),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("cluster_id"), col("vec_id")).as("canon_id"))
       .withColumn("is_canonical", (col("vec_id") === col("canon_id")).cast("int"))
   }
 
@@ -345,6 +375,34 @@ object Similarity extends QueryModule {
        |SELECT e.vec_id, COALESCE(min_dup, e.vec_id) AS canon_id,
        |       CAST(e.vec_id = COALESCE(min_dup, e.vec_id) AS INT) AS is_canonical
        |FROM e LEFT JOIN pm ON e.vec_id = pm.vec_id
+       |""".stripMargin
+  }
+
+  def cosineDedupCCSql: String = {
+    val bandSelects = bandSelectsSql(lshCoordPairs)
+    s"""WITH RECURSIVE e AS (
+       |  $VecsCteSql
+       |), bands AS (
+       |  $bandSelects
+       |), cands AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
+       |), verified AS (
+       |  SELECT vec_a, vec_b FROM cands JOIN e a ON vec_a = a.vec_id JOIN e b ON vec_b = b.vec_id
+       |  WHERE list_cosine_similarity(a.emb, b.emb) >= $DedupTau
+       |), edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM verified
+       |  UNION
+       |  SELECT vec_b AS src, vec_a AS dst FROM verified
+       |), reach AS (
+       |  SELECT vec_id, vec_id AS r FROM e
+       |  UNION
+       |  SELECT reach.vec_id, ed.dst AS r FROM reach JOIN edges ed ON ed.src = reach.r
+       |)
+       |SELECT vec_id, MIN(r) AS canon_id,
+       |       CAST(vec_id = MIN(r) AS INT) AS is_canonical
+       |FROM reach GROUP BY vec_id
        |""".stripMargin
   }
 
@@ -741,6 +799,7 @@ object Similarity extends QueryModule {
     "s_dot_topk" -> (dotTopk _),
     "s_lsh_dup_pairs" -> (lshDupPairs _),
     "s_cosine_dedup" -> (cosineDedup _),
+    "s_cosine_cc" -> (cosineDedupCC _),
     "s_knn_lsh" -> (knnLsh _),
     "s_quantize_int8" -> (quantizeInt8 _),
     "s_label_stats" -> (labelStats _),
@@ -754,6 +813,7 @@ object Similarity extends QueryModule {
     "s_dot_topk" -> dotTopkSql,
     "s_lsh_dup_pairs" -> lshDupPairsSql,
     "s_cosine_dedup" -> cosineDedupSql,
+    "s_cosine_cc" -> cosineDedupCCSql,
     "s_knn_lsh" -> knnLshSql,
     "s_quantize_int8" -> quantizeInt8Sql,
     "s_label_stats" -> labelStatsSql,

@@ -343,17 +343,23 @@ object TextPipeline extends QueryModule {
   /** Near-dup cluster assignment (1-hop): every doc joins the minimum
     * doc_id among all documents sharing any of its LSH band buckets — the
     * single-pass approximation of connected components used as the first
-    * round of iterative web-scale dedup (each extra round would re-join
-    * cluster ids through the bucket table).
+    * round of iterative web-scale dedup. On a duplicate CHAIN a→b→c this
+    * leaves c pointing at the non-canonical b; [[dupClustersCC]] iterates
+    * this same pass to the fixed point and closes exactly that gap.
     */
-  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // The shingle table is materialized (eager localCheckpoint, released on
-    // GC — see minhashPairs) BEFORE the signature aggregation: computing
-    // the 12 min(md5) aggregates directly over the fused
-    // normalize→shingle→explode plan measured >10× slower than over the
-    // materialized arrays (round-2's 2.6 s bench number for this query was
-    // an artifact of silently reusing minhashPairs' cached plan subtree —
-    // the clean-cache cost was ~34 s).
+  /** (doc_id, band, bkey): each doc's LSH band bucket memberships — the
+    * hypergraph both [[dupClusters]] (1-hop) and [[dupClustersCC]]
+    * (fixed point) cluster over.
+    *
+    * The shingle table is materialized (eager localCheckpoint, released on
+    * GC — see minhashPairs) BEFORE the signature aggregation: computing
+    * the 12 min(md5) aggregates directly over the fused
+    * normalize→shingle→explode plan measured >10× slower than over the
+    * materialized arrays (round-2's 2.6 s bench number for this query was
+    * an artifact of silently reusing minhashPairs' cached plan subtree —
+    * the clean-cache cost was ~34 s).
+    */
+  private def lshBandsOf(spark: SparkSession, dir: String): DataFrame = {
     val d = docsNorm(spark, dir)
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), shinglesCol.as("shingles"))
@@ -361,7 +367,11 @@ object TextPipeline extends QueryModule {
     val sh = d.select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"), call_function("md5_words", col("sh")).as("w"))
     val sigs = sh.groupBy(col("doc_id")).agg(sigAggCols.head, sigAggCols.tail: _*)
-    val bands = sigs.select(col("doc_id"), posexplode(array(bandKeyCols: _*)).as(Seq("band", "bkey")))
+    sigs.select(col("doc_id"), posexplode(array(bandKeyCols: _*)).as(Seq("band", "bkey")))
+  }
+
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val bands = lshBandsOf(spark, dir)
     val w = Window.partitionBy(col("band"), col("bkey"))
     bands.withColumn("bucket_min", min(col("doc_id")).over(w))
       .groupBy(col("doc_id"))
@@ -385,6 +395,94 @@ object TextPipeline extends QueryModule {
        |)
        |SELECT doc_id, cluster_id, CAST(doc_id = cluster_id AS INT) AS is_canonical
        |FROM c
+       |""".stripMargin
+  }
+
+  /** Iterate the bucket-min label assignment to its fixed point: after
+    * convergence every doc's label is the MINIMUM doc_id of its full
+    * connected component in the bucket hypergraph — the label-propagation
+    * connected components of web-scale dedup, built from the SAME
+    * shuffle-linear pass as the 1-hop assignment (join labels through
+    * buckets, take mins, repeat).
+    *
+    * Each round is two hash-agg shuffles (bucket-min of current labels,
+    * then doc-min of bucket labels) + one doc_id join; labels are eagerly
+    * localCheckpoint'ed per round so lineage stays flat across iterations.
+    * Rounds needed = component diameter in bucket hops. Real near-dup
+    * components are hubs (one template shared by many docs → diameter
+    * ≤ 2-3); a pathological N-link chain would need N rounds, which is
+    * what [[MaxCcRounds]] guards — the loop FAILS LOUDLY rather than
+    * return a silently unconverged (oracle-mismatching) labeling. (The
+    * O(log N)-round upgrade for adversarial chains is star-contraction
+    * pointer doubling; not needed for the hub-shaped components dedup
+    * actually meets.)
+    *
+    * Returns (labels(doc_id, cluster_id), rounds) — rounds includes the
+    * final no-change confirmation pass.
+    */
+  private[graft] val MaxCcRounds = 25
+  private[graft] def ccIterate(bands: DataFrame, maxRounds: Int = MaxCcRounds): (DataFrame, Int) = {
+    def relabel(labels: DataFrame): DataFrame = {
+      val bl = bands.join(labels, "doc_id")
+        .groupBy(col("band"), col("bkey")).agg(min(col("cluster_id")).as("bl"))
+      bands.join(bl, Seq("band", "bkey"))
+        .groupBy(col("doc_id")).agg(min(col("bl")).as("cluster_id"))
+        .localCheckpoint(true)
+    }
+    // round 0 = the 1-hop assignment (labels start as the identity, so one
+    // relabel pass IS bucket-min-then-doc-min)
+    var labels = relabel(bands.select(col("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")))
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = relabel(labels)
+      val changed = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels = next
+      rounds += 1
+      converged = changed == 0
+    }
+    require(converged, s"connected components did not converge within $maxRounds rounds")
+    (labels, rounds)
+  }
+
+  /** Full connected-components dedup clustering: [[dupClusters]] iterated
+    * to the fixed point via [[ccIterate]], so chained duplicates a→b→c all
+    * collapse onto the one canonical a (the 1-hop pass leaves c on b).
+    * Oracle: a DuckDB recursive CTE over star edges (doc ↔ its bucket's
+    * min doc — same connectivity as all-pairs bucket edges, linearly many).
+    */
+  def dupClustersCC(spark: SparkSession, dir: String): DataFrame = {
+    val bands = lshBandsOf(spark, dir).localCheckpoint(true)
+    val (labels, _) = ccIterate(bands)
+    labels.withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("int"))
+  }
+
+  def dupClustersCCSql: String = {
+    s"""WITH RECURSIVE d0 AS (
+       |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM documents
+       |), d AS (
+       |  SELECT doc_id, ${shinglesSqlExpr(3)} AS shingles FROM d0 WHERE LEN(ws) >= 3
+       |), sh AS (
+       |  SELECT doc_id, UNNEST(shingles) AS sh FROM d
+       |), $sqlSigStages, bands AS (
+       |  $sqlBandSelects
+       |), hub AS (
+       |  SELECT band, bkey, MIN(doc_id) AS hub FROM bands GROUP BY band, bkey
+       |), edges AS (
+       |  SELECT b.doc_id AS src, h.hub AS dst FROM bands b JOIN hub h USING (band, bkey)
+       |  UNION
+       |  SELECT h.hub AS src, b.doc_id AS dst FROM bands b JOIN hub h USING (band, bkey)
+       |), reach AS (
+       |  SELECT DISTINCT doc_id, doc_id AS r FROM bands
+       |  UNION
+       |  SELECT reach.doc_id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r
+       |)
+       |SELECT doc_id, MIN(r) AS cluster_id,
+       |       CAST(doc_id = MIN(r) AS INT) AS is_canonical
+       |FROM reach GROUP BY doc_id
        |""".stripMargin
   }
 
@@ -1216,6 +1314,7 @@ object TextPipeline extends QueryModule {
     "t_multimodal_meta" -> (multimodalMeta _),
     "t_frame_sample" -> (frameSample _),
     "t_dup_clusters" -> (dupClusters _),
+    "t_dup_cc" -> (dupClustersCC _),
     "t_corpus_filter" -> (corpusFilter _),
     "t_winnow_fingerprint" -> (winnowFingerprint _),
     "t_vocab_topk" -> (vocabTopk _),
@@ -1243,6 +1342,7 @@ object TextPipeline extends QueryModule {
     "t_multimodal_meta" -> multimodalMetaSql,
     "t_frame_sample" -> frameSampleSql,
     "t_dup_clusters" -> dupClustersSql,
+    "t_dup_cc" -> dupClustersCCSql,
     "t_corpus_filter" -> corpusFilterSql,
     "t_winnow_fingerprint" -> winnowFingerprintSql,
     "t_vocab_topk" -> vocabTopkSql,

@@ -189,4 +189,39 @@ class PipelineOpsSpec extends SparkSpec {
       .filter(abs(col("pqd6") - round(col("flat"), 6)) > 1e-6)
     assert(checked.count() == 0, "LUT distance must match the reconstruction distance")
   }
+
+  test("ccIterate collapses a 4-link chain the 1-hop pass cannot") {
+    import spark.implicits._
+    // bucket chain 1-2, 2-3, 3-4, 4-5: docs 3/4/5 are >= 2 hops from the
+    // canonical 1, so the 1-hop bucket-min pass must NOT reach it while
+    // the fixed point must label everything 1
+    val bands = Seq(
+      (1L, 0, 100L), (2L, 0, 100L),
+      (2L, 0, 200L), (3L, 0, 200L),
+      (3L, 0, 300L), (4L, 0, 300L),
+      (4L, 0, 400L), (5L, 0, 400L),
+      (9L, 0, 900L) // singleton stays its own cluster
+    ).toDF("doc_id", "band", "bkey")
+    val (labels, rounds) = TextPipeline.ccIterate(bands)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 9L -> 9L))
+    // label propagation needs diameter-many passes: strictly more than one
+    // iteration beyond the 1-hop round, plus the no-change confirmation
+    assert(rounds == 4, s"expected 4 rounds (3 propagating + 1 confirming), got $rounds")
+  }
+
+  test("dupClustersCC refines dupClusters: same components, canonical labels everywhere") {
+    val oneHop = TextPipeline.dupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id").as("one_hop"))
+    val cc = TextPipeline.dupClustersCC(spark, dir)
+    // CC labels are <= the 1-hop labels (monotone min propagation), and a
+    // doc's CC label is itself canonical (labels of labels are fixed)
+    val j = cc.join(oneHop, "doc_id")
+    assert(j.filter(col("cluster_id") > col("one_hop")).count() == 0)
+    val lbl = cc.select(col("cluster_id")).distinct()
+      .join(cc.select(col("doc_id"), col("cluster_id").as("own")),
+        col("cluster_id") === col("doc_id"))
+    assert(lbl.filter(col("own") =!= col("cluster_id")).count() == 0,
+      "every emitted cluster_id must itself be labeled with itself")
+  }
 }
