@@ -49,15 +49,22 @@ object NexmarkKafka {
     * first-4-bytes hash (GeneratorPipeline.java:198-251), which collapses
     * to one partition for ids < 2^32 — see [[Murmur3Partitioner]]'s doc;
     * `Murmur3Partitioner.referencePartitionFor` is the byte-exact port.
+    *
+    * The partition column is the native `murmur3_partition` expression
+    * computed in the projection AFTER the (unavoidable) binary-encode map
+    * — the routing stays codegen'd and plan-auditable; only the byte-level
+    * codec runs in a lambda (the documented binary-codec exception).
     */
   def writeEventsToKafka(events: Dataset[Event], servers: String,
                          numPartitions: Int, checkpoint: String,
                          topic: String = "nexmark-events"): DataStreamWriter[org.apache.spark.sql.Row] = {
     import events.sparkSession.implicits._
-    val keyed = events.map { e =>
-      (TaggedCodec.encodeKey(e), TaggedCodec.encode(e),
-        Murmur3Partitioner.partitionFor(e.key, numPartitions))
-    }.toDF("key", "value", "partition")
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    val keyed = events
+      .map(e => (TaggedCodec.encodeKey(e), TaggedCodec.encode(e), e.key))
+      .toDF("key", "value", "k")
+      .withColumn("partition", call_function("murmur3_partition", col("k"), lit(numPartitions)))
+      .drop("k")
     keyed.writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", servers)

@@ -102,18 +102,44 @@ object NexmarkMain {
           sink.close()
           declarative
         case "--q0" => // GeneratorPipeline.java:31-208, broker-less analog:
-          // phase 1 (producer): 1:4:4 interleaved events → tagged
-          // length-prefixed records, routed to one file per "topic
-          // partition" by the murmur3 partitioner; phase 2 (consumer): read
-          // the partition files back, decode, run the Q5b topology — the
-          // reference's only multi-job flow (NexmarkSuite.java:256-282).
+          // phase 1 (producer): a DISTRIBUTED Spark job — 1:4:4 interleaved
+          // events → tagged length-prefixed records, with the topic
+          // partition computed by the native `murmur3_partition` expression
+          // in the projection (plan-auditable codegen routing, SURVEY
+          // §9.8.3; only the byte codec runs in a lambda), shuffled on the
+          // partition column and written one file per "topic partition";
+          // phase 2 (consumer): read the partition files back, decode, run
+          // the Q5b topology — the reference's only multi-job flow
+          // (NexmarkSuite.java:256-282).
           val numPartitions = 4
-          val events = (0 until rowsPerBatch).map(i => NexmarkGen.event(cfg, i.toLong))
-          events.groupBy(e => Murmur3Partitioner.partitionFor(e.key, numPartitions))
-            .foreach { case (part, es) =>
-              val bos = new java.io.ByteArrayOutputStream()
-              es.foreach(e => bos.write(TaggedCodec.encodeFramed(e)))
-              java.nio.file.Files.write(dir.resolve(s"events_p$part.bin"), bos.toByteArray)
+          val framed = spark.range(rowsPerBatch.toLong)
+            .as[Long]
+            .map { i => val e = NexmarkGen.event(cfg, i); (i, TaggedCodec.encodeFramed(e), e.key) }
+            .toDF("i", "frame", "k")
+            .withColumn("part",
+              org.apache.spark.sql.functions.call_function("murmur3_partition",
+                org.apache.spark.sql.functions.col("k"),
+                org.apache.spark.sql.functions.lit(numPartitions)))
+          val producerPlan = framed.queryExecution.executedPlan.toString
+          require(producerPlan.contains("murmur3_partition"),
+            s"producer routing must be a plan-level projection:\n$producerPlan")
+          val outFileDir = dir.toString // Path is not serializable; String is
+          framed
+            .repartition(numPartitions, org.apache.spark.sql.functions.col("part"))
+            .sortWithinPartitions("part", "i") // keep production order per topic partition
+            .select("part", "frame")
+            .as[(Int, Array[Byte])]
+            .foreachPartition { it: Iterator[(Int, Array[Byte])] =>
+              // a task sees whole part groups (part is the shuffle key);
+              // hash placement may co-locate several parts in one task
+              val byPart = scala.collection.mutable.LinkedHashMap[Int, java.io.ByteArrayOutputStream]()
+              it.foreach { case (p, f) =>
+                byPart.getOrElseUpdate(p, new java.io.ByteArrayOutputStream()).write(f)
+              }
+              byPart.foreach { case (p, bos) =>
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(outFileDir, s"events_p$p.bin"), bos.toByteArray)
+              }
             }
           val ev = spark.read.format("binaryFile").load(s"$dir/events_p*.bin")
             .select("content").as[Array[Byte]]

@@ -383,10 +383,14 @@ object Q5bCsvSink {
   * [[referencePartitionFor]] for fidelity tests and cross-checking.
   */
 object Murmur3Partitioner {
-  val Seed = 104729
+  val Seed: Int = graft.spark.Murmur3Partition.Seed
 
+  /** Delegates to the native-expression kernel
+    * ([[graft.spark.Murmur3Partition]]) so the Scala-side partitioner and
+    * the codegen'd `murmur3_partition` column can never drift apart.
+    */
   def partitionFor(key: Long, numPartitions: Int): Int =
-    Math.floorMod(murmur3_32(key, Seed), numPartitions)
+    graft.spark.Murmur3Partition.compute(key, numPartitions)
 
   /** Byte-exact port of the reference partitioner
     * (GeneratorPipeline.java:198-251): murmur3-32 over only the first 4
@@ -417,30 +421,6 @@ object Murmur3Partitioner {
   }
 
   /** murmur3 32-bit over the big-endian 8-byte encoding of `key`. */
-  def murmur3_32(key: Long, seed: Int): Int = {
-    val c1 = 0xcc9e2d51
-    val c2 = 0x1b873593
-    var h1 = seed
-    // two 4-byte little-endian blocks of the big-endian key bytes
-    val bytes = java.nio.ByteBuffer.allocate(8).putLong(key).array()
-    var i = 0
-    while (i < 8) {
-      var k1 = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
-        ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
-      k1 *= c1
-      k1 = Integer.rotateLeft(k1, 15)
-      k1 *= c2
-      h1 ^= k1
-      h1 = Integer.rotateLeft(h1, 13)
-      h1 = h1 * 5 + 0xe6546b64
-      i += 4
-    }
-    h1 ^= 8 // length
-    h1 ^= (h1 >>> 16)
-    h1 *= 0x85ebca6b
-    h1 ^= (h1 >>> 13)
-    h1 *= 0xc2b2ae35
-    h1 ^= (h1 >>> 16)
-    h1
-  }
+  def murmur3_32(key: Long, seed: Int): Int =
+    graft.spark.Murmur3Partition.murmur3_32(key, seed)
 }

@@ -60,6 +60,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordShingles(children.head, n)
       }))
     ext.injectFunction((
+      FunctionIdentifier("murmur3_partition"),
+      Murmur3Partition.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "murmur3_partition takes (key, numPartitions)")
+        Murmur3Partition(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("simhash32"),
       SimHash32.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
