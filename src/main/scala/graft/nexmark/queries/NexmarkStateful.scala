@@ -20,9 +20,11 @@ import graft.nexmark._
   *     behavior (one-shot flush once the watermark passes the timer) is
   *     identical.
   *   - Q8's JoinUDF retains all state forever (NexmarkQuery8.java:634, no
-  *     cleanup); the port keeps NoTimeout state for fidelity. The
-  *     declarative flavor (NexmarkQueries.q8NewUsers) is the
-  *     watermark-bounded version to use at scale.
+  *     cleanup); the port keeps NoTimeout state for fidelity by default,
+  *     with an opt-in idle-state TTL (`stateTtlMs`) as the
+  *     production-scale mode. The declarative flavor
+  *     (NexmarkQueries.q8NewUsers) is the watermark-bounded version to
+  *     use at scale.
   */
 object NexmarkStateful {
 
@@ -180,52 +182,77 @@ object NexmarkStateful {
     * (see [[ProbeCounters]]). The keyed `othersSeen` count is retained as
     * the bounded analog of the reference's unbounded `matchingAuctions`
     * ListState (accumulated, never read back — :634).
+    *
+    * @param stateTtlMs production-scale mode: when set, a key whose state
+    *   has gone `stateTtlMs` of processing time without an update is
+    *   silently expired (a later element for the key simply starts fresh,
+    *   as if never seen). The DEFAULT (None) keeps the reference's exact
+    *   retain-forever semantics (NexmarkQuery8.java:634 registers no
+    *   cleanup), which is the right fidelity port but unbounded on a
+    *   stream with unbounded key cardinality — the TTL flavor is what a
+    *   real deployment runs. Expiry is idle-time based (the timer re-arms
+    *   on every update), so hot persons are never evicted no matter how
+    *   long the stream runs.
     */
-  def joinUdfStateful(elems: Dataset[PA], sampleEvery: Long = 200000L): Dataset[Query8Output] = {
+  def joinUdfStateful(elems: Dataset[PA], sampleEvery: Long = 200000L,
+                      stateTtlMs: Option[Long] = None): Dataset[Query8Output] = {
     import elems.sparkSession.implicits._
     val probe = new ProbeCounters.Handle(ProbeCounters.freshId())
     val withTime = elems.toDF
       .withColumn("eventTime", timestamp_millis(col("creationTs")))
       .withWatermark("eventTime", "2 seconds")
       .as[PA]
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     withTime
       .groupByKey(_.personId)
       .flatMapGroupsWithState[Q8State, Query8Output](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         case (personId, rows, state: GroupState[Q8State]) =>
-          var st = state.getOption.getOrElse(Q8State(-1L, -1L, hasPerson = false, 0L))
-          val out = Iterator.newBuilder[Query8Output]
-          val seen = probe.counter
-          rows.foreach { e =>
-            if (e.isPerson) {
-              st = st.copy(personTs = e.creationTs, personIngest = e.ingestionTs, hasPerson = true)
-              // NexmarkQuery8.java:612-633: output per person immediately
-              out += Query8Output(e.creationTs, e.creationTs, e.ingestionTs, -1L, -1L, personId)
-            } else {
-              st = st.copy(othersSeen = st.othersSeen + 1)
-              if (seen.incrementAndGet() % sampleEvery == 0) // :635 (1-per-200k)
-                out += Query8Output(e.creationTs, -1L, -1L, e.creationTs, e.ingestionTs, -personId)
+          if (state.hasTimedOut) {
+            // idle-TTL expiry: drop the state, emit nothing (only reachable
+            // in the stateTtlMs mode — NoTimeout never times out)
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(Q8State(-1L, -1L, hasPerson = false, 0L))
+            val out = Iterator.newBuilder[Query8Output]
+            val seen = probe.counter
+            rows.foreach { e =>
+              if (e.isPerson) {
+                st = st.copy(personTs = e.creationTs, personIngest = e.ingestionTs, hasPerson = true)
+                // NexmarkQuery8.java:612-633: output per person immediately
+                out += Query8Output(e.creationTs, e.creationTs, e.ingestionTs, -1L, -1L, personId)
+              } else {
+                st = st.copy(othersSeen = st.othersSeen + 1)
+                if (seen.incrementAndGet() % sampleEvery == 0) // :635 (1-per-200k)
+                  out += Query8Output(e.creationTs, -1L, -1L, e.creationTs, e.ingestionTs, -personId)
+              }
             }
+            state.update(st)
+            stateTtlMs.foreach(ttl => state.setTimeoutDuration(ttl)) // re-armed per update
+            out.result()
           }
-          state.update(st)
-          out.result()
       }
   }
 
   def q8Stateful(persons: Dataset[Person], auctions: Dataset[Auction],
-                 sampleEvery: Long = 200000L): Dataset[Query8Output] = {
+                 sampleEvery: Long = 200000L,
+                 stateTtlMs: Option[Long] = None): Dataset[Query8Output] = {
     import persons.sparkSession.implicits._
     val p = persons.map(x => PA(x.personId, isPerson = true, x.timestamp, x.ingestionTimestamp))
     val a = auctions.map(x => PA(x.personId, isPerson = false, x.timestamp, x.ingestionTimestamp))
-    joinUdfStateful(p.unionByName(a), sampleEvery)
+    joinUdfStateful(p.unionByName(a), sampleEvery, stateTtlMs)
   }
 
   def q11Stateful(persons: Dataset[Person], bids: Dataset[Bid],
-                  sampleEvery: Long = 200000L): Dataset[Query8Output] = {
+                  sampleEvery: Long = 200000L,
+                  stateTtlMs: Option[Long] = None): Dataset[Query8Output] = {
     import persons.sparkSession.implicits._
     val p = persons.map(x => PA(x.personId, isPerson = true, x.timestamp, x.ingestionTimestamp))
     val b = bids.map(x => PA(x.personId, isPerson = false, x.timestamp, x.ingestionTimestamp))
-    joinUdfStateful(p.unionByName(b), sampleEvery)
+    joinUdfStateful(p.unionByName(b), sampleEvery, stateTtlMs)
   }
 
   // ---- QX: winning bid resolved at auction end (J4/J5) ----

@@ -122,6 +122,50 @@ class NexmarkStreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("joinUdfStateful TTL mode bounds state under rotating keys; outputs unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 3 waves of 200 NEVER-REPEATING person keys: the retain-forever
+    // default would hold 600 state rows at the end; the idle TTL must
+    // expire earlier waves (only reachable keys stay), so the final state
+    // footprint is bounded by ~one wave, not by total key cardinality
+    def wave(from: Long): Seq[NexmarkStateful.PA] =
+      (from until from + 200L).map(k =>
+        NexmarkStateful.PA(k, isPerson = true, 1000L + k, 1000L + k))
+    val ms = MemoryStream[NexmarkStateful.PA]
+    nameCounter += 1
+    val name = s"memsink$nameCounter"
+    val q = NexmarkStateful.joinUdfStateful(ms.toDS(), stateTtlMs = Some(200L)).toDF
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // poll the sink, not processAllAvailable — ProcessingTimeTimeout keeps
+      // scheduling timer batches and processAllAvailable livelocks (see the
+      // q5b test note)
+      def waitFor(n: Long): Unit = {
+        var tries = 0
+        while (spark.table(name).count() < n && tries < 150) { Thread.sleep(200); tries += 1 }
+        assert(spark.table(name).count() == n, s"expected $n outputs")
+      }
+      ms.addData(wave(1L)); waitFor(200)
+      Thread.sleep(500) // > TTL: wave 1 goes idle past its timeout
+      ms.addData(wave(201L)); waitFor(400)
+      Thread.sleep(500)
+      ms.addData(wave(401L)); waitFor(600)
+      // timer batches run on the engine's own schedule; poll the reported
+      // state size until the expired waves are gone
+      def stateRows: Long = Option(q.lastProgress)
+        .filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.head.numRowsTotal).getOrElse(Long.MaxValue)
+      var tries = 0
+      while (stateRows > 400 && tries < 150) { Thread.sleep(200); tries += 1 }
+      assert(stateRows <= 400,
+        s"TTL must bound state below total key cardinality (600); got $stateRows")
+      // every person element still emitted exactly one output — the TTL
+      // changes retention, never results
+      assert(spark.table(name).count() == 600)
+    } finally q.stop()
+  }
+
   test("stateful q8 join emits one output per person and keeps latest person state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
