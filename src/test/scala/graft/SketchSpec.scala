@@ -13,25 +13,58 @@ import org.apache.spark.sql.functions._
   *
   * These have no DuckDB oracle entry (sketch internals differ between
   * engines, so driver hash-equality cannot hold); the capability contract
-  * is spec'd instead: bounded relative error against the EXACT answer on
-  * the fixture, and the partial-aggregation plan shape that makes them
-  * scale (map-side sketch merge — the whole point).
+  * is spec'd instead, at BOTH sf0.01 and sf0.1 (error accumulation across
+  * partial merges only shows at the larger input):
+  *   - bounded relative error against the EXACT answer;
+  *   - GOLDEN pinned sketch outputs — both sketches are deterministic
+  *     functions of their input (HLL++ register hashing and the quantile
+  *     summary are seedless; HLL merge is a register max, order-free, and
+  *     the quantile merge order is fixed by this suite's pinned local[4]
+  *     session + parquet split layout — verified stable across repeated
+  *     runs), so exact equality holds run-to-run and a Spark upgrade that
+  *     changes sketch internals trips this spec before a user sees
+  *     shifted profiles;
+  *   - the partial-aggregation plan shape that makes them scale
+  *     (map-side sketch merge — the whole point).
   */
 class SketchSpec extends SparkSpec {
-  private val sfDir = "/root/testdata/sf0.01"
 
-  test("approx_count_distinct stays within rsd of the exact distinct count") {
-    val l = Tables.lineitem(spark, sfDir)
-    val exact = l.select(countDistinct(col("l_orderkey"))).head().getLong(0)
-    val approx = l.select(approx_count_distinct(col("l_orderkey"), rsd = 0.02))
-      .head().getLong(0)
-    val relErr = math.abs(approx - exact).toDouble / exact
-    // HLL++ rsd is a standard deviation, not a hard bound: allow 3 sigma
-    assert(relErr <= 0.06, s"exact=$exact approx=$approx relErr=$relErr")
+  /** (sfDir, golden approx distinct, golden p50, golden p99) — pinned on
+    * Spark 4.1.2 against testdata seed 42.
+    */
+  private val Fixtures = Seq(
+    ("/root/testdata/sf0.01", 14752L, 52968.34, 103859.8),
+    ("/root/testdata/sf0.1", 146710L, 52936.79, 103912.89))
+
+  for ((sfDir, goldAcd, goldP50, goldP99) <- Fixtures) {
+    test(s"approx_count_distinct within rsd of exact, golden-pinned ($sfDir)") {
+      val l = Tables.lineitem(spark, sfDir)
+      val exact = l.select(countDistinct(col("l_orderkey"))).head().getLong(0)
+      val approx = l.select(approx_count_distinct(col("l_orderkey"), rsd = 0.02))
+        .head().getLong(0)
+      val relErr = math.abs(approx - exact).toDouble / exact
+      // HLL++ rsd is a standard deviation, not a hard bound: allow 3 sigma
+      assert(relErr <= 0.06, s"exact=$exact approx=$approx relErr=$relErr")
+      assert(approx == goldAcd,
+        s"HLL++ output drifted from golden $goldAcd to $approx — sketch internals changed")
+    }
+
+    test(s"approx_percentile brackets the exact percentile, golden-pinned ($sfDir)") {
+      val l = Tables.lineitem(spark, sfDir)
+      val Seq(p50a, p99a) = l
+        .select(expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)"))
+        .head().getSeq[Double](0).toSeq
+      val exact = l.stat.approxQuantile("l_extendedprice", Array(0.5, 0.99), 0.0)
+      val (p50e, p99e) = (exact(0), exact(1))
+      assert(math.abs(p50a - p50e) / p50e <= 0.02, s"p50 approx=$p50a exact=$p50e")
+      assert(math.abs(p99a - p99e) / p99e <= 0.02, s"p99 approx=$p99a exact=$p99e")
+      assert(p50a == goldP50 && p99a == goldP99,
+        s"quantile summary drifted from golden ($goldP50, $goldP99) to ($p50a, $p99a)")
+    }
   }
 
   test("approx_count_distinct partial-aggregates map-side (sketches, not rows, shuffle)") {
-    val l = Tables.lineitem(spark, sfDir)
+    val l = Tables.lineitem(spark, "/root/testdata/sf0.01")
     val df = l.groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_orderkey")).as("nd"))
     val plan = df.queryExecution.executedPlan.toString
@@ -40,16 +73,5 @@ class SketchSpec extends SparkSpec {
     // shuffle on (flag, orderkey) first
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
-  }
-
-  test("approx_percentile brackets the exact percentile") {
-    val l = Tables.lineitem(spark, sfDir)
-    val Seq(p50a, p99a) = l
-      .select(expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)"))
-      .head().getSeq[Double](0).toSeq
-    val exact = l.stat.approxQuantile("l_extendedprice", Array(0.5, 0.99), 0.0)
-    val (p50e, p99e) = (exact(0), exact(1))
-    assert(math.abs(p50a - p50e) / p50e <= 0.02, s"p50 approx=$p50a exact=$p50e")
-    assert(math.abs(p99a - p99e) / p99e <= 0.02, s"p99 approx=$p99a exact=$p99e")
   }
 }
