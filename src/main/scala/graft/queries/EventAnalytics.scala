@@ -45,9 +45,13 @@ object EventAnalytics extends QueryModule {
     val perUser = ev
       .groupBy(hourMs(col("ts")).as("win_start_ms"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
-    val w = Window.partitionBy(col("win_start_ms"))
-    perUser
-      .withColumn("max_n", max(col("n_events")).over(w))
+    // per-window max as a tiny agg (one row per hour window) broadcast back
+    // — the argmax filter becomes a shuffle-free map join, instead of a
+    // per-window sort-window that serializes each hot window's full user
+    // set (10^7 users/window at scale) through one WindowExec task
+    val maxes = perUser.groupBy(col("win_start_ms"))
+      .agg(max(col("n_events")).as("max_n"))
+    perUser.join(broadcast(maxes), "win_start_ms")
       .filter(col("n_events") === col("max_n"))
       .select("win_start_ms", "user_id", "n_events")
   }

@@ -183,6 +183,18 @@ object TextPipeline extends QueryModule {
 
   /** Exact dedup: md5 fingerprint of normalized text; per-group canonical
     * doc (min doc_id) and group size.
+    *
+    * Formulation trade-off, measured: the per-fp window pays ONE shuffle
+    * of the narrow (doc_id, fp) projection and computes both group stats
+    * in place (0.10 s at sf0.1); the skew-free hash-agg + join-back
+    * alternative costs either an extra materialization of the projection
+    * (0.41 s) or a second normalize pass (0.95 s). The window's exposure
+    * is a fingerprint duplicated ~10⁸ times landing in one WindowExec
+    * partition (~GBs of narrow rows in one task — slow, not fatal); a
+    * corpus KNOWN to be dominated by one boilerplate doc should use the
+    * [[corpusFilter]] / [[dupClusters]] agg+join shape, which absorbs the
+    * hot key map-side. For the common many-small-groups profile this
+    * window is the faster plan at every scale.
     */
   def fingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
     val d = docsNorm(spark, dir).select(col("doc_id"), md5(col("nc")).as("fp"))
@@ -371,9 +383,14 @@ object TextPipeline extends QueryModule {
   }
 
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val bands = lshBandsOf(spark, dir)
-    val w = Window.partitionBy(col("band"), col("bkey"))
-    bands.withColumn("bucket_min", min(col("doc_id")).over(w))
+    // bucket-min as a hash aggregate + join-back (exactly [[ccIterate]]'s
+    // round-0), not a per-bucket window: a template bucket holding 10⁸
+    // docs is absorbed by map-side partials and the join-back splits under
+    // AQE, where a WindowExec partition would not
+    val bands = lshBandsOf(spark, dir).localCheckpoint(true)
+    val hub = bands.groupBy(col("band"), col("bkey"))
+      .agg(min(col("doc_id")).as("bucket_min"))
+    bands.join(hub, Seq("band", "bkey"))
       .groupBy(col("doc_id"))
       .agg(min(col("bucket_min")).as("cluster_id"))
       .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("int"))
@@ -494,15 +511,23 @@ object TextPipeline extends QueryModule {
   def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
     val d = docsNorm(spark, dir)
     val sw = Stopwords.map(s => s"w = '$s'").mkString(" or ")
+    // one corpus pass computes fingerprint + score into a NARROW projection
+    // (no text columns), materialized once; canonical selection is then a
+    // hash aggregate (map-side partials absorb a 10⁸-copy boilerplate
+    // fingerprint) and a semi-join on doc_id — a uniform key — instead of
+    // a per-fingerprint sort-window over the hot duplicate group
     val scored = d.select(
-        col("doc_id"), col("lang"), col("nc"),
+        col("doc_id"), col("lang"), md5(col("nc")).as("fp"),
         size(col("words")).as("n_tokens"),
         expr(s"size(filter(words, w -> $sw))").as("stopword_count"),
         size(array_distinct(col("words"))).as("n_distinct"))
       .withColumn("score_scaled", expr(scoreScaledSql("n_tokens", "stopword_count", "n_distinct")))
-    val w = Window.partitionBy(md5(col("nc")))
-    scored.withColumn("canonical_id", min(col("doc_id")).over(w))
-      .filter(col("doc_id") === col("canonical_id") && col("score_scaled") >= 3500)
+      .select(col("doc_id"), col("lang"), col("fp"), col("score_scaled"))
+      .localCheckpoint(true)
+    val canonicalIds = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    scored.join(canonicalIds, Seq("doc_id"), "left_semi")
+      .filter(col("score_scaled") >= 3500)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"),
            expr("CAST(CAST(ROUND(CAST(SUM(score_scaled) AS DOUBLE) / COUNT(1)) AS BIGINT) AS DOUBLE) / 10000.0").as("avg_score"))
@@ -587,9 +612,13 @@ object TextPipeline extends QueryModule {
   }
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val out = simhashSigs(spark, dir)
-    val w = Window.partitionBy(col("simhash"))
-    out.withColumn("group_size", count(lit(1)).over(w))
+    // group size via hash agg + join-back on the (doc_id, simhash) narrow
+    // projection, materialized once: a signature shared by 10⁸ boilerplate
+    // docs is absorbed by map-side partials instead of sorting in one
+    // WindowExec partition (same rationale as fingerprintDedup)
+    val out = simhashSigs(spark, dir).localCheckpoint(true)
+    val g = out.groupBy(col("simhash")).agg(count(lit(1)).as("group_size"))
+    out.join(g, "simhash").select("doc_id", "simhash", "group_size")
   }
 
   /** Shared CTE chain ending in `o(doc_id, simhash)` — the SQL twin of
