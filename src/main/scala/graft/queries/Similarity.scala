@@ -777,6 +777,88 @@ object Similarity extends QueryModule {
        |FROM d QUALIFY rk <= $TopK
        |""".stripMargin
 
+  /** Deterministic Lloyd's k-means over the embedding table — the
+    * clustering pass a training-data pipeline runs for semantic dedup
+    * buckets, data-mixing strata, or IVF codebook training. Two fixed
+    * assignment rounds (init centroids = the CentroidMod pivot rows, one
+    * mean update between — production raises the round count; the oracle
+    * unrolls the same two), emitting each vector's final cluster and
+    * rounded distance.
+    *
+    * Cross-engine exactness: the mean update is the classic float-sum
+    * order trap, so coordinates are quantized to integer units of 2⁻²⁰
+    * and summed EXACTLY (order-free BIGINT sum, the Det.cents pattern),
+    * then divided back in a pinned order — centroid arrays come out
+    * bit-identical in both engines, and distances reuse the pinned
+    * ((ssq − 2·a·b) + csq) composition. Assignment argmin is a min_by
+    * hash aggregate (map-side partials, no sort-window), ties to the
+    * lowest cid.
+    *
+    * Scale: centroids broadcast both rounds; assignment is a shuffle-free
+    * narrow map over N×K; the mean update is one hash agg on (cid, dim)
+    * — K × 64 cells, partial-aggregated map-side. Same shapes as knnIvf,
+    * run R times.
+    */
+  private val KmeansAssignRounds = 2
+  private val KmeansQ = "1048576.0" // 2^20 coordinate quantum, exact-sum means
+
+  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir).select(col("vec_id"), col("emb"))
+      .withColumn("ssq", dp(col("emb"), col("emb")))
+      .localCheckpoint(true) // reused every round: scan + self-dots once
+    def assignTo(cents: DataFrame): DataFrame = {
+      val c = cents.withColumn("csq", dp(col("cemb"), col("cemb")))
+      e.crossJoin(broadcast(c))
+        .withColumn("d2", l2sqPre(col("ssq"), col("emb"), col("cemb"), col("csq")))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("cid"), col("d2")), struct(col("d2"), col("cid"))).as("a"))
+        .select(col("vec_id"), col("a.cid").as("cid"), col("a.d2").as("d2"))
+    }
+    def meanUpdate(assign: DataFrame): DataFrame =
+      assign.join(e, "vec_id")
+        .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(expr(s"SUM(CAST(ROUND(x * $KmeansQ) AS BIGINT))").as("qsum"),
+             count(lit(1)).as("n"))
+        .withColumn("coord", expr(s"CAST(qsum AS DOUBLE) / CAST(n AS DOUBLE) / $KmeansQ"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, coord))), s -> s.coord)").as("cemb"))
+    val init = e.filter(col("vec_id") % CentroidMod === 0)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    var assign = assignTo(init)
+    for (_ <- 2 to KmeansAssignRounds) assign = assignTo(meanUpdate(assign))
+    assign.select(col("vec_id"), col("cid").as("cluster_id"),
+      round(col("d2"), 6).as("d6"))
+  }
+
+  def kmeansSql: String = {
+    def assignSql(centsCte: String) =
+      s"""SELECT vec_id, cid, d2,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+         |  FROM (SELECT e.vec_id, c.cid,
+         |          ((list_inner_product(e.emb, e.emb) - 2.0 * list_inner_product(e.emb, c.cemb)) + list_inner_product(c.cemb, c.cemb)) AS d2
+         |        FROM e, $centsCte c)""".stripMargin
+    s"""WITH e AS (
+       |  $VecsCteSql
+       |), c0 AS (
+       |  SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % $CentroidMod = 0
+       |), a1 AS (
+       |  ${assignSql("c0")}
+       |), m1 AS (
+       |  SELECT cid, j,
+       |         CAST(SUM(CAST(ROUND(x * $KmeansQ) AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / $KmeansQ AS coord
+       |  FROM (SELECT a.cid, r.j, e.emb[j] AS x
+       |        FROM a1 a JOIN e ON a.vec_id = e.vec_id AND a.rn = 1, range(1, 65) r(j))
+       |  GROUP BY cid, j
+       |), c1 AS (
+       |  SELECT cid, list(coord ORDER BY j) AS cemb FROM m1 GROUP BY cid
+       |), a2 AS (
+       |  ${assignSql("c1")}
+       |)
+       |SELECT vec_id, cid AS cluster_id, ROUND(d2, 6) AS d6 FROM a2 WHERE rn = 1
+       |""".stripMargin
+  }
+
   /** Per-label vector statistics (sanity/profiling pass). */
   def labelStats(spark: SparkSession, dir: String): DataFrame =
     vecs(spark, dir).groupBy(col("label"))
@@ -805,6 +887,7 @@ object Similarity extends QueryModule {
     "s_label_stats" -> (labelStats _),
     "s_knn_pq" -> (knnPq _),
     "s_knn_ivfpq" -> (knnIvfPq _),
+    "s_kmeans" -> (kmeans _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -819,5 +902,6 @@ object Similarity extends QueryModule {
     "s_label_stats" -> labelStatsSql,
     "s_knn_pq" -> knnPqSql,
     "s_knn_ivfpq" -> knnIvfPqSql,
+    "s_kmeans" -> kmeansSql,
   )
 }

@@ -450,16 +450,21 @@ object TextPipeline extends QueryModule {
     // relabel pass IS bucket-min-then-doc-min)
     var labels = relabel(bands.select(col("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")))
+    // convergence via the label-sum invariant: every relabel can only
+    // DECREASE a doc's label (mins of mins), so the sum of labels is
+    // strictly decreasing until the fixed point — one scalar agg over the
+    // checkpointed labels per round, no join needed to detect no-change
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = relabel(labels)
-      val changed = next
-        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-        .filter(col("cluster_id") =!= col("prev")).count()
-      labels = next
+      labels = relabel(labels)
+      val s = labelSum(labels)
       rounds += 1
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
     }
     require(converged, s"connected components did not converge within $maxRounds rounds")
     (labels, rounds)

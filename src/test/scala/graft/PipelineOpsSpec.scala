@@ -190,6 +190,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(checked.count() == 0, "LUT distance must match the reconstruction distance")
   }
 
+  test("kmeans assigns every vector to a live centroid and improves on init") {
+    val out = Similarity.kmeans(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val n = e.count()
+    assert(out.count() == n, "every vector gets exactly one assignment")
+    // clusters are identified by their seed pivot id
+    assert(out.filter(col("cluster_id") % 25 =!= 0).count() == 0)
+    assert(out.agg(countDistinct(col("cluster_id"))).head().getLong(0) > 1)
+    // Lloyd's step: total within-cluster distance after the mean update
+    // must not exceed assigning everything to the INIT centroids (the
+    // 2^-20 quantization perturbs means by ~1e-6 per coord — use a slack
+    // far above that, far below real movement)
+    def total(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(sum(col("d6"))).head().getDouble(0)
+    val afterUpdate = total(out)
+    val qs = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    val initAssign = e.crossJoin(broadcast(qs))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(emb, cemb, (a, b) -> (a - b) * (a - b)), 0D, (s, x) -> s + x)"))
+      .groupBy(col("vec_id")).agg(min(col("d2")).as("d"))
+    val initTotal = initAssign.agg(sum(round(col("d"), 6))).head().getDouble(0)
+    assert(afterUpdate <= initTotal + 1e-3,
+      s"mean update must not worsen the objective: $afterUpdate vs $initTotal")
+  }
+
   test("ccIterate collapses a 4-link chain the 1-hop pass cannot") {
     import spark.implicits._
     // bucket chain 1-2, 2-3, 3-4, 4-5: docs 3/4/5 are >= 2 hops from the
