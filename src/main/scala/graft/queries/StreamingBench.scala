@@ -350,6 +350,60 @@ object StreamingBench extends QueryModule {
       |HAVING MAX(timestamp) + 5000 <= (SELECT w FROM wm)
       |""".stripMargin
 
+  /** Q7 global-window argmax over a generated bid stream: per 5 s tumbling
+    * window, THE highest bid across all keys — the all-keys-into-one-group
+    * aggregation shape (a two-level agg under the hood: partial argmax per
+    * partition, final merge). sf0.1 → 1,000,000 bids.
+    */
+  def streamQ7Highest(spark: SparkSession, dir: String): DataFrame = {
+    val rows = math.max(1L, (10000000L * sfOf(dir) / Parallelism).toLong)
+    val cfg = GenConfig(eventsPerSecond = 1000L)
+    dumpInput(spark, dir, "stream_q7_highest", "bids", cfg, rows)
+    val bids = NexmarkSources.bidStreamDsv2(spark, cfg, Parallelism, rows, RowsPerBatch)
+    runToParquet(spark, NexmarkQueries.q7HighestBid(bids, "5 seconds"), "q7high")
+  }
+
+  /** q7HighestBid over the dumped bids: per-window argmax under the
+    * deterministic (bid DESC, ts DESC, bidder ASC) order, windows emitted
+    * iff end ≤ max(ts) − 2000.
+    */
+  private val streamQ7HighestSql: String =
+    s"""WITH b AS (SELECT * FROM ${inPath("stream_q7_highest", "bids")}),
+      |wm AS (SELECT MAX(timestamp) - 2000 AS w FROM b),
+      |r AS (
+      |  SELECT (timestamp // 5000) * 5000 AS windowStartMs,
+      |         auctionId, personId AS bidderId, bid, timestamp AS bidTimestamp,
+      |         ROW_NUMBER() OVER (PARTITION BY (timestamp // 5000) * 5000
+      |                            ORDER BY bid DESC, timestamp DESC, personId ASC) AS rn
+      |  FROM b
+      |)
+      |SELECT windowStartMs, auctionId, bidderId, bid, bidTimestamp
+      |FROM r
+      |WHERE rn = 1 AND windowStartMs + 5000 <= (SELECT w FROM wm)
+      |""".stripMargin
+
+  /** Watermarked streaming dedup (W7): dropDuplicates on the full bid
+    * identity within the watermark horizon — the at-least-once ingestion
+    * guard. Unlike the windowed aggs, dedup emits first occurrences
+    * IMMEDIATELY (state holds keys back, not results), so every distinct
+    * bid appears in the output regardless of the final watermark.
+    * sf0.1 → 1,000,000 generated bids (the generator never collides, so
+    * output cardinality = input cardinality — verified exactly by the
+    * oracle's DISTINCT).
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val rows = math.max(1L, (10000000L * sfOf(dir) / Parallelism).toLong)
+    val cfg = GenConfig(eventsPerSecond = 1000L)
+    dumpInput(spark, dir, "stream_dedup", "bids", cfg, rows)
+    val bids = NexmarkSources.bidStreamDsv2(spark, cfg, Parallelism, rows, RowsPerBatch)
+    runToParquet(spark, NexmarkQueries.dedupBids(bids).toDF, "dedup")
+  }
+
+  private val streamDedupSql: String =
+    s"""SELECT DISTINCT ingestionTimestamp, timestamp, auctionId, personId, bidId, bid
+      |FROM ${inPath("stream_dedup", "bids")}
+      |""".stripMargin
+
   /** Same QX topology on the Spark 4 transformWithState API (named
     * state + real per-key timers) over RocksDB — the 1:1 Flink
     * KeyedProcessFunction mapping's throughput number, measured against
@@ -377,6 +431,8 @@ object StreamingBench extends QueryModule {
     "stream_qx_winning" -> (streamQxWinning _),
     "stream_qx_tws" -> (streamQxTws _),
     "stream_q11_sessions" -> (streamQ11Sessions _),
+    "stream_q7_highest" -> (streamQ7Highest _),
+    "stream_dedup" -> (streamDedup _),
   )
 
   /** DuckDB oracles over each entry's dumped input events (see the class
@@ -388,5 +444,7 @@ object StreamingBench extends QueryModule {
     "stream_qx_winning" -> qxTimerSql("stream_qx_winning", maxEnd = true),
     "stream_qx_tws" -> qxTimerSql("stream_qx_tws", maxEnd = false),
     "stream_q11_sessions" -> streamQ11SessionsSql,
+    "stream_q7_highest" -> streamQ7HighestSql,
+    "stream_dedup" -> streamDedupSql,
   )
 }

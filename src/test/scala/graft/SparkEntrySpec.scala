@@ -24,10 +24,11 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("all queries run and return non-empty results at sf0.001") {
-    // stream_* entries legitimately emit nothing at sf0.001 (the bounded
-    // volume is too small for any window to pass the watermark in append
-    // mode); they must still RUN clean. Non-emptiness for them is proven
-    // at sf0.01 by the driver's rows-only check (and tools/selfcheck.py).
+    // stream_* entries may legitimately emit nothing at sf0.001 (the
+    // bounded volume can be too small for any window to pass the watermark
+    // in append mode); they must still RUN clean. Their results are
+    // oracle-gated at sf0.01 via the dumped-input DuckDB SQL (which agrees
+    // on emptiness at any scale).
     val empty = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val n = fn(spark, sfDir).count()
       if (n == 0 && !name.startsWith("stream_")) Some(name) else None
