@@ -54,6 +54,22 @@ class NexmarkDataSourceSpec extends SparkSpec {
     assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
   }
 
+  test("streamed cumulative rows == batch read with identical options (oracle dump invariant)") {
+    // StreamingBench's DuckDB oracles verify streaming results against a
+    // BATCH-mode dump of the same source options — this is the invariant
+    // that makes that dump the literal input event set, byte for byte
+    val opts = Map("entity" -> "bids", "rows" -> "700",
+      "parallelism" -> "3", "rowsPerBatch" -> "250")
+    val streamed = spark.readStream.format("nexmark").options(opts).load()
+    val q = streamed.writeStream.format("memory").queryName("dumpinv")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("dumpinv").collect().map(_.toSeq).toSet
+    val batch = spark.read.format("nexmark").options(opts).load()
+      .collect().map(_.toSeq).toSet
+    assert(got == batch && got.size == 2100)
+  }
+
   test("checkpoint resume is exactly-once (no duplicate rows after restart)") {
     // run 1 drains a 1000-events-per-subtask bound to a parquet file sink;
     // run 2 reuses the SAME checkpoint with the bound raised to 2500 — the
