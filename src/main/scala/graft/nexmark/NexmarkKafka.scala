@@ -60,6 +60,12 @@ object NexmarkKafka {
                          topic: String = "nexmark-events"): DataStreamWriter[org.apache.spark.sql.Row] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.functions.{call_function, col, lit}
+    // fail fast with the actual precondition instead of an unresolved-
+    // function AnalysisException at stream start: the routing column needs
+    // the session built with spark.sql.extensions=graft.spark.GraftExtensions
+    require(events.sparkSession.catalog.functionExists("murmur3_partition"),
+      "writeEventsToKafka requires graft.spark.GraftExtensions " +
+        "(spark.sql.extensions) for the native murmur3_partition routing column")
     val keyed = events
       .map(e => (TaggedCodec.encodeKey(e), TaggedCodec.encode(e), e.key))
       .toDF("key", "value", "k")

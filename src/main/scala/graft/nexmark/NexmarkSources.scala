@@ -74,15 +74,25 @@ object NexmarkSources {
     import spark.implicits._
     entityStreamDsv2(spark, "auctions", cfg, parallelism, rows, rowsPerBatch).as[Auction]
   }
+  /** The `format("nexmark")` option set — ONE definition shared by the
+    * streaming reader and StreamingBench's batch-mode oracle input dump,
+    * so the dump can never silently drift from the streamed input (the
+    * dump-equals-stream invariant NexmarkDataSourceSpec pins).
+    */
+  def nexmarkOptions(entity: String, cfg: GenConfig, parallelism: Int,
+                     rows: Long, rowsPerBatch: Long): Map[String, String] = Map(
+    "entity" -> entity,
+    "rows" -> rows.toString,
+    "rowsPerBatch" -> rowsPerBatch.toString,
+    "parallelism" -> parallelism.toString,
+    "seed" -> cfg.seed.toString,
+    "baseTimestamp" -> cfg.baseTimestamp.toString,
+    "eventsPerSecond" -> cfg.eventsPerSecond.toString)
+
   private def entityStreamDsv2(spark: SparkSession, entity: String, cfg: GenConfig,
                                parallelism: Int, rows: Long, rowsPerBatch: Long): DataFrame =
     spark.readStream.format("nexmark")
-      .option("entity", entity)
-      .option("rows", rows).option("rowsPerBatch", rowsPerBatch)
-      .option("parallelism", parallelism)
-      .option("seed", cfg.seed)
-      .option("baseTimestamp", cfg.baseTimestamp)
-      .option("eventsPerSecond", cfg.eventsPerSecond)
+      .options(nexmarkOptions(entity, cfg, parallelism, rows, rowsPerBatch))
       .load()
 
   private def rateStream(spark: SparkSession, rowsPerBatch: Int): Dataset[Long] = {

@@ -162,10 +162,14 @@ object Similarity extends QueryModule {
       .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos6"), col("rk"))
   }
 
-  def knnIvfSql: String =
-    s"""WITH e AS (
-       |  $VecsCteSql
-       |), cent AS (
+  /** Shared oracle CTE chain — the SQL twin of [[ivfCandidates]]
+    * (cent → sims → assign → probes → cands over CTE `e`): interpolated
+    * into every IVF-pruned oracle so the pruning semantics (argmax cell,
+    * NProbe, tie order) can never diverge between them, mirroring the
+    * shared Scala helper.
+    */
+  private def ivfCandsCtesSql: String =
+    s"""cent AS (
        |  SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % $CentroidMod = 0
        |), sims AS (
        |  SELECT e.vec_id, cid, list_cosine_similarity(cemb, emb) AS cos,
@@ -179,7 +183,12 @@ object Similarity extends QueryModule {
        |), cands AS (
        |  SELECT query_id, a.vec_id FROM probes p JOIN assign a ON p.cid = a.cid
        |  WHERE a.vec_id <> query_id
-       |), scored AS (
+       |)""".stripMargin
+
+  def knnIvfSql: String =
+    s"""WITH e AS (
+       |  $VecsCteSql
+       |), $ivfCandsCtesSql, scored AS (
        |  SELECT query_id, c.vec_id,
        |         list_cosine_similarity(qe.emb, ce.emb) AS cos
        |  FROM cands c JOIN e qe ON qe.vec_id = query_id JOIN e ce ON ce.vec_id = c.vec_id
@@ -653,10 +662,12 @@ object Similarity extends QueryModule {
       .select(col("query_id"), col("vec_id"), round(col("d2"), 6).as("pqd6"), col("rk"))
   }
 
-  def knnPqSql: String =
-    s"""WITH e AS (
-       |  $VecsCteSql
-       |), subs AS (
+  /** Shared oracle CTE chain — the SQL twin of [[pqSubs]]/[[pqCodewords]]/
+    * [[pqEncode]] (subs → cw → enc over CTE `e`): one definition for every
+    * PQ oracle, matching the shared Scala helpers.
+    */
+  private def pqEncodeCtesSql: String =
+    s"""subs AS (
        |  SELECT vec_id, j, list_slice(emb, j * $PqSubDim + 1, j * $PqSubDim + $PqSubDim) AS sub
        |  FROM e, range(0, $PqM) t(j)
        |), cw AS (
@@ -667,7 +678,12 @@ object Similarity extends QueryModule {
        |           ((list_inner_product(sub, sub) - 2.0 * list_inner_product(sub, cwv)) + list_inner_product(cwv, cwv)) ASC,
        |           code ASC) AS rn
        |  FROM subs JOIN cw USING (j)
-       |), recon AS (
+       |)""".stripMargin
+
+  def knnPqSql: String =
+    s"""WITH e AS (
+       |  $VecsCteSql
+       |), $pqEncodeCtesSql, recon AS (
        |  SELECT vec_id, flatten(list(cwv ORDER BY j)) AS remb
        |  FROM enc JOIN cw USING (j, code) WHERE rn = 1 GROUP BY vec_id
        |), q AS (
@@ -733,32 +749,7 @@ object Similarity extends QueryModule {
   def knnIvfPqSql: String =
     s"""WITH e AS (
        |  $VecsCteSql
-       |), cent AS (
-       |  SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % $CentroidMod = 0
-       |), sims AS (
-       |  SELECT e.vec_id, cid,
-       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |                            ORDER BY list_cosine_similarity(cemb, emb) DESC NULLS LAST, cid ASC) AS crk
-       |  FROM e, cent
-       |), assign AS (
-       |  SELECT vec_id, cid FROM sims WHERE crk = 1
-       |), probes AS (
-       |  SELECT vec_id AS query_id, cid FROM sims WHERE crk <= $NProbe AND vec_id % $QueryMod = 0
-       |), cands AS (
-       |  SELECT query_id, a.vec_id FROM probes p JOIN assign a ON p.cid = a.cid
-       |  WHERE a.vec_id <> query_id
-       |), subs AS (
-       |  SELECT vec_id, j, list_slice(emb, j * $PqSubDim + 1, j * $PqSubDim + $PqSubDim) AS sub
-       |  FROM e, range(0, $PqM) t(j)
-       |), cw AS (
-       |  SELECT vec_id AS code, j, sub AS cwv FROM subs WHERE vec_id % $CentroidMod = 0
-       |), enc AS (
-       |  SELECT vec_id, j, code,
-       |         ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY
-       |           ((list_inner_product(sub, sub) - 2.0 * list_inner_product(sub, cwv)) + list_inner_product(cwv, cwv)) ASC,
-       |           code ASC) AS rn
-       |  FROM subs JOIN cw USING (j)
-       |), codes AS (
+       |), $ivfCandsCtesSql, $pqEncodeCtesSql, codes AS (
        |  SELECT vec_id, j, code FROM enc WHERE rn = 1
        |), lut AS (
        |  SELECT s.vec_id AS query_id, cw.j, cw.code,

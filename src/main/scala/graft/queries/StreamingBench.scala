@@ -91,9 +91,13 @@ object StreamingBench extends QueryModule {
     * compare immediately after the Verify run that wrote both — so
     * last-write-wins is exactly right at any scale factor. The one writer
     * that is NOT followed by a compare, the bench, skips the dump entirely
-    * (see [[dumpInput]]).
+    * (see [[dumpInput]]). Overridable via -Dgraft.stream.dumpBase for a
+    * checkout outside /root/repo (set it for BOTH the Verify run and any
+    * process reading the emitted oracle SQL — the path is baked into the
+    * SQL at dump time).
     */
-  private val InputDumpBase = "/root/repo/target/stream_inputs"
+  private val InputDumpBase = sys.props.getOrElse(
+    "graft.stream.dumpBase", "/root/repo/target/stream_inputs")
 
   /** Persist the EXACT event set the DSv2 streaming source will emit: the
     * same `format("nexmark")` table read in BATCH mode with identical
@@ -109,12 +113,7 @@ object StreamingBench extends QueryModule {
                         entity: String, cfg: GenConfig, rows: Long): Unit =
     if (sys.props.getOrElse("graft.stream.dumpInputs", "true").toBoolean) {
       spark.read.format("nexmark")
-        .option("entity", entity)
-        .option("rows", rows)
-        .option("parallelism", Parallelism)
-        .option("seed", cfg.seed)
-        .option("baseTimestamp", cfg.baseTimestamp)
-        .option("eventsPerSecond", cfg.eventsPerSecond)
+        .options(NexmarkSources.nexmarkOptions(entity, cfg, Parallelism, rows, RowsPerBatch))
         .load()
         .write.mode("overwrite")
         .parquet(s"$InputDumpBase/current/$name/$entity")

@@ -454,11 +454,14 @@ object TextPipeline extends QueryModule {
     // DECREASE a doc's label (mins of mins), so the sum of labels is
     // strictly decreasing until the fixed point — one scalar agg over the
     // checkpointed labels per round, no join needed to detect no-change
+    // SUM over zero rows is SQL NULL: an empty band table (no docs, or no
+    // verified pairs on the cosine path) is already converged at round 0
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var rounds = 0
-    var converged = false
+    var converged = labels.isEmpty
     while (!converged && rounds < maxRounds) {
       labels = relabel(labels)
       val s = labelSum(labels)

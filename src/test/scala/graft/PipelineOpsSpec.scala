@@ -217,6 +217,13 @@ class PipelineOpsSpec extends SparkSpec {
       s"mean update must not worsen the objective: $afterUpdate vs $initTotal")
   }
 
+  test("ccIterate on an empty bucket table converges at round 0 (no NPE on null SUM)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Int, Long)].toDF("doc_id", "band", "bkey")
+    val (labels, rounds) = TextPipeline.ccIterate(empty)
+    assert(labels.isEmpty && rounds == 0)
+  }
+
   test("ccIterate collapses a 4-link chain the 1-hop pass cannot") {
     import spark.implicits._
     // bucket chain 1-2, 2-3, 3-4, 4-5: docs 3/4/5 are >= 2 hops from the
