@@ -422,17 +422,19 @@ object TextPipeline extends QueryModule {
     * shuffle-linear pass as the 1-hop assignment (join labels through
     * buckets, take mins, repeat).
     *
-    * Each round is two hash-agg shuffles (bucket-min of current labels,
-    * then doc-min of bucket labels) + one doc_id join; labels are eagerly
-    * localCheckpoint'ed per round so lineage stays flat across iterations.
-    * Rounds needed = component diameter in bucket hops. Real near-dup
-    * components are hubs (one template shared by many docs → diameter
-    * ≤ 2-3); a pathological N-link chain would need N rounds, which is
-    * what [[MaxCcRounds]] guards — the loop FAILS LOUDLY rather than
-    * return a silently unconverged (oracle-mismatching) labeling. (The
-    * O(log N)-round upgrade for adversarial chains is star-contraction
-    * pointer doubling; not needed for the hub-shaped components dedup
-    * actually meets.)
+    * Each round is the bucket pass (two hash-agg shuffles: bucket-min of
+    * current labels, then doc-min of bucket labels) FOLLOWED by one
+    * pointer-doubling shortcut (label := label-of-label, a single
+    * labels⋈labels hash join): the bucket pass moves a label one hop, the
+    * shortcut then halves every remaining chain distance, so convergence
+    * takes O(log diameter) rounds instead of O(diameter) — an adversarial
+    * N-link chain needs ~log₂N rounds, not N (spec-pinned on a 16-link
+    * chain). Labels are eagerly localCheckpoint'ed per round so lineage
+    * stays flat across iterations; labels only ever DECREASE, so both
+    * steps preserve the same fixed point. [[MaxCcRounds]] (25 ≫
+    * log₂(any real component)) is a loud-failure guard, not a truncation
+    * — the loop throws rather than return a silently unconverged
+    * (oracle-mismatching) labeling.
     *
     * Returns (labels(doc_id, cluster_id), rounds) — rounds includes the
     * final no-change confirmation pass.
@@ -442,9 +444,17 @@ object TextPipeline extends QueryModule {
     def relabel(labels: DataFrame): DataFrame = {
       val bl = bands.join(labels, "doc_id")
         .groupBy(col("band"), col("bkey")).agg(min(col("cluster_id")).as("bl"))
-      bands.join(bl, Seq("band", "bkey"))
+      val hop = bands.join(bl, Seq("band", "bkey"))
         .groupBy(col("doc_id")).agg(min(col("bl")).as("cluster_id"))
-        .localCheckpoint(true)
+      // pointer doubling: follow the label one more step (labels are doc
+      // ids, so L(L(d)) resolves through the same table); coalesce keeps
+      // docs whose label has no own row (possible mid-iteration)
+      val next = hop.as("a")
+        .join(hop.select(col("doc_id").as("ld"), col("cluster_id").as("ll")).as("b"),
+          col("a.cluster_id") === col("b.ld"), "left")
+        .select(col("a.doc_id"),
+          coalesce(col("b.ll"), col("a.cluster_id")).as("cluster_id"))
+      next.localCheckpoint(true)
     }
     // round 0 = the 1-hop assignment (labels start as the identity, so one
     // relabel pass IS bucket-min-then-doc-min)

@@ -239,9 +239,22 @@ class PipelineOpsSpec extends SparkSpec {
     val (labels, rounds) = TextPipeline.ccIterate(bands)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 9L -> 9L))
-    // label propagation needs diameter-many passes: strictly more than one
-    // iteration beyond the 1-hop round, plus the no-change confirmation
-    assert(rounds == 4, s"expected 4 rounds (3 propagating + 1 confirming), got $rounds")
+    // hop + pointer-doubling shortcut per round: the 4-link chain closes in
+    // one propagating round plus the no-change confirmation
+    assert(rounds == 2, s"expected 2 rounds (1 propagating + 1 confirming), got $rounds")
+  }
+
+  test("pointer doubling converges a 16-link chain in O(log) rounds, not 16") {
+    import spark.implicits._
+    // docs 1..17 chained via 16 two-member buckets: plain one-hop-per-round
+    // label propagation needs ~16 rounds; the doubling shortcut must close
+    // it in ~log2(17)
+    val bands = (1L to 16L).flatMap(i =>
+      Seq((i, 0, 1000L + i), (i + 1, 0, 1000L + i))).toDF("doc_id", "band", "bkey")
+    val (labels, rounds) = TextPipeline.ccIterate(bands)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 17L).map(_ -> 1L).toMap)
+    assert(rounds <= 7, s"doubling must close a 16-link chain in O(log) rounds, got $rounds")
   }
 
   test("dupClustersCC refines dupClusters: same components, canonical labels everywhere") {
