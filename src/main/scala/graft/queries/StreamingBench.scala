@@ -45,20 +45,52 @@ import org.apache.spark.sql.streaming.Trigger
   *     every auction event (last end wins → MAX(end) per key) while the
   *     transformWithState port registers once on the first (→ MIN(end)) —
   *     both modeled exactly below.
-  * At larger SFs (multi-batch) intermediate watermark advances could drop
-  * late stragglers the single-batch model doesn't see; the oracles are
-  * therefore exact at the verified scales (sf0.001/sf0.01 — one batch),
-  * while the sf0.1 bench runs are timing-only and skip the input dump.
-  * The `<`/`<=` boundary choices are pinned by StreamingOracleBoundarySpec.
+  * Multi-batch exactness (round 7): each source is batched into ~3
+  * micro-batches at EVERY scale factor ([[rowsPerBatchFor]]), so the
+  * correctness gate itself exercises intermediate watermark advances —
+  * [[runToParquet]] refuses to return unless the committed batch count
+  * reaches the expected multi-batch plan. The final-watermark oracle model
+  * stays exact under multi-batching for two reasons, one unconditional and
+  * one volume-checked:
+  *   - windows/sessions/joins/dedup: generator event time is GLOBALLY
+  *     non-decreasing across batches — every subtask emits the same affine
+  *     timestamp sequence ts(eventId) = base + eventId*1000/eps over the
+  *     same eventId range, and batch N covers eventIds strictly after
+  *     batch N-1 (NexmarkMicroBatchStream.latestOffset). So no event is
+  *     ever below the watermark when it arrives, and state an intermediate
+  *     watermark closes could never have received a late extension (any
+  *     later event's timestamp ≥ the max timestamp that advanced that
+  *     watermark). Batching-invariant at ANY volume.
+  *   - event-time timers (the qx ports): an armed timer fires as soon as
+  *     any intermediate watermark crosses it, and late bids may reference
+  *     an auction long after its end — so invariance additionally needs
+  *     every armed end (≥ first ts + 10 s auction duration) above every
+  *     intermediate watermark (≤ span·(k−1)/k − 2 s for k batches), i.e.
+  *     event-time span ≤ 12 s · k/(k−1). The sf0.01 gate sits inside the
+  *     bound (qx span 12.5 s ≤ 18 s at k=3): timers fire only in the
+  *     finalize batch, which IS the final-watermark model. At bench-only
+  *     scales beyond it (sf0.1: 125 s span) early fires are honest
+  *     streaming semantics and those runs stay timing-only, as before.
+  * StreamingMultiBatchSpec pins the batching-invariance per stateful shape
+  * (1-batch output == 4-batch output) and documents the timer condition;
+  * the `<`/`<=` boundary choices are pinned by StreamingOracleBoundarySpec.
   */
 object StreamingBench extends QueryModule {
 
   private val Parallelism = 8
-  /** Per-subtask admission-control batch size: fixed (not sf-scaled) so
-    * watermark advancement per batch — and therefore output — stays
+  /** Per-subtask admission-control batch size: ceil(rows/3), so every
+    * source runs THREE data micro-batches (two intermediate watermark
+    * advances) at every scale factor — the correctness gate at sf0.01
+    * verifies genuine multi-batch watermark interleaving, not a one-shot
+    * batch. A pure function of `rows` (itself a pure function of sf), so
+    * batch boundaries — and therefore the watermark sequence — stay
     * deterministic per sf.
     */
-  private val RowsPerBatch = 50000L
+  private def rowsPerBatchFor(rows: Long): Long = math.max(1L, (rows + 2) / 3)
+
+  /** Data micro-batches the admission plan yields: ceil(rows / rpb). */
+  private def expectedBatches(rows: Long): Int =
+    math.ceil(rows.toDouble / rowsPerBatchFor(rows)).toInt
 
   /** Scale factor encoded in the test-data dir name ("…/sf0.1"). */
   private def sfOf(dir: String): Double =
@@ -113,7 +145,8 @@ object StreamingBench extends QueryModule {
                         entity: String, cfg: GenConfig, rows: Long): Unit =
     if (sys.props.getOrElse("graft.stream.dumpInputs", "true").toBoolean) {
       spark.read.format("nexmark")
-        .options(NexmarkSources.nexmarkOptions(entity, cfg, Parallelism, rows, RowsPerBatch))
+        .options(NexmarkSources.nexmarkOptions(entity, cfg, Parallelism, rows,
+          rowsPerBatchFor(rows)))
         .load()
         .write.mode("overwrite")
         .parquet(s"$InputDumpBase/current/$name/$entity")
@@ -140,7 +173,8 @@ object StreamingBench extends QueryModule {
     * count ≈ cores, not default-200). Restored after the run so batch
     * queries in the same session keep their own setting.
     */
-  private def runToParquet(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+  private def runToParquet(spark: SparkSession, df: DataFrame, name: String,
+                           minBatches: Int): DataFrame = {
     val id = s"${name}_${runSeq.incrementAndGet()}"
     val base = java.nio.file.Files.createTempDirectory(s"graftstream_$id")
     tmpDirs.add(base)
@@ -154,6 +188,15 @@ object StreamingBench extends QueryModule {
         .start()
         .awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // multi-batch invariant: the admission plan ([[rowsPerBatchFor]]) must
+    // actually have executed — an entry that silently collapsed to one
+    // micro-batch would pass the oracle without exercising intermediate
+    // watermark advances, which is the behavior this surface verifies
+    val committed = Option(new java.io.File(s"$ckpt/commits").listFiles())
+      .map(_.count(f => f.getName.forall(_.isDigit))).getOrElse(0)
+    if (committed < minBatches) throw new IllegalStateException(
+      s"$name: $committed committed micro-batches < expected $minBatches — " +
+        "multi-batch watermark interleaving was not exercised")
     val wrote = new java.io.File(out).listFiles() != null &&
       new java.io.File(out).listFiles().exists(f => f.getName.endsWith(".parquet"))
     if (wrote) spark.read.schema(df.schema).parquet(out)
@@ -168,8 +211,9 @@ object StreamingBench extends QueryModule {
     val rows = math.max(1L, (10000000L * sfOf(dir) / Parallelism).toLong)
     val cfg = GenConfig(eventsPerSecond = 1000L)
     dumpInput(spark, dir, "stream_q5_hot", "bids", cfg, rows)
-    val bids = NexmarkSources.bidStreamDsv2(spark, cfg, Parallelism, rows, RowsPerBatch)
-    runToParquet(spark, NexmarkQueries.q5HotAuctions(bids, "5 seconds"), "q5hot")
+    val bids = NexmarkSources.bidStreamDsv2(spark, cfg, Parallelism, rows, rowsPerBatchFor(rows))
+    runToParquet(spark, NexmarkQueries.q5HotAuctions(bids, "5 seconds"), "q5hot",
+      expectedBatches(rows))
   }
 
   /** q5HotAuctions over the dumped bids: 5 s tumbling windows, emitted iff
@@ -203,9 +247,10 @@ object StreamingBench extends QueryModule {
     val aCfg = GenConfig(eventsPerSecond = 1000L)
     dumpInput(spark, dir, "stream_q8_join", "persons", pCfg, pRows)
     dumpInput(spark, dir, "stream_q8_join", "auctions", aCfg, aRows)
-    val persons = NexmarkSources.personStreamDsv2(spark, pCfg, Parallelism, pRows, RowsPerBatch)
-    val auctions = NexmarkSources.auctionStreamDsv2(spark, aCfg, Parallelism, aRows, RowsPerBatch)
-    runToParquet(spark, NexmarkQueries.q8NewUsers(persons, auctions, "5 seconds"), "q8join")
+    val persons = NexmarkSources.personStreamDsv2(spark, pCfg, Parallelism, pRows, rowsPerBatchFor(pRows))
+    val auctions = NexmarkSources.auctionStreamDsv2(spark, aCfg, Parallelism, aRows, rowsPerBatchFor(aRows))
+    runToParquet(spark, NexmarkQueries.q8NewUsers(persons, auctions, "5 seconds"), "q8join",
+      math.max(expectedBatches(pRows), expectedBatches(aRows)))
   }
 
   /** q8NewUsers over the dumped persons/auctions: per (5 s window, person)
@@ -248,8 +293,8 @@ object StreamingBench extends QueryModule {
     * sf0.1 → 100k auctions + 400k bids.
     */
   def streamQxWinning(spark: SparkSession, dir: String): DataFrame = {
-    val (bids, auctions) = qxSources(spark, dir, "stream_qx_winning")
-    runToParquet(spark, NexmarkStateful.qxStateful(bids, auctions).toDF, "qxwin")
+    val (bids, auctions, batches) = qxSources(spark, dir, "stream_qx_winning")
+    runToParquet(spark, NexmarkStateful.qxStateful(bids, auctions).toDF, "qxwin", batches)
   }
 
   /** QX winner over the dumped bids/auctions. The two entities are unioned
@@ -300,9 +345,9 @@ object StreamingBench extends QueryModule {
     val bCfg = GenConfig(eventsPerSecond = 400L)
     dumpInput(spark, dir, name, "auctions", aCfg, aRows)
     dumpInput(spark, dir, name, "bids", bCfg, bRows)
-    val auctions = NexmarkSources.auctionStreamDsv2(spark, aCfg, Parallelism, aRows, RowsPerBatch)
-    val bids = NexmarkSources.bidStreamDsv2(spark, bCfg, Parallelism, bRows, RowsPerBatch)
-    (bids, auctions)
+    val auctions = NexmarkSources.auctionStreamDsv2(spark, aCfg, Parallelism, aRows, rowsPerBatchFor(aRows))
+    val bids = NexmarkSources.bidStreamDsv2(spark, bCfg, Parallelism, bRows, rowsPerBatchFor(bRows))
+    (bids, auctions, math.max(expectedBatches(aRows), expectedBatches(bRows)))
   }
 
   /** Q11 session windows over a generated bid stream — the heaviest
@@ -315,8 +360,9 @@ object StreamingBench extends QueryModule {
     val rows = math.max(1L, (10000000L * sfOf(dir) / Parallelism).toLong)
     val cfg = GenConfig(eventsPerSecond = 1000L)
     dumpInput(spark, dir, "stream_q11_sessions", "bids", cfg, rows)
-    val bids = NexmarkSources.bidStreamDsv2(spark, cfg, Parallelism, rows, RowsPerBatch)
-    runToParquet(spark, NexmarkQueries.sessions(bids, "5 seconds"), "q11sess")
+    val bids = NexmarkSources.bidStreamDsv2(spark, cfg, Parallelism, rows, rowsPerBatchFor(rows))
+    runToParquet(spark, NexmarkQueries.sessions(bids, "5 seconds"), "q11sess",
+      expectedBatches(rows))
   }
 
   /** Per-bidder 5 s-gap session windows over the dumped bids:
@@ -358,8 +404,9 @@ object StreamingBench extends QueryModule {
     val rows = math.max(1L, (10000000L * sfOf(dir) / Parallelism).toLong)
     val cfg = GenConfig(eventsPerSecond = 1000L)
     dumpInput(spark, dir, "stream_q7_highest", "bids", cfg, rows)
-    val bids = NexmarkSources.bidStreamDsv2(spark, cfg, Parallelism, rows, RowsPerBatch)
-    runToParquet(spark, NexmarkQueries.q7HighestBid(bids, "5 seconds"), "q7high")
+    val bids = NexmarkSources.bidStreamDsv2(spark, cfg, Parallelism, rows, rowsPerBatchFor(rows))
+    runToParquet(spark, NexmarkQueries.q7HighestBid(bids, "5 seconds"), "q7high",
+      expectedBatches(rows))
   }
 
   /** q7HighestBid over the dumped bids: per-window argmax under the
@@ -394,8 +441,9 @@ object StreamingBench extends QueryModule {
     val rows = math.max(1L, (10000000L * sfOf(dir) / Parallelism).toLong)
     val cfg = GenConfig(eventsPerSecond = 1000L)
     dumpInput(spark, dir, "stream_dedup", "bids", cfg, rows)
-    val bids = NexmarkSources.bidStreamDsv2(spark, cfg, Parallelism, rows, RowsPerBatch)
-    runToParquet(spark, NexmarkQueries.dedupBids(bids).toDF, "dedup")
+    val bids = NexmarkSources.bidStreamDsv2(spark, cfg, Parallelism, rows, rowsPerBatchFor(rows))
+    runToParquet(spark, NexmarkQueries.dedupBids(bids).toDF, "dedup",
+      expectedBatches(rows))
   }
 
   private val streamDedupSql: String =
@@ -411,13 +459,13 @@ object StreamingBench extends QueryModule {
     * requires multi-column-family state, i.e. RocksDB).
     */
   def streamQxTws(spark: SparkSession, dir: String): DataFrame = {
-    val (bids, auctions) = qxSources(spark, dir, "stream_qx_tws")
+    val (bids, auctions, batches) = qxSources(spark, dir, "stream_qx_tws")
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try runToParquet(spark,
-      graft.nexmark.queries.NexmarkTws.qxWinningBidsTws(bids, auctions).toDF, "qxtws")
+      graft.nexmark.queries.NexmarkTws.qxWinningBidsTws(bids, auctions).toDF, "qxtws", batches)
     finally prev match {
       case Some(p) => spark.conf.set(key, p)
       case None    => spark.conf.unset(key)
