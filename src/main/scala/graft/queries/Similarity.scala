@@ -61,6 +61,23 @@ object Similarity extends QueryModule {
   private def cosine(qe: Column, ce: Column): Column =
     call_function("cosine_sim", qe, ce)
 
+  /** Two-phase salted per-query top-k over `scored(query_id, vec_id, …)`:
+    * phase 1 ranks within (query_id, vec_id % Salts) — Salts independent
+    * bounded sorts per query — phase 2 merges the ≤ TopK × Salts survivors
+    * in ONE final sort partition per query. The bound is what matters at
+    * 1 B vectors: even a pruned candidate set (IVF probe ≈ NProbe ×
+    * cell-size ≈ 0.5 M rows/query) never reaches a single reducer — only
+    * TopK × Salts rows do. `order` must be a total order (score, vec_id)
+    * so both phases agree with the oracle's ROW_NUMBER deterministically.
+    */
+  private def saltedTopK(scored: DataFrame, order: Column*): DataFrame = {
+    val w1 = Window.partitionBy(col("query_id"), pmod(col("vec_id"), lit(Salts)))
+      .orderBy(order: _*)
+    val w2 = Window.partitionBy(col("query_id")).orderBy(order: _*)
+    scored.withColumn("prk", row_number().over(w1)).filter(col("prk") <= TopK)
+      .withColumn("rk", row_number().over(w2)).filter(col("rk") <= TopK)
+  }
+
   /** Brute-force cosine top-k per query vector, two-phase (salted) rank. */
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
@@ -71,14 +88,7 @@ object Similarity extends QueryModule {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qemb"), col("cemb")))
       .select(col("query_id"), col("vec_id"), col("cos"))
-    // Phase 1: per-salt partial top-k (bounds every sort at scale);
-    // Phase 2: merge the <= k * Salts survivors per query.
-    val w1 = Window.partitionBy(col("query_id"), pmod(col("vec_id"), lit(Salts)))
-      .orderBy(col("cos").desc_nulls_last, col("vec_id").asc)
-    val w2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc_nulls_last, col("vec_id").asc)
-    scored.withColumn("prk", row_number().over(w1)).filter(col("prk") <= TopK)
-      .withColumn("rk", row_number().over(w2)).filter(col("rk") <= TopK)
+    saltedTopK(scored, col("cos").desc_nulls_last, col("vec_id").asc)
       .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos6"), col("rk"))
   }
 
@@ -156,9 +166,7 @@ object Similarity extends QueryModule {
       .join(all, "vec_id")
       .join(broadcast(q), "query_id")
       .withColumn("cos", cosine(col("qemb"), col("cemb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc_nulls_last, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
+    saltedTopK(scored, col("cos").desc_nulls_last, col("vec_id").asc)
       .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos6"), col("rk"))
   }
 
@@ -450,9 +458,7 @@ object Similarity extends QueryModule {
     val c = e.select(col("vec_id"), col("emb").as("cemb"))
     val scored = cands.join(c, "vec_id").join(broadcast(q), "query_id")
       .withColumn("cos", cosine(col("qemb"), col("cemb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc_nulls_last, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
+    saltedTopK(scored, col("cos").desc_nulls_last, col("vec_id").asc)
       .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos6"), col("rk"))
   }
 
@@ -496,12 +502,7 @@ object Similarity extends QueryModule {
       .withColumn("ip",
         expr("aggregate(zip_with(qemb, cemb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
       .select(col("query_id"), col("vec_id"), col("ip"))
-    val w1 = Window.partitionBy(col("query_id"), pmod(col("vec_id"), lit(Salts)))
-      .orderBy(col("ip").desc_nulls_last, col("vec_id").asc)
-    val w2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("ip").desc_nulls_last, col("vec_id").asc)
-    scored.withColumn("prk", row_number().over(w1)).filter(col("prk") <= TopK)
-      .withColumn("rk", row_number().over(w2)).filter(col("rk") <= TopK)
+    saltedTopK(scored, col("ip").desc_nulls_last, col("vec_id").asc)
       .select(col("query_id"), col("vec_id"), round(col("ip"), 6).as("ip6"), col("rk"))
   }
 
@@ -740,9 +741,7 @@ object Similarity extends QueryModule {
       .groupBy(col("query_id"), col("vec_id"))
       .agg(collect_list(struct(col("j"), col("pd"))).as("ps"))
       .withColumn("d2", expr("aggregate(array_sort(ps), 0D, (a, x) -> a + x.pd)"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2").asc_nulls_last, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
+    saltedTopK(scored, col("d2").asc_nulls_last, col("vec_id").asc)
       .select(col("query_id"), col("vec_id"), round(col("d2"), 6).as("pqd6"), col("rk"))
   }
 
@@ -793,34 +792,96 @@ object Similarity extends QueryModule {
   private val KmeansAssignRounds = 2
   private val KmeansQ = "1048576.0" // 2^20 coordinate quantum, exact-sum means
 
-  def kmeans(spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir).select(col("vec_id"), col("emb"))
+  /** Vectors prepped for k-means rounds: self-dot precomputed, checkpointed
+    * once (reused by every assignment round and mean update). */
+  private def kmeansPrep(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir).select(col("vec_id"), col("emb"))
       .withColumn("ssq", dp(col("emb"), col("emb")))
-      .localCheckpoint(true) // reused every round: scan + self-dots once
-    def assignTo(cents: DataFrame): DataFrame = {
-      val c = cents.withColumn("csq", dp(col("cemb"), col("cemb")))
-      e.crossJoin(broadcast(c))
-        .withColumn("d2", l2sqPre(col("ssq"), col("emb"), col("cemb"), col("csq")))
-        .groupBy(col("vec_id"))
-        .agg(min_by(struct(col("cid"), col("d2")), struct(col("d2"), col("cid"))).as("a"))
-        .select(col("vec_id"), col("a.cid").as("cid"), col("a.d2").as("d2"))
-    }
-    def meanUpdate(assign: DataFrame): DataFrame =
-      assign.join(e, "vec_id")
-        .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim"))
-        .agg(expr(s"SUM(CAST(ROUND(x * $KmeansQ) AS BIGINT))").as("qsum"),
-             count(lit(1)).as("n"))
-        .withColumn("coord", expr(s"CAST(qsum AS DOUBLE) / CAST(n AS DOUBLE) / $KmeansQ"))
-        .groupBy(col("cid"))
-        .agg(expr("transform(array_sort(collect_list(struct(dim, coord))), s -> s.coord)").as("cemb"))
-    val init = e.filter(col("vec_id") % CentroidMod === 0)
+      .localCheckpoint(true)
+
+  private def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val c = cents.withColumn("csq", dp(col("cemb"), col("cemb")))
+    e.crossJoin(broadcast(c))
+      .withColumn("d2", l2sqPre(col("ssq"), col("emb"), col("cemb"), col("csq")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cid"), col("d2")), struct(col("d2"), col("cid"))).as("a"))
+      .select(col("vec_id"), col("a.cid").as("cid"), col("a.d2").as("d2"))
+  }
+
+  private def kmeansMeanUpdate(e: DataFrame, assign: DataFrame): DataFrame =
+    assign.join(e, "vec_id")
+      .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(expr(s"SUM(CAST(ROUND(x * $KmeansQ) AS BIGINT))").as("qsum"),
+           count(lit(1)).as("n"))
+      .withColumn("coord", expr(s"CAST(qsum AS DOUBLE) / CAST(n AS DOUBLE) / $KmeansQ"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, coord))), s -> s.coord)").as("cemb"))
+
+  private def kmeansInit(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % CentroidMod === 0)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
-    var assign = assignTo(init)
-    for (_ <- 2 to KmeansAssignRounds) assign = assignTo(meanUpdate(assign))
+
+  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = kmeansPrep(spark, dir)
+    var assign = kmeansAssign(e, kmeansInit(e))
+    for (_ <- 2 to KmeansAssignRounds) assign = kmeansAssign(e, kmeansMeanUpdate(e, assign))
     assign.select(col("vec_id"), col("cid").as("cluster_id"),
       round(col("d2"), 6).as("d6"))
   }
+
+  /** Per-round convergence trace of [[kmeansConverged]]: how many points
+    * changed cluster entering this round, and the round's quantized
+    * inertia (exact order-free BIGINT sum of round(d2 × 2²⁰)). */
+  private[graft] final case class KmeansRound(round: Int, changed: Long, inertiaQ: Long)
+
+  /** Lloyd's to (near-)convergence — the production variant next to the
+    * fixed-2-round cross-engine gate ([[kmeans]], oracle `s_kmeans`):
+    * iterate assign → mean-update until the ccIterate-style scalar
+    * convergence check fires — assignment-change count == 0, an order-free
+    * exact test (quantized centroids are a pure function of the
+    * assignment, so an unchanged assignment IS a fixed point: the next
+    * round would recompute identical centroids, distances and argmins).
+    * `maxRounds` is a loud-failure guard like MaxCcRounds, not a tuning
+    * knob.
+    *
+    * Per round: one broadcast-crossjoin assignment pass, one (cid, dim)
+    * hash-agg mean update, one anti-join-style change count (scalar agg) —
+    * all map-side-partial shapes; the driver sees one Long per round.
+    * Quantized inertia is tracked for the trace; Lloyd's decreases true
+    * inertia monotonically, but the QUANTIZED mean is the exact minimizer
+    * only up to the 2⁻²⁰ coordinate quantum, so per-round inertia may
+    * wobble by ≤ 1 quantum per point (KmeansSpec asserts exactly that
+    * bound).
+    */
+  private[graft] def kmeansIterate(spark: SparkSession, dir: String,
+                                     maxRounds: Int): (DataFrame, Seq[KmeansRound]) = {
+    require(maxRounds >= 1)
+    val e = kmeansPrep(spark, dir)
+    def inertiaQ(assign: DataFrame): Long =
+      assign.agg(expr(s"SUM(CAST(ROUND(d2 * $KmeansQ) AS BIGINT))")).head.getLong(0)
+    var assign = kmeansAssign(e, kmeansInit(e)).localCheckpoint(true)
+    val trace = scala.collection.mutable.ArrayBuffer(
+      KmeansRound(1, assign.count(), inertiaQ(assign)))
+    var r = 1
+    var changed = trace.head.changed
+    while (changed != 0 && r < maxRounds) {
+      r += 1
+      val next = kmeansAssign(e, kmeansMeanUpdate(e, assign)).localCheckpoint(true)
+      changed = next.join(assign.select(col("vec_id"), col("cid").as("pcid")), "vec_id")
+        .filter(col("cid") =!= col("pcid")).count()
+      assign = next
+      trace += KmeansRound(r, changed, inertiaQ(assign))
+    }
+    if (changed != 0) throw new IllegalStateException(
+      s"k-means did not converge in $maxRounds rounds (last round moved $changed points)")
+    (assign.select(col("vec_id"), col("cid").as("cluster_id"),
+       round(col("d2"), 6).as("d6")), trace.toSeq)
+  }
+
+  /** [[kmeansIterate]] with the default round guard. */
+  def kmeansConverged(spark: SparkSession, dir: String): DataFrame =
+    kmeansIterate(spark, dir, maxRounds = 30)._1
 
   def kmeansSql: String = {
     def assignSql(centsCte: String) =

@@ -217,6 +217,28 @@ class PipelineOpsSpec extends SparkSpec {
       s"mean update must not worsen the objective: $afterUpdate vs $initTotal")
   }
 
+  test("kmeansIterate runs to a converged fixed point with near-monotone inertia") {
+    val (out, trace) = Similarity.kmeansIterate(spark, dir, maxRounds = 30)
+    val n = Tables.embeddings(spark, dir).count()
+    // converged: the final round moved zero points — and because the
+    // quantized centroids are a pure function of the assignment, that IS
+    // an exact fixed point (the next round would recompute identical
+    // centroids, distances and argmins)
+    assert(trace.last.changed == 0, s"not converged: $trace")
+    assert(trace.length >= 2, "fixture should need at least one mean update")
+    assert(out.count() == n)
+    assert(out.groupBy(col("vec_id")).count().filter(col("count") > 1).count() == 0)
+    // Lloyd's improvement, quantization-aware: true inertia never
+    // increases; the 2^-20-quantized mean is the exact minimizer only up
+    // to one coordinate quantum, so allow <= 1 quantum per point per round
+    trace.sliding(2).foreach { case Seq(a, b) =>
+      assert(b.inertiaQ <= a.inertiaQ + n,
+        s"inertia rose beyond quantization slack: $a -> $b")
+    }
+    // strict improvement happened somewhere (init assignment is not optimal)
+    assert(trace.last.inertiaQ < trace.head.inertiaQ)
+  }
+
   test("ccIterate on an empty bucket table converges at round 0 (no NPE on null SUM)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Int, Long)].toDF("doc_id", "band", "bkey")
