@@ -24,7 +24,20 @@ final case class GenConfig(
     subtask: Int = 0,
     parallelism: Int = 1,
     baseTimestamp: Long = 1704067200000L, // 2024-01-01T00:00:00Z
-    eventsPerSecond: Long = 1000L) {
+    eventsPerSecond: Long = 1000L,
+    /** Opt-in SIZE-matched person payloads: each textual field is a
+      * deterministic random string whose length equals the reference
+      * dictionaries' mean entry length (name 14 ≈ 6+1+7 first+last,
+      * email 9, city 7, country 9, province 9, homepage 6 — measured over
+      * original/Firstnames.java, Lastnames.java, Cities.java,
+      * Countries.java, Emails.java), so ingest BYTE rates are comparable
+      * to the reference's without copying its word lists. Auction
+      * payloads are already exact (20-char name, 200-char descr =
+      * RandomStrings.java:8-9 lengths); bids carry no strings. Off by
+      * default: the compact original vocabularies keep query outputs
+      * readable and grouping cardinalities interesting.
+      */
+    sizedPayloads: Boolean = false) {
   require(parallelism > 0 && subtask >= 0 && subtask < parallelism)
   // NexmarkCommon.java:43-59
   val minPersonId: Long = (NexmarkGen.MaxPersonId / parallelism) * subtask
@@ -144,6 +157,20 @@ object NexmarkGen {
     * shape: ~1-in-13 chars is a space; NUL-terminated in the reference,
     * plain string here).
     */
+  /** Deterministic a-z-only string (no spaces) — for fields whose shape
+    * consumers rely on (e.g. the "first last" split in RawPerson framing).
+    */
+  def letters(cfg: GenConfig, eventId: Long, slot: Int, n: Int): String = {
+    val sb = new StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val r = mix64(cfg.seed ^ mix64((eventId * 64 + slot) * 256 + i))
+      sb.append(('a' + Math.floorMod(r >>> 8, 26)).toChar)
+      i += 1
+    }
+    sb.toString
+  }
+
   def randomString(cfg: GenConfig, eventId: Long, slot: Int, n: Int): String = {
     val sb = new StringBuilder(n)
     var i = 0
@@ -156,24 +183,45 @@ object NexmarkGen {
     sb.toString
   }
 
-  /** beans/NewPersonEvent0.java:71-82. */
+  /** beans/NewPersonEvent0.java:71-82. With [[GenConfig.sizedPayloads]],
+    * textual fields switch to deterministic random strings at the
+    * reference dictionaries' mean lengths (see the GenConfig field doc) —
+    * size-matched, never content-matched.
+    */
   def person(cfg: GenConfig, eventId: Long): Person = {
     val ts = eventTimestamp(cfg, eventId)
-    val first = pick(Dictionaries.Firstnames, cfg, eventId, 10)
-    val last = pick(Dictionaries.Lastnames, cfg, eventId, 11)
-    val domain = pick(Dictionaries.EmailDomains, cfg, eventId, 12)
-    Person(
-      timestamp = ts,
-      personId = personId(cfg, eventId),
-      name = s"$first $last",
-      email = s"$first.$last@$domain",
-      city = pick(Dictionaries.Cities, cfg, eventId, 13),
-      country = pick(Dictionaries.Countries, cfg, eventId, 14),
-      province = pick(Dictionaries.EmailDomains, cfg, eventId, 15),
-      zipcode = "10587", // NewPersonEvent0.java:81
-      homepage = pick(Dictionaries.Firstnames, cfg, eventId, 16),
-      creditcard = "00000000000", // NewPersonEvent0.java:80
-      ingestionTimestamp = ts)
+    if (cfg.sizedPayloads)
+      Person(
+        timestamp = ts,
+        personId = personId(cfg, eventId),
+        // "first last" shape preserved (consumers split on the space;
+        // parts are space-free a-z): 6 + 1 + 7 = the reference's mean
+        name = letters(cfg, eventId, 10, 6) + " " + letters(cfg, eventId, 11, 7),
+        email = randomString(cfg, eventId, 12, 9),
+        city = randomString(cfg, eventId, 13, 7),
+        country = randomString(cfg, eventId, 14, 9),
+        province = randomString(cfg, eventId, 15, 9),
+        zipcode = "10587", // NewPersonEvent0.java:81
+        homepage = randomString(cfg, eventId, 16, 6),
+        creditcard = "00000000000", // NewPersonEvent0.java:80
+        ingestionTimestamp = ts)
+    else {
+      val first = pick(Dictionaries.Firstnames, cfg, eventId, 10)
+      val last = pick(Dictionaries.Lastnames, cfg, eventId, 11)
+      val domain = pick(Dictionaries.EmailDomains, cfg, eventId, 12)
+      Person(
+        timestamp = ts,
+        personId = personId(cfg, eventId),
+        name = s"$first $last",
+        email = s"$first.$last@$domain",
+        city = pick(Dictionaries.Cities, cfg, eventId, 13),
+        country = pick(Dictionaries.Countries, cfg, eventId, 14),
+        province = pick(Dictionaries.EmailDomains, cfg, eventId, 15),
+        zipcode = "10587", // NewPersonEvent0.java:81
+        homepage = pick(Dictionaries.Firstnames, cfg, eventId, 16),
+        creditcard = "00000000000", // NewPersonEvent0.java:80
+        ingestionTimestamp = ts)
+    }
   }
 
   /** NexmarkAuctionSource.java:69 + AuctionEvent0.init (AuctionEvent0.java:76-86):

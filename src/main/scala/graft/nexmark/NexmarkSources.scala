@@ -87,7 +87,8 @@ object NexmarkSources {
     "parallelism" -> parallelism.toString,
     "seed" -> cfg.seed.toString,
     "baseTimestamp" -> cfg.baseTimestamp.toString,
-    "eventsPerSecond" -> cfg.eventsPerSecond.toString)
+    "eventsPerSecond" -> cfg.eventsPerSecond.toString,
+    "sizedPayloads" -> cfg.sizedPayloads.toString)
 
   private def entityStreamDsv2(spark: SparkSession, entity: String, cfg: GenConfig,
                                parallelism: Int, rows: Long, rowsPerBatch: Long): DataFrame =

@@ -85,7 +85,8 @@ object NexmarkDataSource {
   }
 
   case class Opts(entity: String, rows: Long, parallelism: Int, seed: Long,
-                  baseTimestamp: Long, eventsPerSecond: Long, rowsPerBatch: Long)
+                  baseTimestamp: Long, eventsPerSecond: Long, rowsPerBatch: Long,
+                  sizedPayloads: Boolean)
 
   def opts(m: CaseInsensitiveStringMap): Opts = Opts(
     entity = m.getOrDefault("entity", "bids"),
@@ -94,7 +95,8 @@ object NexmarkDataSource {
     seed = m.getOrDefault("seed", "42").toLong,
     baseTimestamp = m.getOrDefault("baseTimestamp", "1704067200000").toLong,
     eventsPerSecond = m.getOrDefault("eventsPerSecond", "1000").toLong,
-    rowsPerBatch = m.getOrDefault("rowsPerBatch", "1000").toLong)
+    rowsPerBatch = m.getOrDefault("rowsPerBatch", "1000").toLong,
+    sizedPayloads = m.getOrDefault("sizedPayloads", "false").toBoolean)
 
   def rowOf(entity: String, cfg: GenConfig, eventId: Long): InternalRow = entity match {
     case "persons" =>
@@ -132,7 +134,8 @@ class NexmarkTable(options: CaseInsensitiveStringMap) extends Table with Support
   * eventIds [from, until). */
 case class NexmarkInputPartition(entity: String, subtask: Int, parallelism: Int,
                                  seed: Long, baseTimestamp: Long, eventsPerSecond: Long,
-                                 from: Long, until: Long) extends InputPartition
+                                 from: Long, until: Long,
+                                 sizedPayloads: Boolean) extends InputPartition
 
 class NexmarkScan(o: NexmarkDataSource.Opts) extends ScanBuilder with Scan with Batch {
   override def build(): Scan = this
@@ -144,7 +147,7 @@ class NexmarkScan(o: NexmarkDataSource.Opts) extends ScanBuilder with Scan with 
   override def planInputPartitions(): Array[InputPartition] =
     (0 until o.parallelism).map(i =>
       NexmarkInputPartition(o.entity, i, o.parallelism, o.seed,
-        o.baseTimestamp, o.eventsPerSecond, 0L, o.rows)).toArray
+        o.baseTimestamp, o.eventsPerSecond, 0L, o.rows, o.sizedPayloads)).toArray
   override def createReaderFactory(): PartitionReaderFactory = new NexmarkReaderFactory
 }
 
@@ -152,7 +155,8 @@ class NexmarkReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[NexmarkInputPartition]
     val cfg = GenConfig(seed = p.seed, subtask = p.subtask, parallelism = p.parallelism,
-      baseTimestamp = p.baseTimestamp, eventsPerSecond = p.eventsPerSecond)
+      baseTimestamp = p.baseTimestamp, eventsPerSecond = p.eventsPerSecond,
+      sizedPayloads = p.sizedPayloads)
     new PartitionReader[InternalRow] {
       private var eventId = p.from - 1
       override def next(): Boolean = { eventId += 1; eventId < p.until }
@@ -197,7 +201,7 @@ class NexmarkMicroBatchStream(o: NexmarkDataSource.Opts)
     val until = end.asInstanceOf[NexmarkOffset].eventId
     (0 until o.parallelism).map(i =>
       NexmarkInputPartition(o.entity, i, o.parallelism, o.seed,
-        o.baseTimestamp, o.eventsPerSecond, from, until)).toArray
+        o.baseTimestamp, o.eventsPerSecond, from, until, o.sizedPayloads)).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = new NexmarkReaderFactory
 }

@@ -59,6 +59,26 @@ class BinaryCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("sized person payloads round-trip the 206-byte records unchanged") {
+    // the size-matched fields (6/7-char name parts, 7-char city, 9-char
+    // country) fit the codec's NUL-padded 32-byte slots, so the fixed
+    // 206-byte record layout carries them bit-exactly
+    val cfg = GenConfig(sizedPayloads = true)
+    val raw = NexmarkGen.persons(cfg, 50).toSeq.map { p =>
+      val Array(first, last) = p.name.split(" ")
+      BinaryCodec.RawPerson(p.personId, first, last, "mail.test",
+        p.city, p.country, 0L, 0L, 1, 2, 3, 0, p.timestamp)
+    }
+    val frames = BinaryCodec.frameAll(raw, BinaryCodec.personsPerFrame)(BinaryCodec.encodePersons)
+    val decoded = frames.flatMap(BinaryCodec.decodePersons(_, 7L))
+    assert(decoded.size == 50)
+    decoded.zip(raw).foreach { case (d, r) =>
+      assert(d.name == s"${r.name} ${r.surname}")
+      assert(d.name.length == 14)
+      assert(d.timestamp == r.timestamp)
+    }
+  }
+
   test("frames reject wrong checksums") {
     val bidFrame = BinaryCodec.encodeBids(NexmarkGen.bids(cfg, 3).toSeq, 3)
     intercept[IllegalArgumentException](BinaryCodec.decodePersons(bidFrame, 0L))

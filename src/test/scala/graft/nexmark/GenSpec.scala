@@ -67,6 +67,27 @@ class GenSpec extends AnyFunSuite {
     assert(NexmarkGen.auctions(cfg, 1000).forall(a => a.end == a.timestamp + 10000))
   }
 
+  test("sizedPayloads: person text fields length-match the reference means") {
+    val sized = GenConfig(sizedPayloads = true)
+    (0L until 200L).foreach { i =>
+      val p = NexmarkGen.person(sized, i)
+      assert(p.name.length == 14 && p.name.count(_ == ' ') == 1)
+      assert(p.name.split(" ").map(_.length).toSeq == Seq(6, 7))
+      assert(p.email.length == 9 && p.city.length == 7)
+      assert(p.country.length == 9 && p.province.length == 9)
+      assert(p.homepage.length == 6)
+      assert(p.zipcode == "10587" && p.creditcard == "00000000000")
+      // everything non-textual is identical to the default mode
+      val d = NexmarkGen.person(GenConfig(), i)
+      assert(p.personId == d.personId && p.timestamp == d.timestamp)
+    }
+    // deterministic: same config -> same payloads
+    assert(NexmarkGen.person(sized, 7L) == NexmarkGen.person(sized, 7L))
+    // auction payloads were already size-exact (20/200) in both modes
+    val a = NexmarkGen.auction(sized, 3L)
+    assert(a.name.length == 20 && a.descr.length == 200)
+  }
+
   test("event time is monotone non-decreasing in eventId") {
     val ts = NexmarkGen.events(cfg, 5000).map {
       e => e.eventType match {

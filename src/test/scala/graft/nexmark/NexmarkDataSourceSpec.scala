@@ -41,6 +41,15 @@ class NexmarkDataSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("widgets"))
   }
 
+  test("sizedPayloads option reaches the generator through the DSv2 read") {
+    val df = spark.read.format("nexmark")
+      .option("entity", "persons").option("rows", "50")
+      .option("parallelism", "2").option("sizedPayloads", "true")
+      .load()
+    val names = df.select("name").collect().map(_.getString(0))
+    assert(names.nonEmpty && names.forall(n => n.length == 14 && n.count(_ == ' ') == 1))
+  }
+
   test("micro-batch stream is bounded and rate-limited per trigger") {
     val df = spark.readStream.format("nexmark")
       .option("entity", "bids").option("rows", "1000")
