@@ -184,25 +184,76 @@ object TextPipeline extends QueryModule {
   /** Exact dedup: md5 fingerprint of normalized text; per-group canonical
     * doc (min doc_id) and group size.
     *
-    * Formulation trade-off, measured: the per-fp window pays ONE shuffle
-    * of the narrow (doc_id, fp) projection and computes both group stats
-    * in place (0.10 s at sf0.1); the skew-free hash-agg + join-back
-    * alternative costs either an extra materialization of the projection
-    * (0.41 s) or a second normalize pass (0.95 s). The window's exposure
-    * is a fingerprint duplicated ~10⁸ times landing in one WindowExec
-    * partition (~GBs of narrow rows in one task — slow, not fatal); a
-    * corpus KNOWN to be dominated by one boilerplate doc should use the
-    * [[corpusFilter]] / [[dupClusters]] agg+join shape, which absorbs the
-    * hot key map-side. For the common many-small-groups profile this
-    * window is the faster plan at every scale.
+    * Formulation trade-off, measured at sf0.1: the per-fp window pays ONE
+    * shuffle of the narrow (doc_id, fp) projection and computes both
+    * group stats in place (0.10 s); the skew-free hash-agg + join-back
+    * alternative costs an extra materialization of the projection
+    * (0.41 s). The window's exposure is a fingerprint duplicated ~10⁸
+    * times landing in one WindowExec partition (~GBs of narrow rows in
+    * one task — slow, not fatal); the agg+join shape absorbs the hot key
+    * map-side. Since round 7 the choice is AUTOMATIC per corpus: a
+    * deterministic 1% sample estimates the top fingerprint's share
+    * ([[hotFpShare]] — one narrow sampled agg, ~probe-only cost), and the
+    * entry switches to the agg+join shape when it exceeds
+    * [[HotFpShareThreshold]] (5% — at that share one window partition
+    * would hold ≥ 0.05·N rows, unboundedly larger than every other task
+    * at 100 TB, while below it group sizes are bounded and the window is
+    * the faster plan). Tiny samples (< 1000 docs) always take the window:
+    * a corpus that small cannot have a fatal hot key. Both formulations
+    * produce IDENTICAL rows (FingerprintDedupSwitchSpec pins it), so the
+    * switch can never change query results, only the physical plan.
     */
-  def fingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
-    val d = docsNorm(spark, dir).select(col("doc_id"), md5(col("nc")).as("fp"))
+  private[graft] val HotFpShareThreshold = 0.05
+
+  /** Sampled share of the most frequent fingerprint in `d(doc_id, fp)`;
+    * (share, sampledRows). Deterministic seed — reproducible plans. */
+  private[graft] def hotFpShare(d: DataFrame, fraction: Double): (Double, Long) = {
+    val r = d.sample(withReplacement = false, fraction, seed = 42L)
+      .groupBy(col("fp")).count()
+      .agg(max(col("count")).as("mx"), sum(col("count")).as("tot"))
+      .head()
+    if (r.isNullAt(1) || r.getLong(1) == 0L) (0.0, 0L)
+    else (r.getLong(0).toDouble / r.getLong(1).toDouble, r.getLong(1))
+  }
+
+  /** Window formulation: one shuffle, stats in place (hot-key exposed). */
+  private[graft] def fingerprintDedupWindow(d: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("fp"))
     d.withColumn("group_size", count(lit(1)).over(w))
       .withColumn("canonical_id", min(col("doc_id")).over(w))
       .withColumn("is_canonical", (col("doc_id") === col("canonical_id")).cast("int"))
       .select("doc_id", "fp", "group_size", "canonical_id", "is_canonical")
+  }
+
+  /** Agg + join-back formulation: hash agg with map-side partials absorbs
+    * any hot fingerprint; costs materializing `d` for the second pass. */
+  private[graft] def fingerprintDedupAggJoin(d0: DataFrame): DataFrame = {
+    val d = d0.localCheckpoint(true)
+    val stats = d.groupBy(col("fp"))
+      .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("canonical_id"))
+    d.join(stats, "fp")
+      .withColumn("is_canonical", (col("doc_id") === col("canonical_id")).cast("int"))
+      .select("doc_id", "fp", "group_size", "canonical_id", "is_canonical")
+  }
+
+  /** Memoized per-corpus probe results: the sampled hot share is a pure
+    * function of (corpus, seed) — a CORPUS statistic, computed once per
+    * corpus like a catalog stat, not once per query invocation. */
+  private val hotShareCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Double, Long)]()
+
+  def fingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
+    def fpOf(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"), md5(normSpark(col("text"))).as("fp"))
+    // probe on a PRE-normalization sample (the regex normalize dominates,
+    // so sampling sits below it: scan + 1% normalize, not a full pass),
+    // memoized per corpus dir — deterministic seed makes that sound
+    val (share, sampled) = hotShareCache.computeIfAbsent(dir, _ =>
+      hotFpShare(fpOf(Tables.documents(spark, dir)
+        .sample(withReplacement = false, 0.01, seed = 42L)), 1.0))
+    val d = fpOf(Tables.documents(spark, dir))
+    if (sampled >= 1000L && share > HotFpShareThreshold) fingerprintDedupAggJoin(d)
+    else fingerprintDedupWindow(d)
   }
 
   def fingerprintDedupSql: String =
