@@ -1401,6 +1401,166 @@ object TextPipeline extends QueryModule {
        |FROM c
        |""".stripMargin
 
+  // ---- PII redaction / URL extraction / bloom decontamination (r7) ----
+
+  /** Shared regexes for the redaction + extraction passes. Chosen to
+    * behave identically under Java regex (Spark) and RE2 (DuckDB): plain
+    * character classes, bounded quantifiers, `\b` word boundaries — no
+    * backrefs or lookaround (RE2 has neither).
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Deterministic fixture enrichment: the synthetic corpus is word salad
+    * with zero PII/URLs, so the redaction/extraction entries would emit
+    * all-zero rows and gate nothing. Each entry therefore appends
+    * deterministic synthetic spans (emails on doc_id % 7, IPv4 on % 11,
+    * phones on % 13, URLs on % 5 / % 15) as part of the QUERY — mirrored
+    * verbatim in the oracle SQL — so the regex machinery is exercised
+    * with non-trivial, cross-engine-checked output. Swapping in a real
+    * corpus just means deleting the enrichment step.
+    */
+  private def piiEnrichedSpark: String =
+    """concat(text,
+      |  CASE WHEN doc_id % 7 = 0 THEN concat(' contact user', CAST(doc_id AS STRING), '@mail', CAST(doc_id % 5 AS STRING), '.example.com') ELSE '' END,
+      |  CASE WHEN doc_id % 11 = 0 THEN concat(' from 10.', CAST(doc_id % 256 AS STRING), '.', CAST((doc_id * 7) % 256 AS STRING), '.', CAST(doc_id % 250 AS STRING), ' addr') ELSE '' END,
+      |  CASE WHEN doc_id % 13 = 0 THEN concat(' call ', CAST(100 + doc_id % 900 AS STRING), '-', CAST(100 + (doc_id * 3) % 900 AS STRING), '-', CAST(1000 + doc_id % 9000 AS STRING)) ELSE '' END)
+      |""".stripMargin.replaceAll("\n", " ")
+  private def piiEnrichedDuck: String =
+    """text ||
+      |  (CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 11 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) || ' addr' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 13 = 0 THEN ' call ' || CAST(100 + doc_id % 900 AS VARCHAR) || '-' || CAST(100 + (doc_id * 3) % 900 AS VARCHAR) || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END)
+      |""".stripMargin.replaceAll("\n", " ")
+
+  /** PII redaction audit — the pre-release hygiene pass a training-data
+    * pipeline runs before any corpus leaves the boundary: per doc, counts
+    * of detected emails/IPv4s/phones and the md5 of the fully-redacted
+    * text (the md5 pins the actual redacted BYTES cross-engine, not just
+    * the counts). Pure narrow map work — regex + hash in one codegen'd
+    * projection, no shuffle, linear at any corpus size.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    // patterns go through the TYPED API (lit(..) / the String overload),
+    // never through expr(): a Spark SQL string literal would eat the \b
+    // escapes ('\b' parses as backspace there, while DuckDB keeps it
+    // literal) and silently corrupt the patterns cross-engine
+    val t = expr(piiEnrichedSpark)
+    val redacted = regexp_replace(regexp_replace(regexp_replace(
+      t, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ipv4"),
+        regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
+        md5(redacted).as("redacted_md5"))
+  }
+
+  def piiRedactSql: String =
+    s"""WITH d AS (SELECT doc_id, $piiEnrichedDuck AS t FROM documents)
+       |SELECT doc_id,
+       |       LEN(regexp_extract_all(t, '$EmailRe')) AS n_emails,
+       |       LEN(regexp_extract_all(t, '$Ipv4Re')) AS n_ipv4,
+       |       LEN(regexp_extract_all(t, '$PhoneRe')) AS n_phones,
+       |       md5(regexp_replace(regexp_replace(regexp_replace(t,
+       |         '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'), '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+       |FROM d
+       |""".stripMargin
+
+  /** Per-domain URL statistics — the provenance histogram behind per-source
+    * quotas and domain blocklists: extract every URL's host, aggregate doc
+    * and mention counts per domain. Map-side explode + one hash agg with
+    * partial aggregation; domain cardinality (≪ corpus size) bounds the
+    * shuffle.
+    */
+  private def urlEnrichedSpark: String =
+    """concat(text,
+      |  CASE WHEN doc_id % 5 = 0 THEN concat(' see https://site', CAST(doc_id % 20 AS STRING), '.example.org/p', CAST(doc_id AS STRING)) ELSE '' END,
+      |  CASE WHEN doc_id % 15 = 0 THEN concat(' and http://cdn', CAST(doc_id % 7 AS STRING), '.example.net/x') ELSE '' END)
+      |""".stripMargin.replaceAll("\n", " ")
+  private def urlEnrichedDuck: String =
+    """text ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN ' see https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/p' || CAST(doc_id AS VARCHAR) ELSE '' END) ||
+      |  (CASE WHEN doc_id % 15 = 0 THEN ' and http://cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example.net/x' ELSE '' END)
+      |""".stripMargin.replaceAll("\n", " ")
+  private val UrlDomainRe = "https?://([A-Za-z0-9.-]+)"
+
+  def urlDomains(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("t", expr(urlEnrichedSpark))
+      .select(col("doc_id"),
+        explode(expr(s"regexp_extract_all(t, '$UrlDomainRe', 1)")).as("domain"))
+      .groupBy(col("domain"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_urls"))
+
+  def urlDomainsSql: String =
+    s"""WITH d AS (SELECT doc_id, $urlEnrichedDuck AS t FROM documents),
+       |u AS (SELECT doc_id, UNNEST(regexp_extract_all(t, '$UrlDomainRe', 1)) AS domain FROM d)
+       |SELECT domain, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_urls
+       |FROM u GROUP BY domain
+       |""".stripMargin
+
+  /** Bloom-prefiltered decontamination — [[decontaminate]]'s scale path.
+    * The exact pass broadcasts the eval shingle SET; at a 100 TB corpus
+    * with a large eval suite that broadcast can exceed executor memory,
+    * and the fallback shuffle join ships EVERY corpus shingle. This
+    * formulation builds a Spark bloom filter over the eval shingles (the
+    * engine's own BloomFilterAggregate/BloomFilterMightContain, exposed as
+    * named functions by GraftExtensions — ~1 MiB for 2²⁰ items at these
+    * parameters, broadcastable at any corpus size), probes it MAP-SIDE on
+    * the training shingles, and only the surviving candidates (true
+    * overlaps + the bloom's small false-positive rate) reach the exact
+    * verification join. Blooms have no false negatives, so prefilter +
+    * exact verify returns EXACTLY the unfiltered result — the oracle is
+    * the plain exact SQL, and the bloom can only change the plan, never
+    * the rows (the same contract as fingerprintDedup's auto-switch).
+    */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsNorm(spark, dir)
+    val withSh = d.filter(size(col("words")) >= DeconN)
+      .select(col("doc_id"),
+        call_function("word_shingles", col("words"), lit(DeconN)).as("sh"))
+      .localCheckpoint(true)
+    val ex = withSh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val ev = ex.filter(col("doc_id") % DeconMod === 0).select(col("s")).distinct()
+    // might_contain requires the bloom as a CONSTANT (or scalar subquery):
+    // collect the ~1 MiB filter once and embed it as a literal — exactly
+    // what Spark's own runtime-filter injection does with its scalar
+    // subquery; the driver round-trip is the price of an explicit bloom
+    val bf: Array[Byte] = ev.agg(expr(
+      "bloom_filter_agg(xxhash64(s), CAST(1048576 AS LONG), CAST(8388608 AS LONG))").as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val candidates = ex.filter(col("doc_id") % DeconMod =!= 0)
+      .filter(call_function("might_contain", lit(bf), xxhash64(col("s"))))
+      .select(col("doc_id"), col("s"))
+    val ov = candidates.join(broadcast(ev), "s")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_ov"))
+    d.filter(col("doc_id") % DeconMod =!= 0).select(col("doc_id"))
+      .join(ov, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_ov"), lit(0L)).as("n_overlap"))
+      .withColumn("is_contaminated", (col("n_overlap") > 0).cast("int"))
+  }
+
+  def bloomDecontaminateSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM documents
+       |), sh AS (
+       |  SELECT doc_id, UNNEST(${shinglesSqlExpr(DeconN)}) AS s
+       |  FROM d WHERE LEN(ws) >= $DeconN
+       |), ev AS (
+       |  SELECT DISTINCT s FROM sh WHERE doc_id % $DeconMod = 0
+       |), ov AS (
+       |  SELECT sh.doc_id, COUNT(*) AS n_ov FROM sh JOIN ev USING (s)
+       |  WHERE sh.doc_id % $DeconMod <> 0 GROUP BY sh.doc_id
+       |)
+       |SELECT d.doc_id, COALESCE(n_ov, 0) AS n_overlap,
+       |       CAST(COALESCE(n_ov, 0) > 0 AS INT) AS is_contaminated
+       |FROM d LEFT JOIN ov ON d.doc_id = ov.doc_id
+       |WHERE d.doc_id % $DeconMod <> 0
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> (tokenStats _),
     "t_lang_id" -> (langId _),
@@ -1427,6 +1587,9 @@ object TextPipeline extends QueryModule {
     "t_corpus_shuffle" -> (corpusShuffle _),
     "t_chunk_dedup" -> (chunkDedup _),
     "t_oov_rate" -> (oovRate _),
+    "t_pii_redact" -> (piiRedact _),
+    "t_url_domains" -> (urlDomains _),
+    "t_bloom_decontam" -> (bloomDecontaminate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1455,5 +1618,8 @@ object TextPipeline extends QueryModule {
     "t_corpus_shuffle" -> corpusShuffleSql,
     "t_chunk_dedup" -> chunkDedupSql,
     "t_oov_rate" -> oovRateSql,
+    "t_pii_redact" -> piiRedactSql,
+    "t_url_domains" -> urlDomainsSql,
+    "t_bloom_decontam" -> bloomDecontaminateSql,
   )
 }

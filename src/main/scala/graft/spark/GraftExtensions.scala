@@ -73,6 +73,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "simhash32 takes exactly 1 argument")
         SimHash32(children.head)
       }))
+    // Spark's internal bloom-filter machinery (the expressions behind
+    // runtime row-group filtering), exposed as named SQL functions for the
+    // bloom-prefilter decontamination path. Spark does not register these
+    // in the public FunctionRegistry; the classes themselves are public
+    // Catalyst API. bloom_filter_agg(xxhash64(x), items, bits) builds the
+    // filter; might_contain(bf, xxhash64(x)) probes it (no false
+    // negatives — the property the prefilter relies on).
+    ext.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",
+        "bloom_filter_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3, "bloom_filter_agg takes (xxhash64 col, estItems, numBits)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
+        "might_contain"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "might_contain takes (bloomFilter, xxhash64 col)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }))
     // rewrite aggregate(zip_with(a, b, *), 0.0, +) -> DotProduct(a, b)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }

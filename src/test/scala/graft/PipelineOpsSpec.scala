@@ -239,6 +239,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(trace.last.inertiaQ < trace.head.inertiaQ)
   }
 
+  test("bloom prefilter returns exactly the unfiltered decontamination result") {
+    // no false negatives => prefilter + exact verify == plain exact join;
+    // the bloom may only prune work, never change rows
+    val bloom = TextPipeline.bloomDecontaminate(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val exact = TextPipeline.decontaminate(spark, dir)
+      .select(col("doc_id"), col("n_overlap"), col("is_contaminated"))
+      .collect().map(_.toSeq).toSet
+    assert(bloom == exact && bloom.nonEmpty)
+    assert(bloom.exists(_(2) == 1), "fixture should have contaminated docs")
+  }
+
+  test("piiRedact counts match the redaction placeholders in the output hash inputs") {
+    val out = TextPipeline.piiRedact(spark, dir)
+    val n = out.count()
+    assert(n > 0)
+    // enriched docs must be detected: every doc_id % 7 == 0 doc got an email
+    assert(out.filter(col("doc_id") % 7 === 0 && col("n_emails") === 0).count() == 0)
+    assert(out.filter(col("doc_id") % 11 === 0 && col("n_ipv4") === 0).count() == 0)
+    assert(out.filter(col("doc_id") % 13 === 0 && col("n_phones") === 0).count() == 0)
+    // unenriched word-salad docs carry no PII
+    assert(out.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 11 =!= 0 &&
+      col("doc_id") % 13 =!= 0 && (col("n_emails") + col("n_ipv4") + col("n_phones")) =!= 0)
+      .count() == 0)
+  }
+
   test("ccIterate on an empty bucket table converges at round 0 (no NPE on null SUM)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Int, Long)].toDF("doc_id", "band", "bkey")
