@@ -139,4 +139,41 @@ class ScalePlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), s"expected hash aggregation:\n$plan")
     assert(df.count() > 0)
   }
+
+  test("piiRedact is a single narrow pass — no exchange anywhere in the plan") {
+    // redaction is regex + hash in one projection; any shuffle would mean
+    // an accidental wide dependency in what must stay map-only at 100 TB
+    val df = graft.queries.TextPipeline.piiRedact(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected a shuffle-free map plan:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("urlDomains shuffles only pre-aggregated domain partials") {
+    // explode happens map-side; the only exchange key is `domain` and the
+    // aggregate has a partial before it — so shuffle volume is bounded by
+    // #domains x #partitions, not corpus size
+    val df = graft.queries.TextPipeline.urlDomains(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"expected hash aggregation:\n$plan")
+    val exchanges = "Exchange hashpartitioning\\(domain".r.findAllIn(plan).size
+    assert(exchanges >= 1 && !plan.contains("Window"),
+      s"expected domain-keyed exchange only:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("bloomDecontaminate probes the bloom before any join on the corpus side") {
+    // the whole point of the prefilter: might_contain must sit in a Filter
+    // BELOW the exact join, so non-candidate shingles die map-side
+    val df = graft.queries.TextPipeline.bloomDecontaminate(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"expected a bloom probe filter:\n$plan")
+    val probeIdx = plan.indexOf("might_contain")
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      // executedPlan prints top-down: the probe printing AFTER the join
+      // node means it executes BELOW it (earlier in dataflow)
+      s"expected the probe below the verification join:\n$plan")
+    assert(df.count() > 0)
+  }
 }
