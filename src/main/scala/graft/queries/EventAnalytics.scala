@@ -152,7 +152,10 @@ object EventAnalytics extends QueryModule {
 
   /** Nexmark Q10-style sessionization (SessionWindowUdf): 30-minute-gap
     * sessions per user. Spark `session_window` semantics: an event extends
-    * the session iff it starts strictly before last_ts + gap.
+    * the session iff it starts AT or before last_ts + gap — touching
+    * intervals merge (exact-gap case pinned by
+    * StreamingOracleBoundarySpec; surfaced as a real oracle mismatch at
+    * sf0.1, where exact-gap event pairs first occur).
     */
   def userSessions(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -169,7 +172,7 @@ object EventAnalytics extends QueryModule {
     s"""WITH o AS (
       |  SELECT user_id, ts, value,
       |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-      |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+      |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '30 minutes'
       |              THEN 1 ELSE 0 END AS brk
       |  FROM events
       |), s AS (
@@ -189,8 +192,10 @@ object EventAnalytics extends QueryModule {
     * DynamicEventTimeSessionWindows — NexmarkQuery8.java:65-66): the
     * session gap depends on the event (30 min for click/view, 60 min
     * otherwise). Spark: session_window with a gap expression. Oracle:
-    * a session breaks when the event starts at/after the running max of
-    * previous (ts + gap) ends — exactly Spark's interval-merge rule.
+    * a session breaks when the event starts STRICTLY AFTER the running
+    * max of previous (ts + gap) ends — Spark's interval-merge rule merges
+    * touching intervals too (an event AT prev_ts + gap extends the
+    * session; pinned by StreamingOracleBoundarySpec's exact-gap cases).
     */
   def dynamicSessions(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -214,7 +219,7 @@ object EventAnalytics extends QueryModule {
       |), s AS (
       |  SELECT *, CASE WHEN MAX(tms + gap_ms) OVER (PARTITION BY user_id ORDER BY tms
       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-      |                   OR tms >= MAX(tms + gap_ms) OVER (PARTITION BY user_id ORDER BY tms
+      |                   OR tms > MAX(tms + gap_ms) OVER (PARTITION BY user_id ORDER BY tms
       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
       |              THEN 1 ELSE 0 END AS brk
       |  FROM e

@@ -366,10 +366,14 @@ object StreamingBench extends QueryModule {
   }
 
   /** Per-bidder 5 s-gap session windows over the dumped bids:
-    * gaps-and-islands (a session breaks when the gap to the previous bid is
-    * ≥ the gap duration — Spark merges [ts, ts+gap) intervals that OVERLAP,
-    * so an exact-gap successor starts a new session), session end = last
-    * ts + gap, emitted iff end ≤ max(ts) − 2000.
+    * gaps-and-islands with a STRICT break — a session breaks only when the
+    * gap to the previous bid EXCEEDS the gap duration. Spark merges
+    * [ts, ts+gap) intervals that overlap OR TOUCH (exact-gap successor
+    * EXTENDS the session — pinned by StreamingOracleBoundarySpec; the
+    * `>=` break this replaced was a latent oracle bug that only surfaced
+    * at sf0.1, the first scale whose generated bids contain exact-gap
+    * pairs). Session end = last ts + gap, emitted iff
+    * end ≤ max(ts) − 2000.
     */
   private val streamQ11SessionsSql: String =
     s"""WITH b AS (SELECT * FROM ${inPath("stream_q11_sessions", "bids")}),
@@ -377,7 +381,7 @@ object StreamingBench extends QueryModule {
       |o AS (
       |  SELECT personId, timestamp, ingestionTimestamp,
       |         CASE WHEN lag(timestamp) OVER (PARTITION BY personId ORDER BY timestamp) IS NULL
-      |                OR timestamp - lag(timestamp) OVER (PARTITION BY personId ORDER BY timestamp) >= 5000
+      |                OR timestamp - lag(timestamp) OVER (PARTITION BY personId ORDER BY timestamp) > 5000
       |              THEN 1 ELSE 0 END AS brk
       |  FROM b
       |), s AS (

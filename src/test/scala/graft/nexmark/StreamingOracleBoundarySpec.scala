@@ -69,6 +69,36 @@ class StreamingOracleBoundarySpec extends SparkSpec {
       s"session ending at 6000 must stay open at wm==5999; got $out2")
   }
 
+  test("exact-gap successor EXTENDS the session (oracle break is strict >)") {
+    // Spark merges session intervals that overlap OR TOUCH: a bid exactly
+    // gap ms after the previous one continues the session. Found the hard
+    // way — the gaps-and-islands oracles originally broke on >= gap and
+    // first diverged at sf0.1, where exact-gap bid pairs first occur.
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Bid]
+    val out = runOnce(ms,
+      Seq(bid(1000L, 1L, bidder = 1L), bid(6000L, 2L, bidder = 1L),
+          bid(99000L, 9L, bidder = 99L)),
+      NexmarkQueries.sessions(ms.toDS(), "5 seconds"))
+    val mine = out.filter(_.getLong(2) == 1L)
+    assert(mine.size == 1 && mine.head.getLong(3) == 2L &&
+      mine.head.getLong(0) == 1000L && mine.head.getLong(1) == 11000L,
+      s"bids at 1000 and 6000 must form ONE session [1000,11000); got $out")
+    // batch session_window agrees (same merge rule both modes)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val batch = Seq((1L, 1000L), (1L, 6000L)).toDF("uid", "tms")
+      .withColumn("ts", timestamp_millis(col("tms")))
+      .groupBy(session_window(col("ts"), "5 seconds"), col("uid"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("session_window.start")),
+              unix_millis(col("session_window.end")), col("n"))
+      .collect()
+    assert(batch.length == 1 && batch.head.getLong(2) == 2L &&
+      batch.head.getLong(1) == 11000L,
+      s"batch session_window must merge the exact-gap pair; got ${batch.toSeq}")
+  }
+
   test("event-time timeout at == watermark does NOT fire (oracle uses <)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
