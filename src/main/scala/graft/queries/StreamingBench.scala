@@ -63,17 +63,20 @@ import org.apache.spark.sql.streaming.Trigger
   *     watermark). Batching-invariant at ANY volume.
   *   - event-time timers (the qx ports): an armed timer fires as soon as
   *     any intermediate watermark crosses it, and late bids may reference
-  *     an auction long after its end — so invariance additionally needs
-  *     every armed end (≥ first ts + 10 s auction duration) above every
-  *     intermediate watermark (≤ span·(k−1)/k − 2 s for k batches), i.e.
-  *     event-time span ≤ 12 s · k/(k−1). The sf0.01 gate sits inside the
-  *     bound (qx span 12.5 s ≤ 18 s at k=3): timers fire only in the
-  *     finalize batch, which IS the final-watermark model. At bench-only
-  *     scales beyond it (sf0.1: 125 s span) early fires are honest
-  *     streaming semantics and those runs stay timing-only, as before.
+  *     an auction long after its end — batching-invariance holds only
+  *     while every armed end stays above every intermediate watermark
+  *     (event-time span ≤ 12 s · k/(k−1); the sf0.01 gate's 12.5 s span
+  *     sits inside it). BEYOND the bound (sf0.1: 125 s span, timers fire
+  *     mid-stream) the qx oracles don't assume invariance at all: they
+  *     REPLAY the per-batch watermark sequence — reconstructed from the
+  *     dump alone — against each key's timer ([[qxTimerSql]]), so they
+  *     are exact at every scale. Verified ALL GREEN at sf0.001, sf0.01
+  *     and sf0.1.
   * StreamingMultiBatchSpec pins the batching-invariance per stateful shape
-  * (1-batch output == 4-batch output) and documents the timer condition;
-  * the `<`/`<=` boundary choices are pinned by StreamingOracleBoundarySpec.
+  * (1-batch output == 4-batch output), and validates the timer replay
+  * against both real ports at a deliberately-divergent fixture with a
+  * Scala twin of the SQL model; the `<`/`<=` boundary choices are pinned
+  * by StreamingOracleBoundarySpec.
   */
 object StreamingBench extends QueryModule {
 
@@ -297,37 +300,110 @@ object StreamingBench extends QueryModule {
     runToParquet(spark, NexmarkStateful.qxStateful(bids, auctions).toDF, "qxwin", batches)
   }
 
-  /** QX winner over the dumped bids/auctions. The two entities are unioned
-    * under ONE watermark node, so the final watermark is the MAX over both
-    * streams − 2000. An auction key resolves iff its effective timer fires
-    * under that watermark; which `end` arms the timer differs by port (and
-    * both are deterministic, because each auctionId lives entirely inside
-    * one generator subtask = one map partition, so arrival order is
-    * generation order):
-    *   - qxStateful re-arms on every auction event → the LAST auction's
-    *     end, i.e. MAX(end) per key ([[qxTimerSql]] maxEnd=true);
-    *   - the transformWithState port registers once on the FIRST →
-    *     MIN(end) (maxEnd=false).
-    * Timers fire strictly below the watermark; the winner is the argmax
-    * over ALL the key's bids (both ports skip the [start, end] re-check,
-    * like the reference's onTimer full-list scan) under the deterministic
-    * (price DESC, ts DESC, bidder ASC) order.
+  /** QX winner over the dumped bids/auctions — the MULTI-BATCH-EXACT
+    * model (round 7): instead of the final watermark only, the oracle
+    * reconstructs the full per-batch watermark sequence from the dump and
+    * replays each key's timer against it, so it is exact at ANY scale —
+    * including spans where timers fire mid-stream and later bids miss the
+    * fired state (the sf0.1 regime the old final-watermark model could
+    * not express).
+    *
+    * Reconstruction needs no extra dump columns: every subtask emits the
+    * SAME timestamp sequence over the same eventId range, so an event's
+    * per-subtask id is `dense_rank(ts) − 1`, its micro-batch is
+    * `id // rpb` with rpb = ceil(rows/3) mirroring [[rowsPerBatchFor]],
+    * and the watermark DURING batch k is max ts over batches < k minus
+    * the 2 s delay (0 for k = 0 — Spark's initial watermark). The two
+    * entities share one watermark node (union) → max across both.
+    *
+    * Timer replay per auctionId (arrival order = generation order: one
+    * subtask = one map partition):
+    *   - qxStateful (maxEnd=true): re-arms at every data batch j with
+    *     timeout = max(MAX(end), wm_j + 1) (the setTimeoutTimestamp
+    *     clamp), and flatMapGroupsWithState fires only in a batch where
+    *     the key has NO data — so the fire batch fk is the first no-data
+    *     batch k after the last auction batch with
+    *     wm_k > max(E, wm_j + 1), j = the key's last data batch < k.
+    *     Winner = argmax over bids with batch < fk; post-fire bids
+    *     re-create auction-less state and never emit.
+    *   - transformWithState (maxEnd=false): registers ONCE at the first
+    *     auction's end (= MIN(end)); real timers fire regardless of key
+    *     data, after the batch's input — fk = first batch with
+    *     wm_k > MIN(end), winner over bids with batch ≤ fk (the fire
+    *     batch's own bids are appended before the timer handler runs);
+    *     the `resolved` tombstone drops everything later.
+    * The finalize batch (first no-data batch after the last data batch,
+    * wm = global max − 2000) is appended to the batch axis, which reduces
+    * this model to the old final-watermark one whenever no timer fires
+    * early. Timers fire strictly below the watermark; winner order is
+    * (price DESC, ts DESC, bidder ASC). StreamingMultiBatchSpec validates
+    * the replay against the real ports at a deliberately-divergent
+    * fixture with a Scala twin of this model.
     */
   private def qxTimerSql(name: String, maxEnd: Boolean): String = {
-    val endAgg = if (maxEnd) "MAX(\"end\")" else "MIN(\"end\")"
-    s"""WITH b AS (SELECT * FROM ${inPath(name, "bids")}),
-      |a AS (SELECT * FROM ${inPath(name, "auctions")}),
-      |wm AS (SELECT GREATEST((SELECT MAX(timestamp) FROM b),
-      |                       (SELECT MAX(timestamp) FROM a)) - 2000 AS w),
-      |resolved AS (
-      |  SELECT auctionId FROM a GROUP BY auctionId
-      |  HAVING $endAgg < (SELECT w FROM wm)
-      |), ranked AS (
-      |  SELECT b.auctionId, b.personId AS bidderId, b.bid,
-      |         b.timestamp AS bidTimestamp,
-      |         ROW_NUMBER() OVER (PARTITION BY b.auctionId
-      |                            ORDER BY b.bid DESC, b.timestamp DESC, b.personId ASC) AS rn
-      |  FROM b JOIN resolved USING (auctionId)
+    val prelude =
+      s"""WITH b0 AS (
+      |  SELECT *, (DENSE_RANK() OVER (ORDER BY timestamp) - 1) AS id
+      |  FROM ${inPath(name, "bids")}
+      |), b1 AS (
+      |  SELECT *, id // (((SELECT MAX(id) + 1 FROM b0) + 2) // 3) AS batch FROM b0
+      |), a0 AS (
+      |  SELECT *, (DENSE_RANK() OVER (ORDER BY timestamp) - 1) AS id
+      |  FROM ${inPath(name, "auctions")}
+      |), a1 AS (
+      |  SELECT *, id // (((SELECT MAX(id) + 1 FROM a0) + 2) // 3) AS batch FROM a0
+      |), bm AS (
+      |  SELECT batch, MAX(timestamp) AS mx FROM (
+      |    SELECT batch, timestamp FROM a1 UNION ALL SELECT batch, timestamp FROM b1
+      |  ) GROUP BY batch
+      |), wmd AS (
+      |  SELECT batch, COALESCE(MAX(mx) OVER (ORDER BY batch
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 2000, 0) AS w
+      |  FROM bm
+      |), wmx AS (
+      |  SELECT batch, w FROM wmd
+      |  UNION ALL
+      |  SELECT (SELECT MAX(batch) + 1 FROM bm), (SELECT MAX(mx) - 2000 FROM bm)
+      |), keyE AS (
+      |  SELECT auctionId, MAX("end") AS emax, MIN("end") AS emin,
+      |         MAX(batch) AS la FROM a1 GROUP BY auctionId
+      |), kb AS (
+      |  SELECT auctionId, batch FROM (
+      |    SELECT auctionId, batch FROM a1 UNION SELECT auctionId, batch FROM b1
+      |  ) GROUP BY auctionId, batch
+      |)""".stripMargin
+    val fire =
+      if (maxEnd)
+        s"""cand AS (
+      |  SELECT k.auctionId, w.batch AS fk, w.w AS wk, k.emax, k.la,
+      |         (SELECT MAX(kb.batch) FROM kb
+      |          WHERE kb.auctionId = k.auctionId AND kb.batch < w.batch) AS j
+      |  FROM keyE k, wmx w
+      |  WHERE NOT EXISTS (SELECT 1 FROM kb
+      |                    WHERE kb.auctionId = k.auctionId AND kb.batch = w.batch)
+      |), fire AS (
+      |  SELECT c.auctionId, MIN(c.fk) AS fk
+      |  FROM cand c JOIN wmd jw ON jw.batch = c.j
+      |  WHERE c.j IS NOT NULL AND c.j >= c.la
+      |    AND c.wk > GREATEST(c.emax, jw.w + 1)
+      |  GROUP BY c.auctionId
+      |), eligible AS (
+      |  SELECT b1.auctionId, b1.personId, b1.bid, b1.timestamp
+      |  FROM b1 JOIN fire f ON b1.auctionId = f.auctionId AND b1.batch < f.fk
+      |)""".stripMargin
+      else
+        s"""fire AS (
+      |  SELECT k.auctionId, MIN(w.batch) AS fk
+      |  FROM keyE k, wmx w WHERE w.w > k.emin GROUP BY k.auctionId
+      |), eligible AS (
+      |  SELECT b1.auctionId, b1.personId, b1.bid, b1.timestamp
+      |  FROM b1 JOIN fire f ON b1.auctionId = f.auctionId AND b1.batch <= f.fk
+      |)""".stripMargin
+    s"""$prelude, $fire, ranked AS (
+      |  SELECT auctionId, personId AS bidderId, bid, timestamp AS bidTimestamp,
+      |         ROW_NUMBER() OVER (PARTITION BY auctionId
+      |                            ORDER BY bid DESC, timestamp DESC, personId ASC) AS rn
+      |  FROM eligible
       |)
       |SELECT auctionId, bidderId, bid, bidTimestamp FROM ranked WHERE rn = 1
       |""".stripMargin

@@ -118,6 +118,111 @@ class StreamingMultiBatchSpec extends SparkSpec {
     assert(four == one)
   }
 
+  /** Scala twin of StreamingBench.qxTimerSql's multi-batch timer replay:
+    * reconstructs per-batch watermarks from the event set and replays each
+    * key's timer. Validated here against the REAL ports at a fixture where
+    * timers genuinely fire mid-stream (the divergence the first version of
+    * this spec caught), which is what warrants the DuckDB oracle using the
+    * same model at sf0.1.
+    */
+  private def qxReplay(auctions: Seq[(Long, Long, Long)], // (auctionId, ts, end)
+                       bids: Seq[(Long, Long, Double, Long)], // (auctionId, personId, bid, ts)
+                       aRpb: Long, bRpb: Long,
+                       maxEnd: Boolean): Set[(Long, Long, Double, Long)] = {
+    def batchOf(allTs: Seq[Long], rpb: Long): Long => Int = {
+      val distinct = allTs.distinct.sorted
+      val idx = distinct.zipWithIndex.toMap
+      ts => (idx(ts) / rpb).toInt
+    }
+    val aB = batchOf(auctions.map(_._2), aRpb); val bB = batchOf(bids.map(_._4), bRpb)
+    val perBatchMax = (auctions.map(a => aB(a._2) -> a._2) ++ bids.map(b => bB(b._4) -> b._4))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val dataBatches = perBatchMax.keys.max + 1
+    def wm(k: Int): Long =
+      if (k == 0) 0L
+      else (0 until math.min(k, dataBatches)).map(perBatchMax).max - 2000L
+    val finalize = dataBatches // first no-data batch
+    val keys = auctions.groupBy(_._1)
+    keys.flatMap { case (aId, as) =>
+      val emax = as.map(_._3).max; val emin = as.map(_._3).min
+      val la = as.map(a => aB(a._2)).max
+      val kBids = bids.filter(_._1 == aId)
+      val kb = (as.map(a => aB(a._2)) ++ kBids.map(b => bB(b._4))).toSet
+      val fk: Option[Int] =
+        if (maxEnd)
+          (0 to finalize).find { k =>
+            !kb.contains(k) && {
+              val js = kb.filter(_ < k)
+              js.nonEmpty && js.max >= la && wm(k) > math.max(emax, wm(js.max) + 1)
+            }
+          }
+        else (0 to finalize).find(k => wm(k) > emin)
+      fk.flatMap { f =>
+        val eligible =
+          if (maxEnd) kBids.filter(b => bB(b._4) < f)
+          else kBids.filter(b => bB(b._4) <= f)
+        eligible.sortBy(b => (-b._3, -b._4, b._2)).headOption
+          .map(b => (aId, b._2, b._3, b._4))
+      }
+    }.toSet
+  }
+
+  private def divergentQxFixture(batches: Int, tws: Boolean): (Seq[String], Int) = {
+    if (!tws) runTwo(batches, "qxdiv", aRows = 500L, aEps = 1L, bRows = 2000L, bEps = 4L)(
+      (a, b) => NexmarkStateful.qxStateful(b, a).toDF)
+    else {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try runTwo(batches, "qxdivtws", aRows = 500L, aEps = 1L, bRows = 2000L, bEps = 4L)(
+        (a, b) => graft.nexmark.queries.NexmarkTws.qxWinningBidsTws(b, a).toDF)
+      finally prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
+  private def qxModelExpected(maxEnd: Boolean): Set[(Long, Long, Double, Long)] = {
+    // rpbs must mirror divergentQxFixture's 4-batch admission plan
+    val aRpb = 125L; val bRpb = 500L
+    val aOpts = NexmarkSources.nexmarkOptions("auctions", GenConfig(eventsPerSecond = 1L), 2, 500L, aRpb)
+    val bOpts = NexmarkSources.nexmarkOptions("bids", GenConfig(eventsPerSecond = 4L), 2, 2000L, bRpb)
+    val as = spark.read.format("nexmark").options(aOpts).load()
+      .select("auctionId", "timestamp", "end").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val bs = spark.read.format("nexmark").options(bOpts).load()
+      .select("auctionId", "personId", "bid", "timestamp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    qxReplay(as, bs, aRpb, bRpb, maxEnd)
+  }
+
+  test("qx timer replay model matches the real port where timers fire mid-stream") {
+    // eps=1 fixture: 500 s span >> the 12 s timer horizon, so most timers
+    // fire in intermediate batches — the regime the final-watermark model
+    // cannot express (and where this spec's first version caught it)
+    val (rows, committed) = divergentQxFixture(4, tws = false)
+    assert(committed >= 4)
+    val got = rows.map { s =>
+      val Array(a, b, p, t) = s.split('|'); (a.toLong, b.toLong, p.toDouble, t.toLong)
+    }.toSet
+    val want = qxModelExpected(maxEnd = true)
+    assert(got.nonEmpty && got == want,
+      s"model mismatch: extra=${got -- want}, missing=${want -- got}")
+  }
+
+  test("tws timer replay model matches the real port where timers fire mid-stream") {
+    val (rows, committed) = divergentQxFixture(4, tws = true)
+    assert(committed >= 4)
+    val got = rows.map { s =>
+      val Array(a, b, p, t) = s.split('|'); (a.toLong, b.toLong, p.toDouble, t.toLong)
+    }.toSet
+    val want = qxModelExpected(maxEnd = false)
+    assert(got.nonEmpty && got == want,
+      s"model mismatch: extra=${got -- want}, missing=${want -- got}")
+  }
+
   test("windowed stream-stream join (q8 new users): 1-batch output == 4-batch output") {
     // chained stateful shape: person-window agg → join → argmax agg; the
     // person stream doubles as the auction stream's seller space
