@@ -1561,6 +1561,50 @@ object TextPipeline extends QueryModule {
        |WHERE d.doc_id % $DeconMod <> 0
        |""".stripMargin
 
+  /** Incremental dedup — the production shape: a NEW batch of documents
+    * (the delta) deduplicated against an already-indexed corpus plus
+    * itself, without re-touching the historical corpus beyond its
+    * fingerprint index. doc_id % 3 == 0 stands in for the indexed corpus;
+    * the rest is the delta. Per delta doc: whether its fingerprint exists
+    * in the corpus index, whether an earlier delta doc claimed it first,
+    * and the keep verdict (first unseen occurrence wins).
+    *
+    * Scale shape: the corpus side reduces to DISTINCT fingerprints (the
+    * index a real pipeline maintains incrementally); the corpus-dup flag
+    * is a LEFT SEMI against that index (smaller side builds the hash
+    * table, or a shuffle semi-join at 100 TB — either way no corpus
+    * payload moves). The within-delta first-wins pass is the chunkDedup
+    * hash-agg + join-back (min doc_id per fp, map-side partials absorb a
+    * boilerplate fp) — no sort-window anywhere.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsNorm(spark, dir).select(col("doc_id"), md5(col("nc")).as("fp"))
+      .localCheckpoint(true) // corpus index, delta scan and first-wins agg share it
+    val corpusFp = d.filter(col("doc_id") % 3 === 0).select(col("fp")).distinct()
+    val delta = d.filter(col("doc_id") % 3 =!= 0)
+    val firstWins = delta.groupBy(col("fp")).agg(min(col("doc_id")).as("first_id"))
+    delta
+      .join(corpusFp.withColumn("in_corpus", lit(1)), Seq("fp"), "left")
+      .join(firstWins, "fp")
+      .select(col("doc_id"), col("fp"),
+        coalesce(col("in_corpus"), lit(0)).as("dup_of_corpus"),
+        (col("doc_id") =!= col("first_id")).cast("int").as("dup_in_delta"))
+      .withColumn("keep",
+        ((col("dup_of_corpus") === 0) && (col("dup_in_delta") === 0)).cast("int"))
+  }
+
+  def incrementalDedupSql: String =
+    s"""WITH d AS (SELECT doc_id, md5(${normSql("text")}) AS fp FROM documents),
+       |c AS (SELECT DISTINCT fp FROM d WHERE doc_id % 3 = 0),
+       |delta AS (SELECT * FROM d WHERE doc_id % 3 <> 0),
+       |fw AS (SELECT fp, MIN(doc_id) AS first_id FROM delta GROUP BY fp)
+       |SELECT delta.doc_id, delta.fp,
+       |       CAST(c.fp IS NOT NULL AS INT) AS dup_of_corpus,
+       |       CAST(delta.doc_id <> fw.first_id AS INT) AS dup_in_delta,
+       |       CAST(c.fp IS NULL AND delta.doc_id = fw.first_id AS INT) AS keep
+       |FROM delta LEFT JOIN c ON delta.fp = c.fp JOIN fw ON delta.fp = fw.fp
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> (tokenStats _),
     "t_lang_id" -> (langId _),
@@ -1590,6 +1634,7 @@ object TextPipeline extends QueryModule {
     "t_pii_redact" -> (piiRedact _),
     "t_url_domains" -> (urlDomains _),
     "t_bloom_decontam" -> (bloomDecontaminate _),
+    "t_incremental_dedup" -> (incrementalDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1621,5 +1666,6 @@ object TextPipeline extends QueryModule {
     "t_pii_redact" -> piiRedactSql,
     "t_url_domains" -> urlDomainsSql,
     "t_bloom_decontam" -> bloomDecontaminateSql,
+    "t_incremental_dedup" -> incrementalDedupSql,
   )
 }

@@ -265,6 +265,20 @@ class PipelineOpsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("incrementalDedup: keep iff first unseen occurrence; corpus untouched") {
+    val out = TextPipeline.incrementalDedup(spark, dir)
+    // only delta docs appear
+    assert(out.filter(col("doc_id") % 3 === 0).count() == 0)
+    // keep == not-in-corpus AND first-in-delta, row by row
+    assert(out.filter(col("keep") =!=
+      ((col("dup_of_corpus") === 0) && (col("dup_in_delta") === 0)).cast("int"))
+      .count() == 0)
+    // every fingerprint kept at most once across the delta
+    assert(out.filter(col("keep") === 1).groupBy(col("fp")).count()
+      .filter(col("count") > 1).count() == 0)
+    assert(out.count() > 0)
+  }
+
   test("ccIterate on an empty bucket table converges at round 0 (no NPE on null SUM)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Int, Long)].toDF("doc_id", "band", "bkey")
