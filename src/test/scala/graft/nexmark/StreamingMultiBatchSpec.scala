@@ -223,6 +223,32 @@ class StreamingMultiBatchSpec extends SparkSpec {
       s"model mismatch: extra=${got -- want}, missing=${want -- got}")
   }
 
+  test("stateful resume: interrupted-and-resumed run == uninterrupted run") {
+    // the multi-batch analog of the source-level exactly-once spec: a
+    // windowed AGGREGATION killed between micro-batches and resumed from
+    // its checkpoint (state store + watermark + offsets restored) must
+    // produce exactly the uninterrupted run's appended output
+    def run(out: String, ckpt: String, rows: Long, rpb: Long): Unit = {
+      val bids = NexmarkSources.bidStreamDsv2(spark, GenConfig(eventsPerSecond = 1L),
+        parallelism = 2, rows = rows, rowsPerBatch = rpb)
+      val q = NexmarkQueries.q5HotAuctions(bids, "5 seconds").writeStream
+        .format("parquet").option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(300000), "stream did not drain in 300s")
+    }
+    val base = java.nio.file.Files.createTempDirectory("graftresume")
+    // interrupted: first run is bounded at half the rows (the "kill"),
+    // second reuses the SAME checkpoint with the full bound (the resume)
+    run(s"$base/i/out", s"$base/i/ckpt", rows = 1000L, rpb = 500L)
+    run(s"$base/i/out", s"$base/i/ckpt", rows = 2000L, rpb = 500L)
+    // uninterrupted control at identical admission boundaries
+    run(s"$base/u/out", s"$base/u/ckpt", rows = 2000L, rpb = 500L)
+    val got = spark.read.parquet(s"$base/i/out").collect().map(_.toSeq.mkString("|")).sorted
+    val want = spark.read.parquet(s"$base/u/out").collect().map(_.toSeq.mkString("|")).sorted
+    assert(got.nonEmpty && got.sameElements(want),
+      s"resumed output (${got.length}) != uninterrupted (${want.length})")
+  }
+
   test("windowed stream-stream join (q8 new users): 1-batch output == 4-batch output") {
     // chained stateful shape: person-window agg → join → argmax agg; the
     // person stream doubles as the auction stream's seller space
