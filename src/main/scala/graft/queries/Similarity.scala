@@ -911,6 +911,52 @@ object Similarity extends QueryModule {
        |""".stripMargin
   }
 
+  /** Per-dimension embedding statistics — the drift-monitoring pass a
+    * vector pipeline runs between embedding-model versions (a shifted
+    * dimension mean or collapsed variance is the standard regression
+    * signal). One posexplode + one (dim) hash aggregate with map-side
+    * partials: 64 output rows regardless of corpus size, shuffle bounded
+    * by #dims × #partitions.
+    *
+    * Cross-engine exactness: mean and variance are the float-sum order
+    * trap twice over, so both moments use the kmeans/Det integer
+    * quantization — coordinates quantized to 2⁻²⁰ units and summed as
+    * exact BIGINTs (the squared sum of a ±1-ish coordinate at 2⁻²⁰
+    * quanta is ≤ 2⁴⁰ per element; 2⁶³ overflows only past ~8M million
+    * rows per dim — loud, not silent, long before that at these SFs),
+    * then divided back in one pinned order.
+    */
+  def dimStats(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .select(posexplode(col("emb")).as(Seq("dim", "x")))
+      .withColumn("qx", expr(s"CAST(ROUND(x * $KmeansQ) AS BIGINT)"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("qx")).as("qsum"),
+           sum(col("qx") * col("qx")).as("qsumsq"))
+      .select(col("dim"), col("n"),
+        expr(s"ROUND(CAST(qsum AS DOUBLE) / CAST(n AS DOUBLE) / $KmeansQ, 6)").as("mean6"),
+        expr(s"""ROUND((CAST(qsumsq AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(qsum AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(qsum AS DOUBLE) / CAST(n AS DOUBLE)))
+                / $KmeansQ / $KmeansQ, 6)""".replaceAll("\n", " ")).as("var6"))
+
+  def dimStatsSql: String =
+    s"""WITH e AS (
+       |  $VecsCteSql
+       |), x AS (
+       |  SELECT r.j - 1 AS dim, CAST(ROUND(emb[r.j] * $KmeansQ) AS BIGINT) AS qx
+       |  FROM e, range(1, 65) r(j)
+       |), s AS (
+       |  SELECT dim, COUNT(*) AS n, SUM(qx) AS qsum, SUM(qx * qx) AS qsumsq
+       |  FROM x GROUP BY dim
+       |)
+       |SELECT dim, n,
+       |       ROUND(CAST(qsum AS DOUBLE) / CAST(n AS DOUBLE) / $KmeansQ, 6) AS mean6,
+       |       ROUND((CAST(qsumsq AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(qsum AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(qsum AS DOUBLE) / CAST(n AS DOUBLE))) / $KmeansQ / $KmeansQ, 6) AS var6
+       |FROM s
+       |""".stripMargin
+
   /** Per-label vector statistics (sanity/profiling pass). */
   def labelStats(spark: SparkSession, dir: String): DataFrame =
     vecs(spark, dir).groupBy(col("label"))
@@ -940,6 +986,7 @@ object Similarity extends QueryModule {
     "s_knn_pq" -> (knnPq _),
     "s_knn_ivfpq" -> (knnIvfPq _),
     "s_kmeans" -> (kmeans _),
+    "s_dim_stats" -> (dimStats _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -955,5 +1002,6 @@ object Similarity extends QueryModule {
     "s_knn_pq" -> knnPqSql,
     "s_knn_ivfpq" -> knnIvfPqSql,
     "s_kmeans" -> kmeansSql,
+    "s_dim_stats" -> dimStatsSql,
   )
 }

@@ -279,6 +279,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("dimStats: one row per dimension, full counts, non-negative variance") {
+    val out = Similarity.dimStats(spark, dir).collect()
+    assert(out.length == 64)
+    val n = Tables.embeddings(spark, dir).count()
+    assert(out.forall(_.getLong(1) == n), "every dim sees every vector")
+    assert(out.forall(_.getDouble(3) >= 0.0), "variance must be non-negative")
+    // fixture embeddings are ~N(0,1)-ish: means near 0, variance well away
+    // from degenerate 0 (a collapsed-dimension regression would trip this)
+    assert(out.forall(r => math.abs(r.getDouble(2)) < 1.0))
+    assert(out.forall(_.getDouble(3) > 1e-4))
+  }
+
   test("ccIterate on an empty bucket table converges at round 0 (no NPE on null SUM)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Int, Long)].toDF("doc_id", "band", "bkey")
