@@ -31,11 +31,9 @@ import org.apache.spark.sql.streaming.Trigger
   * (seed, subtask, eventId) — so each entry also persists its EXACT input
   * event set to parquet (batch-mode read of the same source options), and
   * the oracle SQL recomputes the streaming result over that parquet:
-  * batch semantics + an explicit watermark cutoff. At the correctness
-  * gate's scale (sf0.01, ≤ 50k rows per subtask = one micro-batch) the
-  * watermark sequence is exactly 0 → (max event time − delay), so the
-  * append-mode output is precisely "all windows/timers finalized under the
-  * final watermark" — which IS expressible in SQL:
+  * batch semantics + an explicit watermark cutoff. For the window-shaped
+  * entries the cutoff is the FINAL watermark — "all windows finalized
+  * under max event time − delay" — which IS expressible in SQL:
   *   - tumbling windows:  emitted iff window_end ≤ max(ts) − 2000;
   *   - session windows:   emitted iff last_ts + gap ≤ max(ts) − 2000;
   *   - two-source joins:  the global watermark is the MIN of the
