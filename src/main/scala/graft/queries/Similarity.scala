@@ -921,10 +921,13 @@ object Similarity extends QueryModule {
     * Cross-engine exactness: mean and variance are the float-sum order
     * trap twice over, so both moments use the kmeans/Det integer
     * quantization — coordinates quantized to 2⁻²⁰ units and summed as
-    * exact BIGINTs (the squared sum of a ±1-ish coordinate at 2⁻²⁰
-    * quanta is ≤ 2⁴⁰ per element; 2⁶³ overflows only past ~8M million
-    * rows per dim — loud, not silent, long before that at these SFs),
-    * then divided back in one pinned order.
+    * exact BIGINTs (assuming |x| ≤ 1, one squared quantized coordinate
+    * is ≤ 2⁴⁰, so the 2⁶³ BIGINT ceiling is hit only past ~8.4M rows
+    * per dim (2²³); fixture embeddings are ~N(0,1)-ish, so coordinates
+    * above 1 shrink that bound proportionally to max|x|² — still far
+    * above tested scales, and Spark 4 ANSI mode makes any overflow a
+    * loud error, not a silent wrap), then divided back in one pinned
+    * order.
     */
   def dimStats(spark: SparkSession, dir: String): DataFrame =
     vecs(spark, dir)

@@ -380,6 +380,11 @@ object StreamingBench extends QueryModule {
       |  WHERE NOT EXISTS (SELECT 1 FROM kb
       |                    WHERE kb.auctionId = k.auctionId AND kb.batch = w.batch)
       |), fire AS (
+      |  -- j >= la assumes each auctionId's auction events are contiguous
+      |  -- within one subtask (true for the generator: one key = one
+      |  -- subtask, per-subtask ids are monotone), so state always holds
+      |  -- the full MAX(end) by the key's last auction batch and no fire
+      |  -- can precede it. A partial-MAX early fire cannot occur here.
       |  SELECT c.auctionId, MIN(c.fk) AS fk
       |  FROM cand c JOIN wmd jw ON jw.batch = c.j
       |  WHERE c.j IS NOT NULL AND c.j >= c.la

@@ -17,6 +17,7 @@ adjudication.
 Usage: python3 tools/leakscan.py [repo_root] [--out FILE]
 Exit code 0 when clean, 1 when any category has hits.
 """
+import argparse
 import json
 import os
 import re
@@ -59,11 +60,12 @@ SKIP_DIRS = {".git", "target", "spark-warehouse", "project"}
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    root = args[0] if args else "/root/repo"
-    out_file = None
-    if "--out" in sys.argv:
-        out_file = sys.argv[sys.argv.index("--out") + 1]
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("root", nargs="?", default="/root/repo")
+    parser.add_argument("--out", dest="out_file", default=None)
+    opts = parser.parse_args()
+    root = opts.root
+    out_file = opts.out_file
 
     hits = {k: [] for k in CATEGORIES}
     n_files = 0
