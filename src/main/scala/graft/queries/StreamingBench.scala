@@ -143,14 +143,15 @@ object StreamingBench extends QueryModule {
     * measured pipeline.
     */
   private def dumpInput(spark: SparkSession, dir: String, name: String,
-                        entity: String, cfg: GenConfig, rows: Long): Unit =
+                        entity: String, cfg: GenConfig, rows: Long,
+                        label: String = null): Unit =
     if (sys.props.getOrElse("graft.stream.dumpInputs", "true").toBoolean) {
       spark.read.format("nexmark")
         .options(NexmarkSources.nexmarkOptions(entity, cfg, Parallelism, rows,
           rowsPerBatchFor(rows)))
         .load()
         .write.mode("overwrite")
-        .parquet(s"$InputDumpBase/current/$name/$entity")
+        .parquet(s"$InputDumpBase/current/$name/${Option(label).getOrElse(entity)}")
     }
 
   /** DuckDB-side reference to a dumped input (see [[InputDumpBase]] for
@@ -534,6 +535,76 @@ object StreamingBench extends QueryModule {
       |FROM ${inPath("stream_dedup", "bids")}
       |""".stripMargin
 
+  /** Streaming incremental dedup — the production ingest-guard shape, the
+    * streaming twin of [[TextPipeline.incrementalDedup]]: the DELTA arrives
+    * as a stream while the already-indexed CORPUS is a static fingerprint
+    * index, and the guard emits each first-seen delta fingerprint with its
+    * dup-of-corpus verdict.
+    *
+    *   - dup-in-delta: watermarked `dropDuplicates(fp)` — first occurrence
+    *     per fingerprint passes, later ones are swallowed by dedup state.
+    *     The key deliberately EXCLUDES event time: a corpus guard admits a
+    *     fingerprint once ever, not once per horizon, so state is bounded
+    *     by the delta's distinct-fp count (what the next index compaction
+    *     absorbs), not evicted by the watermark.
+    *   - dup-of-corpus: stream-static LEFT join against the index — the
+    *     static side is DISTINCT fingerprints only (no corpus payload
+    *     moves; broadcast here, a shuffle semi-join at 100 TB).
+    *
+    * The fingerprint is md5 of the auctionId — the generator's hot-auction
+    * skew makes fingerprints genuinely repeat within the delta, and the
+    * corpus (a batch read of the SAME generator's first-half prefix —
+    * yesterday's ingest) genuinely overlaps the stream. Output = one row
+    * per distinct delta fingerprint (fp determines auctionId, so the
+    * surviving row's payload is deterministic under arrival races).
+    * sf0.1 → 1,000,000 streamed bids vs a 500,000-bid corpus index.
+    */
+  def streamIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rows = math.max(1L, (10000000L * sfOf(dir) / Parallelism).toLong)
+    val cRows = math.max(1L, rows / 2)
+    val cfg = GenConfig(eventsPerSecond = 1000L)
+    dumpInput(spark, dir, "stream_incremental_dedup", "bids", cfg, rows)
+    dumpInput(spark, dir, "stream_incremental_dedup", "bids", cfg, cRows, label = "corpus")
+    // static corpus fingerprint index: the stream's first-half prefix read
+    // in batch mode (same (seed, subtask, eventId) purity as dumpInput)
+    val corpusFp = spark.read.format("nexmark")
+      .options(NexmarkSources.nexmarkOptions("bids", cfg, Parallelism, cRows,
+        rowsPerBatchFor(cRows)))
+      .load()
+      .select(md5(col("auctionId").cast("string")).as("fp"))
+      .distinct()
+    val bids = NexmarkSources.bidStreamDsv2(spark, cfg, Parallelism, rows, rowsPerBatchFor(rows))
+    val guarded = bids.toDF
+      .withColumn("eventTime", timestamp_millis(col("timestamp")))
+      .withWatermark("eventTime", "2 seconds")
+      .withColumn("fp", md5(col("auctionId").cast("string")))
+      .dropDuplicates("fp")
+      .join(broadcast(corpusFp.withColumn("in_corpus", lit(1))), Seq("fp"), "left")
+      .select(col("auctionId"), col("fp"),
+        coalesce(col("in_corpus"), lit(0)).as("dup_of_corpus"),
+        (coalesce(col("in_corpus"), lit(0)) === 0).cast("int").as("keep"))
+    runToParquet(spark, guarded, "incdedup", expectedBatches(rows))
+  }
+
+  /** One row per distinct delta fingerprint with its corpus verdict: dedup
+    * emits first occurrences immediately (state holds keys back, not
+    * results), so every distinct fp appears regardless of the watermark.
+    */
+  private val streamIncrementalDedupSql: String =
+    s"""WITH s AS (
+      |  SELECT auctionId, md5(CAST(auctionId AS VARCHAR)) AS fp
+      |  FROM ${inPath("stream_incremental_dedup", "bids")} GROUP BY auctionId
+      |), c AS (
+      |  SELECT DISTINCT md5(CAST(auctionId AS VARCHAR)) AS fp
+      |  FROM ${inPath("stream_incremental_dedup", "corpus")}
+      |)
+      |SELECT s.auctionId, s.fp,
+      |       CAST(c.fp IS NOT NULL AS INT) AS dup_of_corpus,
+      |       CAST(c.fp IS NULL AS INT) AS keep
+      |FROM s LEFT JOIN c ON s.fp = c.fp
+      |""".stripMargin
+
   /** Same QX topology on the Spark 4 transformWithState API (named
     * state + real per-key timers) over RocksDB — the 1:1 Flink
     * KeyedProcessFunction mapping's throughput number, measured against
@@ -563,6 +634,7 @@ object StreamingBench extends QueryModule {
     "stream_q11_sessions" -> (streamQ11Sessions _),
     "stream_q7_highest" -> (streamQ7Highest _),
     "stream_dedup" -> (streamDedup _),
+    "stream_incremental_dedup" -> (streamIncrementalDedup _),
   )
 
   /** DuckDB oracles over each entry's dumped input events (see the class
@@ -576,5 +648,6 @@ object StreamingBench extends QueryModule {
     "stream_q11_sessions" -> streamQ11SessionsSql,
     "stream_q7_highest" -> streamQ7HighestSql,
     "stream_dedup" -> streamDedupSql,
+    "stream_incremental_dedup" -> streamIncrementalDedupSql,
   )
 }
