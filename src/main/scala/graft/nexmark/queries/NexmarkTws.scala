@@ -152,4 +152,120 @@ object NexmarkTws {
       .transformWithState(new QxWinningBidProcessor(purgeHorizonMs),
         TimeMode.EventTime(), OutputMode.Append(), Encoders.product[WinningBid])
   }
+
+  /** One merged-but-not-yet-closed session: `lastMs` is the max bid
+    * timestamp, so the session's end is `lastMs + gap`. */
+  case class SessionAcc(startMs: Long, lastMs: Long, count: Long, maxIngest: Long)
+
+  /** Output row shape of [[sessionsTws]] — identical columns to
+    * [[NexmarkQueries.sessions]] so both ports share one oracle. */
+  case class Q11Session(sessionStartMs: Long, sessionEndMs: Long, personId: Long,
+                        bidCount: Long, maxTimestamp: Long, maxIngestionTimestamp: Long)
+
+  /** Q11 session merge on transformWithState — the session-window analog
+    * of [[QxWinningBidProcessor]]: where the declarative
+    * `session_window` port delegates merging to Spark's session-state
+    * operator, this one carries the reference's merging-window-state shape
+    * explicitly (Flink's merging `WindowOperator` over a session
+    * `MergingWindowAssigner`, NexmarkQueryX.java:765-786): a ListState of
+    * open sessions per bidder, merged on every arrival, closed by one
+    * per-key event-time timer.
+    *
+    * Merge rule matches Spark/Flink session semantics exactly: intervals
+    * [ts, ts+gap) merge when they overlap OR TOUCH (an exact-gap successor
+    * extends the session — the boundary StreamingOracleBoundarySpec pins
+    * for the declarative port). A bid bridging two open sessions collapses
+    * them into one.
+    *
+    * Timer discipline: ONE timer PER OPEN SESSION, at its end.
+    * transformWithState event-time timers fire when wm ≥ ts — INCLUSIVE,
+    * unlike flatMapGroupsWithState timeouts which fire strictly below;
+    * pinned empirically at sf0.1, where a timer at exactly the final
+    * watermark fires (a session with end = wm + 1, timer end − 1 = wm,
+    * emitted 8 boundary rows the append-mode oracle withholds until
+    * end ≤ wm). Registering at `end` under the inclusive rule gives
+    * exactly append-mode's emit-at-end==wm boundary.
+    * The fire handler closes sessions by comparing their end against the
+    * TIMER'S OWN expiry, never against `getCurrentWatermarkInMs()`: Spark
+    * carries two per-batch watermarks (late-events = previous batch,
+    * eviction = current), and a session whose end lands between them
+    * would consume its only fire without emitting if the handler filtered
+    * on the older value (observed as silently-dropped sessions at sf0.1).
+    * Merges retire the absorbed sessions' timers and arm the merged end's
+    * via a set-diff, so duplicate (key, ts) timer slots shared by two
+    * equal-end sessions are never double-deleted. Generator timestamps
+    * are globally non-decreasing, so a closed session can never be
+    * extended afterwards (any later bid's ts ≥ wm + delay > end) — the
+    * same invariant append-mode emission relies on.
+    */
+  class SessionWindowProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Bid, Q11Session] {
+    @transient private var open: ListState[SessionAcc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getListState[SessionAcc](
+        "open-sessions", Encoders.product[SessionAcc], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Bid],
+                                 timerValues: TimerValues): Iterator[Q11Session] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[SessionAcc]
+      open.get().foreach(buf += _)
+      val oldTimers = buf.map(_.lastMs + gapMs).toSet
+      rows.foreach { b =>
+        // start from the bid's own [ts, ts+gap) interval, absorb every
+        // open session it overlaps or touches (possibly several — a
+        // bridging bid collapses its neighbors)
+        var acc = SessionAcc(b.timestamp, b.timestamp, 1L, b.ingestionTimestamp)
+        var i = 0
+        while (i < buf.length) {
+          val s = buf(i)
+          if (acc.startMs <= s.lastMs + gapMs && s.startMs <= acc.lastMs + gapMs) {
+            acc = SessionAcc(math.min(acc.startMs, s.startMs),
+              math.max(acc.lastMs, s.lastMs), acc.count + s.count,
+              math.max(acc.maxIngest, s.maxIngest))
+            buf.remove(i)
+          } else i += 1
+        }
+        buf += acc
+      }
+      open.clear()
+      buf.foreach(open.appendValue)
+      val newTimers = buf.map(_.lastMs + gapMs).toSet
+      (oldTimers diff newTimers).foreach(getHandle.deleteTimer)
+      (newTimers diff oldTimers).foreach(getHandle.registerTimer)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[Q11Session] = {
+      // several timers may expire in one batch: the first invocation's
+      // <= filter can close later-qualifying sessions too, and their own
+      // fires then find nothing — harmless by construction
+      val expiry = expiredTimerInfo.getExpiryTimeInMs()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[SessionAcc]
+      open.get().foreach(buf += _)
+      val (closed, stillOpen) = buf.partition(_.lastMs + gapMs <= expiry)
+      if (closed.nonEmpty) {
+        open.clear()
+        stillOpen.foreach(open.appendValue)
+      }
+      closed.sortBy(_.startMs).iterator.map(s =>
+        Q11Session(s.startMs, s.lastMs + gapMs, key, s.count, s.lastMs, s.maxIngest))
+    }
+  }
+
+  /** Same input/output shape as [[NexmarkQueries.sessions]] (5 s gap, 2 s
+    * watermark delay); emits each session when the watermark reaches its
+    * end. */
+  def sessionsTws(bids: Dataset[Bid], gapMs: Long = 5000L): Dataset[Q11Session] = {
+    import bids.sparkSession.implicits._
+    bids.toDF
+      .withColumn("eventTime", timestamp_millis(col("timestamp")))
+      .withWatermark("eventTime", "2 seconds")
+      .as[Bid]
+      .groupByKey(_.personId)
+      .transformWithState(new SessionWindowProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append(), Encoders.product[Q11Session])
+  }
 }

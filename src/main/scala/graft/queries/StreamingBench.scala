@@ -327,8 +327,10 @@ object StreamingBench extends QueryModule {
     *     re-create auction-less state and never emit.
     *   - transformWithState (maxEnd=false): registers ONCE at the first
     *     auction's end (= MIN(end)); real timers fire regardless of key
-    *     data, after the batch's input — fk = first batch with
-    *     wm_k > MIN(end), winner over bids with batch ≤ fk (the fire
+    *     data, after the batch's input, and fire INCLUSIVELY (wm ≥ ts —
+    *     unlike flatMapGroupsWithState's strict-below timeouts; pinned
+    *     empirically at sf0.1 by the q11 tws boundary) — fk = first batch
+    *     with wm_k ≥ MIN(end), winner over bids with batch ≤ fk (the fire
     *     batch's own bids are appended before the timer handler runs);
     *     the `resolved` tombstone drops everything later.
     * The finalize batch (first no-data batch after the last data batch,
@@ -397,8 +399,11 @@ object StreamingBench extends QueryModule {
       |)""".stripMargin
       else
         s"""fire AS (
+      |  -- transformWithState timers fire INCLUSIVELY (wm >= ts; pinned
+      |  -- empirically by the q11 tws boundary rows at sf0.1), unlike
+      |  -- flatMapGroupsWithState's strict-below rule in the maxEnd branch
       |  SELECT k.auctionId, MIN(w.batch) AS fk
-      |  FROM keyE k, wmx w WHERE w.w > k.emin GROUP BY k.auctionId
+      |  FROM keyE k, wmx w WHERE w.w >= k.emin GROUP BY k.auctionId
       |), eligible AS (
       |  SELECT b1.auctionId, b1.personId, b1.bid, b1.timestamp
       |  FROM b1 JOIN fire f ON b1.auctionId = f.auctionId AND b1.batch <= f.fk
@@ -455,8 +460,8 @@ object StreamingBench extends QueryModule {
     * pairs). Session end = last ts + gap, emitted iff
     * end ≤ max(ts) − 2000.
     */
-  private val streamQ11SessionsSql: String =
-    s"""WITH b AS (SELECT * FROM ${inPath("stream_q11_sessions", "bids")}),
+  private def sessionsOracleSql(name: String): String =
+    s"""WITH b AS (SELECT * FROM ${inPath(name, "bids")}),
       |wm AS (SELECT MAX(timestamp) - 2000 AS w FROM b),
       |o AS (
       |  SELECT personId, timestamp, ingestionTimestamp,
@@ -614,16 +619,39 @@ object StreamingBench extends QueryModule {
     */
   def streamQxTws(spark: SparkSession, dir: String): DataFrame = {
     val (bids, auctions, batches) = qxSources(spark, dir, "stream_qx_tws")
+    withRocksDB(spark)(runToParquet(spark,
+      graft.nexmark.queries.NexmarkTws.qxWinningBidsTws(bids, auctions).toDF, "qxtws", batches))
+  }
+
+  /** transformWithState requires multi-column-family state, i.e. RocksDB;
+    * provider conf is set/restored around the run. */
+  private def withRocksDB[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try runToParquet(spark,
-      graft.nexmark.queries.NexmarkTws.qxWinningBidsTws(bids, auctions).toDF, "qxtws", batches)
+    try body
     finally prev match {
       case Some(p) => spark.conf.set(key, p)
       case None    => spark.conf.unset(key)
     }
+  }
+
+  /** Q11 session merge on transformWithState over RocksDB — the
+    * state-backend-and-API head-to-head for the HEAVIEST state shape
+    * (session merge), measured against [[streamQ11Sessions]]'s declarative
+    * `session_window` at identical volume, exactly as the qx pair compares
+    * the two APIs for the timer shape. Identical input volumes and
+    * identical output columns → one oracle model, two dump names.
+    */
+  def streamQ11Tws(spark: SparkSession, dir: String): DataFrame = {
+    val rows = math.max(1L, (10000000L * sfOf(dir) / Parallelism).toLong)
+    val cfg = GenConfig(eventsPerSecond = 1000L)
+    dumpInput(spark, dir, "stream_q11_tws", "bids", cfg, rows)
+    val bids = NexmarkSources.bidStreamDsv2(spark, cfg, Parallelism, rows, rowsPerBatchFor(rows))
+    withRocksDB(spark)(runToParquet(spark,
+      graft.nexmark.queries.NexmarkTws.sessionsTws(bids).toDF, "q11tws",
+      expectedBatches(rows)))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -632,6 +660,7 @@ object StreamingBench extends QueryModule {
     "stream_qx_winning" -> (streamQxWinning _),
     "stream_qx_tws" -> (streamQxTws _),
     "stream_q11_sessions" -> (streamQ11Sessions _),
+    "stream_q11_tws" -> (streamQ11Tws _),
     "stream_q7_highest" -> (streamQ7Highest _),
     "stream_dedup" -> (streamDedup _),
     "stream_incremental_dedup" -> (streamIncrementalDedup _),
@@ -645,7 +674,8 @@ object StreamingBench extends QueryModule {
     "stream_q8_join" -> streamQ8JoinSql,
     "stream_qx_winning" -> qxTimerSql("stream_qx_winning", maxEnd = true),
     "stream_qx_tws" -> qxTimerSql("stream_qx_tws", maxEnd = false),
-    "stream_q11_sessions" -> streamQ11SessionsSql,
+    "stream_q11_sessions" -> sessionsOracleSql("stream_q11_sessions"),
+    "stream_q11_tws" -> sessionsOracleSql("stream_q11_tws"),
     "stream_q7_highest" -> streamQ7HighestSql,
     "stream_dedup" -> streamDedupSql,
     "stream_incremental_dedup" -> streamIncrementalDedupSql,

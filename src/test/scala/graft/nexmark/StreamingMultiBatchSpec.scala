@@ -82,6 +82,34 @@ class StreamingMultiBatchSpec extends SparkSpec {
   pinInvariance("watermarked dedup")(
     NexmarkQueries.dedupBids(_).toDF)
 
+  test("tws session merge == declarative session_window, and batching-invariant") {
+    // the two Q11 ports are a state-backend-and-API head-to-head
+    // (StreamingBench.streamQ11Tws); this pins output EQUALITY between
+    // them on a fixture where many sessions close mid-stream, plus the
+    // same 1-batch == 4-batch invariance the declarative port carries.
+    // The 4-batch tws run is the regression net for the two timer-boundary
+    // bugs the sf0.1 gate caught (watermark-filtered fires, exclusive
+    // end−1 timers — NexmarkTws.SessionWindowProcessor doc).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (declarative, _) = run(1, NexmarkQueries.sessions(_, "5 seconds"))
+      def tws(batches: Int) =
+        run(batches, graft.nexmark.queries.NexmarkTws.sessionsTws(_).toDF)
+      val (one, _) = tws(1)
+      val (four, committed) = tws(4)
+      assert(committed >= 4, s"expected >= 4 committed batches, got $committed")
+      assert(declarative.nonEmpty, "degenerate: no finalized sessions at this volume")
+      assert(one == declarative)
+      assert(four == declarative)
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Run a two-entity query admitted in `batches` slices per source. */
   private def runTwo(batches: Int, tag: String,
                      aRows: Long, aEps: Long, bRows: Long, bEps: Long)(
@@ -156,7 +184,7 @@ class StreamingMultiBatchSpec extends SparkSpec {
               js.nonEmpty && js.max >= la && wm(k) > math.max(emax, wm(js.max) + 1)
             }
           }
-        else (0 to finalize).find(k => wm(k) > emin)
+        else (0 to finalize).find(k => wm(k) >= emin) // tws timers fire inclusively (wm >= ts)
       fk.flatMap { f =>
         val eligible =
           if (maxEnd) kBids.filter(b => bB(b._4) < f)
