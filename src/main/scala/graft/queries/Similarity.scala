@@ -883,31 +883,78 @@ object Similarity extends QueryModule {
   def kmeansConverged(spark: SparkSession, dir: String): DataFrame =
     kmeansIterate(spark, dir, maxRounds = 30)._1
 
-  def kmeansSql: String = {
-    def assignSql(centsCte: String) =
-      s"""SELECT vec_id, cid, d2,
-         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
-         |  FROM (SELECT e.vec_id, c.cid,
-         |          ((list_inner_product(e.emb, e.emb) - 2.0 * list_inner_product(e.emb, c.cemb)) + list_inner_product(c.cemb, c.cemb)) AS d2
-         |        FROM e, $centsCte c)""".stripMargin
-    s"""WITH e AS (
-       |  $VecsCteSql
-       |), c0 AS (
-       |  SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % $CentroidMod = 0
-       |), a1 AS (
-       |  ${assignSql("c0")}
-       |), m1 AS (
+  /** Unroll depth of the `s_kmeans_conv` oracle: the max converged round
+    * count across the three driver scale factors (probed 8 / 7 / 17 at
+    * sf0.001 / 0.01 / 0.1). Rounds past convergence are EXACT no-ops —
+    * an unchanged assignment reproduces identical quantized centroids,
+    * distances and argmins — so one unroll depth serves every sf whose
+    * convergence is at most this deep, and [[kmeansConvEntry]] fails
+    * loudly if the fixture ever stops satisfying that.
+    */
+  private val KmeansConvUnroll = 17
+  /** Probed converged round counts per sf (trace length incl. the initial
+    * assignment round), asserted by the entry so a data or algorithm
+    * drift can never silently pass on a stale unrolled oracle. */
+  private val KmeansConvRounds = Map("0.001" -> 8, "0.01" -> 7, "0.1" -> 17)
+
+  /** `s_kmeans_conv`: [[kmeansConverged]] with the converged round count
+    * pinned against [[KmeansConvRounds]] (and the oracle's unroll depth). */
+  def kmeansConvEntry(spark: SparkSession, dir: String): DataFrame = {
+    val (out, trace) = kmeansIterate(spark, dir, maxRounds = 30)
+    require(trace.size <= KmeansConvUnroll,
+      s"converged in ${trace.size} rounds > oracle unroll $KmeansConvUnroll — re-probe and bump")
+    "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1)).foreach { sf =>
+      KmeansConvRounds.get(sf).foreach { want =>
+        require(trace.size == want,
+          s"sf$sf converged in ${trace.size} rounds, probe pinned $want — fixture or algorithm drifted")
+      }
+    }
+    out
+  }
+
+  private def kmeansAssignSql(centsCte: String) =
+    s"""SELECT vec_id, cid, d2,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+       |  FROM (SELECT e.vec_id, c.cid,
+       |          ((list_inner_product(e.emb, e.emb) - 2.0 * list_inner_product(e.emb, c.cemb)) + list_inner_product(c.cemb, c.cemb)) AS d2
+       |        FROM e, $centsCte c)""".stripMargin
+
+  /** One assign→mean-update round as CTEs: m<r> and c<r> from a<r>, then
+    * a<r+1> against c<r> — the loop body both k-means oracles share.
+    * Every round CTE is MATERIALIZED: DuckDB's inliner otherwise
+    * duplicates the chain (~4× plan size per round — the 17-round oracle
+    * went from minutes-and-counting to 0.7 s), and materialization is
+    * also the semantically honest twin of the Spark side's per-round
+    * localCheckpoint.
+    */
+  private def kmeansRoundSql(r: Int): String =
+    s"""m$r AS MATERIALIZED (
        |  SELECT cid, j,
        |         CAST(SUM(CAST(ROUND(x * $KmeansQ) AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / $KmeansQ AS coord
        |  FROM (SELECT a.cid, r.j, e.emb[j] AS x
-       |        FROM a1 a JOIN e ON a.vec_id = e.vec_id AND a.rn = 1, range(1, 65) r(j))
+       |        FROM a$r a JOIN e ON a.vec_id = e.vec_id AND a.rn = 1, range(1, 65) r(j))
        |  GROUP BY cid, j
-       |), c1 AS (
-       |  SELECT cid, list(coord ORDER BY j) AS cemb FROM m1 GROUP BY cid
-       |), a2 AS (
-       |  ${assignSql("c1")}
-       |)
-       |SELECT vec_id, cid AS cluster_id, ROUND(d2, 6) AS d6 FROM a2 WHERE rn = 1
+       |), c$r AS MATERIALIZED (
+       |  SELECT cid, list(coord ORDER BY j) AS cemb FROM m$r GROUP BY cid
+       |), a${r + 1} AS MATERIALIZED (
+       |  ${kmeansAssignSql(s"c$r")}
+       |)""".stripMargin
+
+  /** The fixed-2-round oracle (`s_kmeans`): [[kmeansUnrolledSql]] at the
+    * [[KmeansAssignRounds]] depth the cross-engine gate has always used. */
+  def kmeansSql: String = kmeansUnrolledSql(KmeansAssignRounds)
+
+  /** Lloyd's unrolled to `rounds` assignment rounds in DuckDB. */
+  private def kmeansUnrolledSql(rounds: Int): String = {
+    val body = (1 until rounds).map(r => s", ${kmeansRoundSql(r)}").mkString
+    s"""WITH e AS MATERIALIZED (
+       |  $VecsCteSql
+       |), c0 AS (
+       |  SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % $CentroidMod = 0
+       |), a1 AS MATERIALIZED (
+       |  ${kmeansAssignSql("c0")}
+       |)$body
+       |SELECT vec_id, cid AS cluster_id, ROUND(d2, 6) AS d6 FROM a$rounds WHERE rn = 1
        |""".stripMargin
   }
 
@@ -989,6 +1036,7 @@ object Similarity extends QueryModule {
     "s_knn_pq" -> (knnPq _),
     "s_knn_ivfpq" -> (knnIvfPq _),
     "s_kmeans" -> (kmeans _),
+    "s_kmeans_conv" -> (kmeansConvEntry _),
     "s_dim_stats" -> (dimStats _),
   )
 
@@ -1005,6 +1053,7 @@ object Similarity extends QueryModule {
     "s_knn_pq" -> knnPqSql,
     "s_knn_ivfpq" -> knnIvfPqSql,
     "s_kmeans" -> kmeansSql,
+    "s_kmeans_conv" -> kmeansUnrolledSql(KmeansConvUnroll),
     "s_dim_stats" -> dimStatsSql,
   )
 }
