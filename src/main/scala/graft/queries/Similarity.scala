@@ -620,7 +620,7 @@ object Similarity extends QueryModule {
   /** (code, j, cwv, csq): the deterministic per-subspace codebook — the
     * sub-vectors of the CentroidMod pivot rows.
     */
-  private def pqCodewords(subs: DataFrame): DataFrame =
+  private[graft] def pqCodewords(subs: DataFrame): DataFrame =
     subs.filter(col("vec_id") % CentroidMod === 0)
       .select(col("vec_id").as("code"), col("j"), col("sub").as("cwv"),
               col("ssq").as("csq"))
@@ -638,12 +638,76 @@ object Similarity extends QueryModule {
   def pqReconstruct(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
     val subs = pqSubs(e)
-    val cw = pqCodewords(subs)
+    pqReconstructWith(subs, pqCodewords(subs))
+  }
+
+  /** Reconstruction against an arbitrary codebook (pivot or trained):
+    * encode, then codewords back in subspace order, flattened to 64 dims. */
+  private[graft] def pqReconstructWith(subs: DataFrame, cw: DataFrame): DataFrame = {
     val assign = pqEncode(subs, cw)
-    // reconstruct: codewords back in subspace order, flattened to 64 dims
     assign.join(broadcast(cw), Seq("j", "code"))
       .groupBy(col("vec_id"))
       .agg(expr("flatten(transform(array_sort(collect_list(struct(j, cwv))), s -> s.cwv))").as("remb"))
+  }
+
+  /** (vec_id, j, sub, ssq) sub-vector view for an sf dir — the shared
+    * input of the PQ helpers, exposed for the training spec. */
+  private[graft] def pqSubsOf(spark: SparkSession, dir: String): DataFrame =
+    pqSubs(vecs(spark, dir))
+
+  /** Per-subspace PQ codebook TRAINING — the production path next to the
+    * deterministic pivot codebooks the cross-engine oracles pin
+    * ([[pqCodewords]]): Lloyd's over each subspace's 8-dim sub-vectors,
+    * initialized from the pivot codewords, run to assignment-fixed-point
+    * convergence exactly like [[kmeansIterate]].
+    *
+    * All PqM subspaces train in ONE loop: the cluster key is (j, code),
+    * so each round is a single broadcast-join assignment pass
+    * ([[pqEncode]] — the same argmin the encoder uses) plus one
+    * (j, code, dim) hash aggregate with the [[KmeansQ]] exact-integer
+    * mean — one Spark job per round regardless of M, not M loops.
+    * A codeword that loses all members is dropped (standard Lloyd's
+    * empty-cluster handling; K can only shrink, never invent codes).
+    * Convergence is the order-free assignment-change count == 0;
+    * `maxRounds` is a loud-failure guard.
+    *
+    * Returns (code, j, cwv, csq) in the exact shape [[pqEncode]] /
+    * [[pqReconstructWith]] consume, so trained codebooks drop into the
+    * serving path unchanged. Engine-deterministic thanks to the
+    * quantized-sum means — PqTrainingSpec pins distortion and recall
+    * against the pivot baseline.
+    */
+  def trainPqCodebooks(spark: SparkSession, dir: String,
+                       maxRounds: Int = 40): DataFrame = {
+    require(maxRounds >= 1)
+    val subs = pqSubsOf(spark, dir).localCheckpoint(true)
+    var cw = pqCodewords(subs).localCheckpoint(true)
+    var assign = pqEncode(subs, cw).localCheckpoint(true)
+    var changed = -1L
+    var r = 0
+    while (changed != 0 && r < maxRounds) {
+      r += 1
+      val means = assign.join(subs, Seq("vec_id", "j"))
+        .select(col("j"), col("code"), posexplode(col("sub")).as(Seq("dim", "x")))
+        .groupBy(col("j"), col("code"), col("dim"))
+        .agg(expr(s"SUM(CAST(ROUND(x * $KmeansQ) AS BIGINT))").as("qsum"),
+             count(lit(1)).as("n"))
+        .withColumn("coord", expr(s"CAST(qsum AS DOUBLE) / CAST(n AS DOUBLE) / $KmeansQ"))
+        .groupBy(col("j"), col("code"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, coord))), s -> s.coord)").as("cwv"))
+      val nextCw = means
+        .select(col("code"), col("j"), col("cwv"), dp(col("cwv"), col("cwv")).as("csq"))
+        .localCheckpoint(true)
+      val next = pqEncode(subs, nextCw).localCheckpoint(true)
+      changed = next
+        .join(assign.select(col("vec_id"), col("j"), col("code").as("pcode")), Seq("vec_id", "j"))
+        .filter(col("code") =!= col("pcode")).count()
+      assign = next
+      cw = nextCw
+    }
+    if (changed != 0) throw new IllegalStateException(
+      s"PQ codebook training did not converge in $maxRounds rounds (last round moved $changed assignments)")
+    cw
   }
 
   def knnPq(spark: SparkSession, dir: String): DataFrame = {
