@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Training-data pipeline operators over the `documents` table
   * (doc_id, text, lang, source, n_chars):
@@ -1197,11 +1198,25 @@ object TextPipeline extends QueryModule {
     * 10⁸ times contributes one partial row per map task, not a 10⁸-row
     * sort partition; the earlier row_number-over-Window formulation put
     * exactly that inside one WindowExec task, which AQE cannot split).
-    * Stages: agg by (digest, doc) → agg by digest (min struct(doc_id, c),
-    * the same (doc_id, idx) order the old sort used) → count firsts per
-    * doc → join back on doc_id (key cardinality = #docs, no chunk skew).
-    * The (digest, doc) exchange is planned once and reused by both
-    * branches (ReuseExchange), so the corpus is scanned and exploded once.
+    * The first occurrence under (doc_id, idx) order lives in doc
+    * MIN(doc_id) — doc_id is the major sort key, so the chunk index never
+    * picks the doc and stays out of the plan entirely (the r7 shape
+    * aggregated min(struct(doc_id, minc)), which both forced SortAggregate
+    * — struct min isn't hash-aggregable — and made the two branches'
+    * column pruning diverge so ReuseExchange stopped matching, scanning
+    * and exploding the corpus TWICE; adjudicated round 8 after the bench
+    * drifted 0.47 → 0.89 s).
+    * With the chunk index gone, the intermediate (digest, doc) rollup is
+    * unnecessary too: n_chunks is a plain per-doc count, and MIN(doc_id)
+    * per digest is the same whether or not within-doc duplicates were
+    * pre-collapsed (map-side partial agg absorbs them for free). So:
+    * normalize+explode ONCE (persisted — the norm/split/md5 work is the
+    * expensive part, the exploded rows are narrow), then two independent
+    * hash aggs: doc_id → n_chunks (partials collapse to #docs rows before
+    * the exchange) and digest → min(doc_id) → firsts per doc, joined back
+    * on doc_id (key cardinality = #docs, no chunk skew). At 100 TB the
+    * persist would be corpus-sized — there, drop it and pay a second
+    * pruned single-column scan instead; both shapes are shuffle-identical.
     */
   private val ChunkW = 10
   def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
@@ -1209,17 +1224,16 @@ object TextPipeline extends QueryModule {
     // the DESCENDING [0, -1] while DuckDB's range(0, 0) is empty — split()
     // never returns an empty array today, but the cross-engine trap is real
     val ch = docsNorm(spark, dir).select(col("doc_id"),
-      posexplode(expr(
+      explode(expr(
         s"CASE WHEN size(words) = 0 THEN array() ELSE " +
           s"transform(sequence(0, (size(words) + ${ChunkW - 1}) div $ChunkW - 1), " +
-          s"c -> concat_ws(' ', slice(words, c * $ChunkW + 1, $ChunkW))) END")).as(Seq("c", "chunk")))
-    val g1 = ch.groupBy(md5(col("chunk")).as("dg"), col("doc_id"))
-      .agg(count(lit(1)).as("k"), min(col("c")).as("minc"))
-    val perDoc = g1.groupBy(col("doc_id")).agg(sum(col("k")).as("n_chunks"))
-    val firstsPerDoc = g1
-      .groupBy(col("dg"))
-      .agg(min(struct(col("doc_id"), col("minc"))).as("first"))
-      .groupBy(col("first").getField("doc_id").as("doc_id"))
+          s"c -> concat_ws(' ', slice(words, c * $ChunkW + 1, $ChunkW))) END")).as("chunk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val perDoc = ch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    val firstsPerDoc = ch
+      .groupBy(md5(col("chunk")).as("dg"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_first"))
     perDoc.join(firstsPerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
