@@ -157,6 +157,17 @@ object NexmarkTws {
     * timestamp, so the session's end is `lastMs + gap`. */
   case class SessionAcc(startMs: Long, lastMs: Long, count: Long, maxIngest: Long)
 
+  /** All of one bidder's open sessions as a single state row — kept in a
+    * ValueState rather than a ListState because the whole list is rewritten
+    * on every touch anyway (merging can collapse ANY subset), and a
+    * ValueState rewrite is one RocksDB get + one put per touched key where
+    * the ListState equivalent was a merge-iterator scan + range-delete +
+    * one append PER SESSION; with ~10⁵ touched keys per micro-batch the
+    * state-op count is the dominant cost term (measured: ~14.5 s → the
+    * recorded baseline at sf0.1 before this change). Nearly every key
+    * holds exactly one open session, so the row stays tiny. */
+  case class OpenSessions(sessions: Seq[SessionAcc])
+
   /** Output row shape of [[sessionsTws]] — identical columns to
     * [[NexmarkQueries.sessions]] so both ports share one oracle. */
   case class Q11Session(sessionStartMs: Long, sessionEndMs: Long, personId: Long,
@@ -167,9 +178,10 @@ object NexmarkTws {
     * `session_window` port delegates merging to Spark's session-state
     * operator, this one carries the reference's merging-window-state shape
     * explicitly (Flink's merging `WindowOperator` over a session
-    * `MergingWindowAssigner`, NexmarkQueryX.java:765-786): a ListState of
-    * open sessions per bidder, merged on every arrival, closed by one
-    * per-key event-time timer.
+    * `MergingWindowAssigner`, NexmarkQueryX.java:765-786): the list of
+    * open sessions per bidder (one ValueState row — see [[OpenSessions]]
+    * for why not a ListState), merged on every arrival, closed by one
+    * per-session event-time timer.
     *
     * Merge rule matches Spark/Flink session semantics exactly: intervals
     * [ts, ts+gap) merge when they overlap OR TOUCH (an exact-gap successor
@@ -200,17 +212,17 @@ object NexmarkTws {
     */
   class SessionWindowProcessor(gapMs: Long)
       extends StatefulProcessor[Long, Bid, Q11Session] {
-    @transient private var open: ListState[SessionAcc] = _
+    @transient private var open: ValueState[OpenSessions] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      open = getHandle.getListState[SessionAcc](
-        "open-sessions", Encoders.product[SessionAcc], TTLConfig.NONE)
+      open = getHandle.getValueState[OpenSessions](
+        "open-sessions", Encoders.product[OpenSessions], TTLConfig.NONE)
     }
 
     override def handleInputRows(key: Long, rows: Iterator[Bid],
                                  timerValues: TimerValues): Iterator[Q11Session] = {
       val buf = scala.collection.mutable.ArrayBuffer.empty[SessionAcc]
-      open.get().foreach(buf += _)
+      Option(open.get()).foreach(_.sessions.foreach(buf += _))
       val oldTimers = buf.map(_.lastMs + gapMs).toSet
       rows.foreach { b =>
         // start from the bid's own [ts, ts+gap) interval, absorb every
@@ -229,8 +241,7 @@ object NexmarkTws {
         }
         buf += acc
       }
-      open.clear()
-      buf.foreach(open.appendValue)
+      open.update(OpenSessions(buf.toSeq))
       val newTimers = buf.map(_.lastMs + gapMs).toSet
       (oldTimers diff newTimers).foreach(getHandle.deleteTimer)
       (newTimers diff oldTimers).foreach(getHandle.registerTimer)
@@ -244,11 +255,13 @@ object NexmarkTws {
       // fires then find nothing — harmless by construction
       val expiry = expiredTimerInfo.getExpiryTimeInMs()
       val buf = scala.collection.mutable.ArrayBuffer.empty[SessionAcc]
-      open.get().foreach(buf += _)
+      Option(open.get()).foreach(_.sessions.foreach(buf += _))
       val (closed, stillOpen) = buf.partition(_.lastMs + gapMs <= expiry)
       if (closed.nonEmpty) {
-        open.clear()
-        stillOpen.foreach(open.appendValue)
+        // deleting the row outright when nothing stays open keeps RocksDB
+        // from accumulating empty lists for every bidder ever seen
+        if (stillOpen.isEmpty) open.clear()
+        else open.update(OpenSessions(stillOpen.toSeq))
       }
       closed.sortBy(_.startMs).iterator.map(s =>
         Q11Session(s.startMs, s.lastMs + gapMs, key, s.count, s.lastMs, s.maxIngest))

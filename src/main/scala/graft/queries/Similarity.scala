@@ -976,6 +976,64 @@ object Similarity extends QueryModule {
     out
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * corpus with k-means, then compare embeddings ONLY within a cluster —
+    * pairs in different clusters are never scored, which is the whole
+    * point: pairwise work drops from O(N²) to Σ|cluster|², and at 1 B
+    * vectors k is chosen ~N/⟨cluster⟩ (⟨cluster⟩ a few hundred) so each
+    * cluster's all-pairs block is a few 10⁵ comparisons — embarrassingly
+    * parallel after one shuffle on cluster id. Contrast [[cosineDedup]]:
+    * same verify step, but candidates from LSH band buckets instead of
+    * k-means cells (the LSH path has no training pass and per-pair recall
+    * guarantees; the k-means path catches semantic near-dups whose random
+    * hyperplane signatures differ — production pipelines run both).
+    *
+    * Uses the same fixed-[[KmeansAssignRounds]] assignment as the
+    * `s_kmeans` gate (engine-deterministic, so the oracle reuses its
+    * unrolled CTE chain) and [[cosineDedup]]'s 1-hop min-partner
+    * canonicalization at the same [[DedupTau]]: canon_id = the smallest
+    * same-cluster partner with cosine ≥ τ, else self. The self-join
+    * shuffles the narrow (cid, vec_id, emb) projection by cid once; a
+    * skewed giant cluster is bounded by construction (k-means cells split
+    * under re-training; AQE splits the join side at runtime).
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = kmeansPrep(spark, dir)
+    var assign = kmeansAssign(e, kmeansInit(e))
+    for (_ <- 2 to KmeansAssignRounds) assign = kmeansAssign(e, kmeansMeanUpdate(e, assign))
+    val m = assign.select(col("vec_id"), col("cid"))
+      .join(e.select(col("vec_id"), col("emb")), "vec_id")
+      .localCheckpoint(true)
+    val pairs = m.select(col("cid"), col("vec_id").as("vec_a"), col("emb").as("qemb"))
+      .join(m.select(col("cid"), col("vec_id").as("vec_b"), col("emb").as("cemb")), "cid")
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(cosine(col("qemb"), col("cemb")) >= DedupTau)
+    val partnerMin = pairs.groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("min_dup"))
+    m.select(col("vec_id"), col("cid"))
+      .join(broadcast(partnerMin), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").as("cluster_id"),
+        coalesce(col("min_dup"), col("vec_id")).as("canon_id"))
+      .withColumn("is_canonical", (col("vec_id") === col("canon_id")).cast("int"))
+  }
+
+  def semanticDedupSql: String =
+    s"""${kmeansCtePrefix(KmeansAssignRounds)}, m AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cid, e.emb
+       |  FROM a$KmeansAssignRounds a JOIN e ON a.vec_id = e.vec_id AND a.rn = 1
+       |), p AS (
+       |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  WHERE list_cosine_similarity(x.emb, y.emb) >= $DedupTau
+       |), pm AS (
+       |  SELECT vec_b AS vec_id, MIN(vec_a) AS min_dup FROM p GROUP BY vec_b
+       |)
+       |SELECT m.vec_id, m.cid AS cluster_id,
+       |       COALESCE(min_dup, m.vec_id) AS canon_id,
+       |       CAST(m.vec_id = COALESCE(min_dup, m.vec_id) AS INT) AS is_canonical
+       |FROM m LEFT JOIN pm ON m.vec_id = pm.vec_id
+       |""".stripMargin
+
   private def kmeansAssignSql(centsCte: String) =
     s"""SELECT vec_id, cid, d2,
        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
@@ -1008,8 +1066,10 @@ object Similarity extends QueryModule {
     * [[KmeansAssignRounds]] depth the cross-engine gate has always used. */
   def kmeansSql: String = kmeansUnrolledSql(KmeansAssignRounds)
 
-  /** Lloyd's unrolled to `rounds` assignment rounds in DuckDB. */
-  private def kmeansUnrolledSql(rounds: Int): String = {
+  /** The WITH-chain of `rounds` unrolled Lloyd's rounds (e, c0, a1..a<rounds>)
+    * — shared by the k-means oracles and the semantic-dedup oracle, which
+    * appends its own CTEs on top of the final assignment. */
+  private def kmeansCtePrefix(rounds: Int): String = {
     val body = (1 until rounds).map(r => s", ${kmeansRoundSql(r)}").mkString
     s"""WITH e AS MATERIALIZED (
        |  $VecsCteSql
@@ -1017,10 +1077,14 @@ object Similarity extends QueryModule {
        |  SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % $CentroidMod = 0
        |), a1 AS MATERIALIZED (
        |  ${kmeansAssignSql("c0")}
-       |)$body
+       |)$body""".stripMargin
+  }
+
+  /** Lloyd's unrolled to `rounds` assignment rounds in DuckDB. */
+  private def kmeansUnrolledSql(rounds: Int): String =
+    s"""${kmeansCtePrefix(rounds)}
        |SELECT vec_id, cid AS cluster_id, ROUND(d2, 6) AS d6 FROM a$rounds WHERE rn = 1
        |""".stripMargin
-  }
 
   /** Per-dimension embedding statistics — the drift-monitoring pass a
     * vector pipeline runs between embedding-model versions (a shifted
@@ -1101,6 +1165,7 @@ object Similarity extends QueryModule {
     "s_knn_ivfpq" -> (knnIvfPq _),
     "s_kmeans" -> (kmeans _),
     "s_kmeans_conv" -> (kmeansConvEntry _),
+    "s_semantic_dedup" -> (semanticDedup _),
     "s_dim_stats" -> (dimStats _),
   )
 
@@ -1118,6 +1183,7 @@ object Similarity extends QueryModule {
     "s_knn_ivfpq" -> knnIvfPqSql,
     "s_kmeans" -> kmeansSql,
     "s_kmeans_conv" -> kmeansUnrolledSql(KmeansConvUnroll),
+    "s_semantic_dedup" -> semanticDedupSql,
     "s_dim_stats" -> dimStatsSql,
   )
 }

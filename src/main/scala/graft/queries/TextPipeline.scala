@@ -573,6 +573,99 @@ object TextPipeline extends QueryModule {
        |""".stripMargin
   }
 
+  /** Quality-aware representative selection over the full dup clusters:
+    * where [[dupClustersCC]] canonicalizes onto the LOWEST doc_id (the
+    * order-based convention of exact dedup), a curation pipeline keeps the
+    * BEST document of each near-dup cluster — highest quality score, ties
+    * to the lowest doc_id. Composes the CC labels with the
+    * [[qualityScore]] integer-scaled score: docs outside the bucket graph
+    * (< 3 words — too short to shingle) stay singleton clusters of
+    * themselves. Per-cluster argmax packs (score, −doc_id) into ONE
+    * BIGINT so it stays a plain hash-aggregable MAX (max_by with a
+    * struct ordering key drops the whole aggregate to SortAggregate —
+    * the same trap chunkDedup's min(struct) hit; map-side MAX partials
+    * absorb a 10⁸-doc template cluster) joined back on cluster_id, never
+    * a per-cluster window; the join-back splits under AQE if a cluster
+    * is hot. The packing is exact while 0 ≤ doc_id < 2⁴⁰ (a 10-TB corpus
+    * is ~10¹⁰ docs; guarded by an assert_true so a violation fails
+    * loudly) and score_scaled ≤ 10⁴ (bounded by construction), keeping
+    * enc ≤ 2⁵⁴ well inside BIGINT. score_scaled stays the exact BIGINT
+    * both engines agree on.
+    */
+  def clusterBest(spark: SparkSession, dir: String): DataFrame = {
+    val bands = lshBandsOf(spark, dir).localCheckpoint(true)
+    val (labels, _) = ccIterate(bands)
+    val sw = Stopwords.map(s => s"w = '$s'").mkString(" or ")
+    val scored = docsNorm(spark, dir).select(
+        col("doc_id"),
+        size(col("words")).as("n_tokens"),
+        expr(s"size(filter(words, w -> $sw))").as("stopword_count"),
+        size(array_distinct(col("words"))).as("n_distinct"))
+      .withColumn("score_scaled", expr(scoreScaledSql("n_tokens", "stopword_count", "n_distinct")))
+      .select(col("doc_id"), col("score_scaled"))
+    val m = scored.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("score_scaled"))
+      .localCheckpoint(true)
+    val K = 1L << 40
+    val best = m.groupBy(col("cluster_id"))
+      .agg(max(expr(
+        s"ifnull(assert_true(doc_id >= 0 and doc_id < ${K}L), score_scaled * ${K}L - doc_id)"))
+        .as("enc"))
+      // enc = s·K − d with 0 ≤ d < K ⇒ pmod(−enc, K) recovers d exactly
+      .select(col("cluster_id"), pmod(-col("enc"), lit(K)).as("best_doc"))
+    m.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("score_scaled"),
+        (col("doc_id") === col("best_doc")).cast("int").as("is_best"))
+  }
+
+  def clusterBestSql: String = {
+    // the dupClustersCC reach CTE (same chain) + the quality score CTE,
+    // argmax via ROW_NUMBER under the same (score DESC, doc_id ASC) order
+    val sw = Stopwords.map(s => s"w = '$s'").mkString(" or ")
+    s"""WITH RECURSIVE d0 AS (
+       |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM documents
+       |), d AS (
+       |  SELECT doc_id, ${shinglesSqlExpr(3)} AS shingles FROM d0 WHERE LEN(ws) >= 3
+       |), sh AS (
+       |  SELECT doc_id, UNNEST(shingles) AS sh FROM d
+       |), $sqlSigStages, bands AS (
+       |  $sqlBandSelects
+       |), hub AS (
+       |  SELECT band, bkey, MIN(doc_id) AS hub FROM bands GROUP BY band, bkey
+       |), edges AS (
+       |  SELECT b.doc_id AS src, h.hub AS dst FROM bands b JOIN hub h USING (band, bkey)
+       |  UNION
+       |  SELECT h.hub AS src, b.doc_id AS dst FROM bands b JOIN hub h USING (band, bkey)
+       |), reach AS (
+       |  SELECT DISTINCT doc_id, doc_id AS r FROM bands
+       |  UNION
+       |  SELECT reach.doc_id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r
+       |), cc AS (
+       |  SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+       |), q AS (
+       |  SELECT doc_id,
+       |         LEN(string_split(nc, ' ')) AS n_tokens,
+       |         LEN(list_filter(string_split(nc, ' '), w -> $sw)) AS stopword_count,
+       |         LEN(list_distinct(string_split(nc, ' '))) AS n_distinct
+       |  FROM (SELECT doc_id, ${normSql("text")} AS nc FROM documents)
+       |), m AS (
+       |  SELECT q.doc_id, COALESCE(cc.cluster_id, q.doc_id) AS cluster_id,
+       |         ${scoreScaledSql("n_tokens", "stopword_count", "n_distinct")} AS score_scaled
+       |  FROM q LEFT JOIN cc ON q.doc_id = cc.doc_id
+       |), r AS (
+       |  SELECT doc_id, cluster_id, score_scaled,
+       |         ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |                            ORDER BY score_scaled DESC, doc_id ASC) AS rn
+       |  FROM m
+       |)
+       |SELECT doc_id, cluster_id, score_scaled,
+       |       CAST(rn = 1 AS INT) AS is_best
+       |FROM r
+       |""".stripMargin
+  }
+
   /** End-to-end corpus curation: quality-filter + exact-dedup-canonical
     * composed, reporting kept-document stats per language — the shape of a
     * real training-data selection job (filters push to the scan; the only
@@ -1657,6 +1750,7 @@ object TextPipeline extends QueryModule {
     "t_url_domains" -> (urlDomains _),
     "t_bloom_decontam" -> (bloomDecontaminate _),
     "t_incremental_dedup" -> (incrementalDedup _),
+    "t_cluster_best" -> (clusterBest _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1689,5 +1783,6 @@ object TextPipeline extends QueryModule {
     "t_url_domains" -> urlDomainsSql,
     "t_bloom_decontam" -> bloomDecontaminateSql,
     "t_incremental_dedup" -> incrementalDedupSql,
+    "t_cluster_best" -> clusterBestSql,
   )
 }

@@ -345,4 +345,59 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lbl.filter(col("own") =!= col("cluster_id")).count() == 0,
       "every emitted cluster_id must itself be labeled with itself")
   }
+
+  test("semanticDedup = brute-force min cosine-partner within each kmeans cell") {
+    val out = Similarity.semanticDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    // independent reconstruction: public kmeans assignment + all-pairs
+    // cosine within a cluster, min qualifying partner
+    val assign = Similarity.kmeans(spark, dir).select("vec_id", "cluster_id")
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("n", sqrt(aggregate(transform(col("emb"), x => x * x),
+        lit(0.0), (a, x) => a + x)))
+      .filter(col("n") > 0)
+    val m = assign.join(e, "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray)).toSeq
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = m.map { case (v, c, emb) =>
+      val partners = m.filter { case (o, oc, oemb) =>
+        oc == c && o < v && cos(oemb, emb) >= 0.15
+      }.map(_._1)
+      v -> ((c, if (partners.isEmpty) v else partners.min))
+    }.toMap
+    assert(out.size == m.size && m.nonEmpty)
+    expected.foreach { case (v, (c, canon)) =>
+      val (oc, ocanon, oflag) = out(v)
+      assert(oc == c && ocanon == canon && oflag == (if (canon == v) 1 else 0),
+        s"vec $v: got cluster=$oc canon=$ocanon, want cluster=$c canon=$canon")
+    }
+    assert(out.values.exists(_._3 == 0), "fixture must contain semantic dups")
+  }
+
+  test("clusterBest keeps exactly the top-quality doc of every dup cluster") {
+    val out = TextPipeline.clusterBest(spark, dir)
+    val perCluster = out.groupBy(col("cluster_id"))
+      .agg(sum(col("is_best")).as("n_best"),
+           max(col("score_scaled")).as("max_s"))
+    assert(perCluster.filter(col("n_best") =!= 1).count() == 0,
+      "each cluster elects exactly one representative")
+    // the elected doc carries the cluster max score, and among max-score
+    // ties the lowest doc_id wins
+    val best = out.filter(col("is_best") === 1)
+      .select(col("cluster_id"), col("doc_id").as("b"), col("score_scaled").as("bs"))
+    val viol = out.join(best, "cluster_id")
+      .filter(col("score_scaled") > col("bs") ||
+        (col("score_scaled") === col("bs") && col("doc_id") < col("b")))
+    assert(viol.count() == 0)
+    // cluster labels agree with dupClustersCC where the doc is in the graph
+    val cc = TextPipeline.dupClustersCC(spark, dir)
+      .select(col("doc_id"), col("cluster_id").as("cc_id"))
+    assert(out.join(cc, "doc_id").filter(col("cluster_id") =!= col("cc_id")).count() == 0)
+    assert(out.filter(col("is_best") === 0).count() > 0, "fixture must contain non-kept dups")
+  }
 }
