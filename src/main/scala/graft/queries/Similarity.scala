@@ -910,32 +910,39 @@ object Similarity extends QueryModule {
     * knob.
     *
     * Per round: one broadcast-crossjoin assignment pass, one (cid, dim)
-    * hash-agg mean update, one anti-join-style change count (scalar agg) —
-    * all map-side-partial shapes; the driver sees one Long per round.
-    * Quantized inertia is tracked for the trace; Lloyd's decreases true
-    * inertia monotonically, but the QUANTIZED mean is the exact minimizer
-    * only up to the 2⁻²⁰ coordinate quantum, so per-round inertia may
-    * wobble by ≤ 1 quantum per point (KmeansSpec asserts exactly that
-    * bound).
+    * hash-agg mean update, and ONE fused scalar action — the
+    * change count and the quantized inertia come out of a single
+    * next⋈prev aggregate (1:1 join on vec_id, so SUM over the join =
+    * SUM over next), and because the per-round checkpoint is LAZY, that
+    * same action is also what materializes the round's assignment
+    * blocks. One driver round-trip per round instead of three — at 17
+    * rounds the difference is measurable (s_kmeans_conv 10.2 → see
+    * BASELINE.md), and at 1 B vectors each saved action is a full
+    * cluster job launch. Quantized inertia is tracked for the trace;
+    * Lloyd's decreases true inertia monotonically, but the QUANTIZED
+    * mean is the exact minimizer only up to the 2⁻²⁰ coordinate
+    * quantum, so per-round inertia may wobble by ≤ 1 quantum per point
+    * (KmeansSpec asserts exactly that bound).
     */
   private[graft] def kmeansIterate(spark: SparkSession, dir: String,
                                      maxRounds: Int): (DataFrame, Seq[KmeansRound]) = {
     require(maxRounds >= 1)
     val e = kmeansPrep(spark, dir)
-    def inertiaQ(assign: DataFrame): Long =
-      assign.agg(expr(s"SUM(CAST(ROUND(d2 * $KmeansQ) AS BIGINT))")).head.getLong(0)
-    var assign = kmeansAssign(e, kmeansInit(e)).localCheckpoint(true)
+    val iqCol = expr(s"SUM(CAST(ROUND(d2 * $KmeansQ) AS BIGINT))")
+    var assign = kmeansAssign(e, kmeansInit(e)).localCheckpoint(false)
+    val first = assign.agg(count(lit(1)), iqCol).head
     val trace = scala.collection.mutable.ArrayBuffer(
-      KmeansRound(1, assign.count(), inertiaQ(assign)))
+      KmeansRound(1, first.getLong(0), first.getLong(1)))
     var r = 1
     var changed = trace.head.changed
     while (changed != 0 && r < maxRounds) {
       r += 1
-      val next = kmeansAssign(e, kmeansMeanUpdate(e, assign)).localCheckpoint(true)
-      changed = next.join(assign.select(col("vec_id"), col("cid").as("pcid")), "vec_id")
-        .filter(col("cid") =!= col("pcid")).count()
+      val next = kmeansAssign(e, kmeansMeanUpdate(e, assign)).localCheckpoint(false)
+      val row = next.join(assign.select(col("vec_id"), col("cid").as("pcid")), "vec_id")
+        .agg(sum((col("cid") =!= col("pcid")).cast("long")), iqCol).head
+      changed = row.getLong(0)
       assign = next
-      trace += KmeansRound(r, changed, inertiaQ(assign))
+      trace += KmeansRound(r, changed, row.getLong(1))
     }
     if (changed != 0) throw new IllegalStateException(
       s"k-means did not converge in $maxRounds rounds (last round moved $changed points)")

@@ -481,7 +481,8 @@ object TextPipeline extends QueryModule {
     * shortcut then halves every remaining chain distance, so convergence
     * takes O(log diameter) rounds instead of O(diameter) — an adversarial
     * N-link chain needs ~log₂N rounds, not N (spec-pinned on a 16-link
-    * chain). Labels are eagerly localCheckpoint'ed per round so lineage
+    * chain). Labels are localCheckpoint'ed per round (lazily — the
+    * convergence scalar doubles as the materializing action) so lineage
     * stays flat across iterations; labels only ever DECREASE, so both
     * steps preserve the same fixed point. [[MaxCcRounds]] (25 ≫
     * log₂(any real component)) is a loud-failure guard, not a truncation
@@ -506,7 +507,10 @@ object TextPipeline extends QueryModule {
           col("a.cluster_id") === col("b.ld"), "left")
         .select(col("a.doc_id"),
           coalesce(col("b.ll"), col("a.cluster_id")).as("cluster_id"))
-      next.localCheckpoint(true)
+      // LAZY checkpoint: the per-round labelSum convergence scalar is the
+      // action that materializes the round's blocks, so each round costs
+      // ONE driver round-trip, not two (same fusion as kmeansIterate)
+      next.localCheckpoint(false)
     }
     // round 0 = the 1-hop assignment (labels start as the identity, so one
     // relabel pass IS bucket-min-then-doc-min)
@@ -515,18 +519,21 @@ object TextPipeline extends QueryModule {
     // convergence via the label-sum invariant: every relabel can only
     // DECREASE a doc's label (mins of mins), so the sum of labels is
     // strictly decreasing until the fixed point — one scalar agg over the
-    // checkpointed labels per round, no join needed to detect no-change
-    // SUM over zero rows is SQL NULL: an empty band table (no docs, or no
-    // verified pairs on the cosine path) is already converged at round 0
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
+    // checkpointed labels per round, no join needed to detect no-change.
+    // The same agg carries the row count, so round-0 emptiness (no docs,
+    // or no verified pairs on the cosine path — SUM over zero rows is
+    // SQL NULL) needs no separate isEmpty action
+    def labelStats(df: DataFrame): (java.math.BigDecimal, Long) = {
+      val r = df.agg(sum(col("cluster_id").cast("decimal(38,0)")), count(lit(1))).head()
+      (Option(r.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO), r.getLong(1))
+    }
+    val (s0, n0) = labelStats(labels)
+    var prevSum = s0
     var rounds = 0
-    var converged = labels.isEmpty
+    var converged = n0 == 0L
     while (!converged && rounds < maxRounds) {
       labels = relabel(labels)
-      val s = labelSum(labels)
+      val s = labelStats(labels)._1
       rounds += 1
       converged = s.compareTo(prevSum) == 0
       prevSum = s
