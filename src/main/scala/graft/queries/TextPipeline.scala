@@ -673,6 +673,113 @@ object TextPipeline extends QueryModule {
        |""".stripMargin
   }
 
+  /** The FULL curation pipeline as one oracle-gated query — the
+    * production composition every piece above exists for, chained in the
+    * order a real training-data selection job runs them:
+    *
+    *   1. one corpus pass → narrow (doc_id, lang, fp, score_scaled)
+    *      projection, checkpointed (no text column ever shuffles again);
+    *   2. EXACT dedup: first-wins per md5 fingerprint (hash agg +
+    *      semi-join — the corpusFilter shape);
+    *   3. NEAR-DUP connected components over the exact survivors only
+    *      (MinHash-LSH bands semi-joined down, then [[ccIterate]] — dups
+    *      of an already-removed exact copy can't resurrect it);
+    *   4. representative election per near-dup cluster by quality
+    *      ([[clusterBest]]'s packed-BIGINT hash argmax);
+    *   5. quality threshold on the elected winners.
+    *
+    * Emits every exact-survivor doc with its cluster and verdict
+    * (is_kept = elected AND above threshold), so downstream consumers
+    * join on doc_id to materialize the kept corpus. Each stage is the
+    * skew-safe shape proven by its standalone entry; the composition adds
+    * no new shuffle beyond its parts.
+    */
+  def curationE2e(spark: SparkSession, dir: String): DataFrame = {
+    val sw = Stopwords.map(s => s"w = '$s'").mkString(" or ")
+    val scored = docsNorm(spark, dir).select(
+        col("doc_id"), col("lang"), md5(col("nc")).as("fp"),
+        size(col("words")).as("n_tokens"),
+        expr(s"size(filter(words, w -> $sw))").as("stopword_count"),
+        size(array_distinct(col("words"))).as("n_distinct"))
+      .withColumn("score_scaled", expr(scoreScaledSql("n_tokens", "stopword_count", "n_distinct")))
+      .select(col("doc_id"), col("lang"), col("fp"), col("score_scaled"))
+      .localCheckpoint(true)
+    val firstPerFp = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exact = scored.join(firstPerFp, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("score_scaled"))
+      .localCheckpoint(true)
+    val bands = lshBandsOf(spark, dir)
+      .join(exact.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val (labels, _) = ccIterate(bands)
+    val m = exact.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("score_scaled"))
+    val K = 1L << 40
+    val best = m.groupBy(col("cluster_id"))
+      .agg(max(expr(
+        s"ifnull(assert_true(doc_id >= 0 and doc_id < ${K}L), score_scaled * ${K}L - doc_id)"))
+        .as("enc"))
+      .select(col("cluster_id"), pmod(-col("enc"), lit(K)).as("best_doc"))
+    m.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("lang"), col("cluster_id"), col("score_scaled"),
+        (col("doc_id") === col("best_doc") && col("score_scaled") >= 3500)
+          .cast("int").as("is_kept"))
+  }
+
+  def curationE2eSql: String = {
+    val sw = Stopwords.map(s => s"w = '$s'").mkString(" or ")
+    s"""WITH RECURSIVE q AS (
+       |  SELECT doc_id, lang, md5(nc) AS fp,
+       |         ${scoreScaledSql(
+                    "LEN(string_split(nc, ' '))",
+                    s"LEN(list_filter(string_split(nc, ' '), w -> $sw))",
+                    "LEN(list_distinct(string_split(nc, ' ')))")} AS score_scaled
+       |  FROM (SELECT doc_id, lang, ${normSql("text")} AS nc FROM documents)
+       |), ff AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM q GROUP BY fp
+       |), ex AS (
+       |  SELECT q.doc_id, q.lang, q.score_scaled FROM q JOIN ff USING (doc_id)
+       |), d0 AS (
+       |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM documents
+       |), d AS (
+       |  SELECT doc_id, ${shinglesSqlExpr(3)} AS shingles FROM d0 WHERE LEN(ws) >= 3
+       |), sh AS (
+       |  SELECT doc_id, UNNEST(shingles) AS sh FROM d
+       |), $sqlSigStages, bands0 AS (
+       |  $sqlBandSelects
+       |), bands AS (
+       |  SELECT b.* FROM bands0 b JOIN ff ON b.doc_id = ff.doc_id
+       |), hub AS (
+       |  SELECT band, bkey, MIN(doc_id) AS hub FROM bands GROUP BY band, bkey
+       |), edges AS (
+       |  SELECT b.doc_id AS src, h.hub AS dst FROM bands b JOIN hub h USING (band, bkey)
+       |  UNION
+       |  SELECT h.hub AS src, b.doc_id AS dst FROM bands b JOIN hub h USING (band, bkey)
+       |), reach AS (
+       |  SELECT DISTINCT doc_id, doc_id AS r FROM bands
+       |  UNION
+       |  SELECT reach.doc_id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r
+       |), cc AS (
+       |  SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+       |), m AS (
+       |  SELECT ex.doc_id, ex.lang, COALESCE(cc.cluster_id, ex.doc_id) AS cluster_id,
+       |         ex.score_scaled
+       |  FROM ex LEFT JOIN cc ON ex.doc_id = cc.doc_id
+       |), r AS (
+       |  SELECT doc_id, lang, cluster_id, score_scaled,
+       |         ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |                            ORDER BY score_scaled DESC, doc_id ASC) AS rn
+       |  FROM m
+       |)
+       |SELECT doc_id, lang, cluster_id, score_scaled,
+       |       CAST(rn = 1 AND score_scaled >= 3500 AS INT) AS is_kept
+       |FROM r
+       |""".stripMargin
+  }
+
   /** End-to-end corpus curation: quality-filter + exact-dedup-canonical
     * composed, reporting kept-document stats per language — the shape of a
     * real training-data selection job (filters push to the scan; the only
@@ -1758,6 +1865,7 @@ object TextPipeline extends QueryModule {
     "t_bloom_decontam" -> (bloomDecontaminate _),
     "t_incremental_dedup" -> (incrementalDedup _),
     "t_cluster_best" -> (clusterBest _),
+    "t_curation_e2e" -> (curationE2e _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1791,5 +1899,6 @@ object TextPipeline extends QueryModule {
     "t_bloom_decontam" -> bloomDecontaminateSql,
     "t_incremental_dedup" -> incrementalDedupSql,
     "t_cluster_best" -> clusterBestSql,
+    "t_curation_e2e" -> curationE2eSql,
   )
 }

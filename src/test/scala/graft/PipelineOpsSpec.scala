@@ -400,4 +400,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.join(cc, "doc_id").filter(col("cluster_id") =!= col("cc_id")).count() == 0)
     assert(out.filter(col("is_best") === 0).count() > 0, "fixture must contain non-kept dups")
   }
+
+  test("curationE2e composes its stages: exact survivors, one winner per cluster, threshold") {
+    val out = TextPipeline.curationE2e(spark, dir)
+    // stage 2: output rows are exactly the exact-dedup canonicals
+    val canon = TextPipeline.fingerprintDedup(spark, dir).filter(col("is_canonical") === 1)
+    assert(out.count() == canon.count())
+    assert(out.join(canon.select("doc_id"), Seq("doc_id"), "left_anti").count() == 0)
+    // stages 4-5: at most one kept doc per cluster; every kept doc clears
+    // the threshold AND carries its cluster's max score (ties to lowest id)
+    val perCluster = out.groupBy(col("cluster_id")).agg(sum(col("is_kept")).as("k"))
+    assert(perCluster.filter(col("k") > 1).count() == 0)
+    assert(out.filter(col("is_kept") === 1 && col("score_scaled") < 3500).count() == 0)
+    val kept = out.filter(col("is_kept") === 1)
+      .select(col("cluster_id"), col("doc_id").as("b"), col("score_scaled").as("bs"))
+    val viol = out.join(kept, "cluster_id")
+      .filter(col("score_scaled") > col("bs") ||
+        (col("score_scaled") === col("bs") && col("doc_id") < col("b")))
+    assert(viol.count() == 0)
+    // a cluster with NO kept doc is one whose elected winner missed the
+    // threshold — its member scores must ALL be below it
+    val unkept = perCluster.filter(col("k") === 0).select("cluster_id")
+    assert(out.join(unkept, "cluster_id").filter(col("score_scaled") >= 3500).count() == 0)
+    assert(kept.count() > 0 && out.count() > kept.count(), "verdicts must be non-trivial")
+  }
 }
