@@ -1163,6 +1163,44 @@ object TextPipeline extends QueryModule {
        |""".stripMargin
   def vocabTopkSql: String = vocabTopkSqlWith(VocabK)
 
+  /** Per-doc mean DOCUMENT FREQUENCY of its distinct vocabulary — the
+    * exact-integer cousin of LM-perplexity quality filtering (CCNet-style
+    * pipelines score docs by how "expected" their vocabulary is; a
+    * corpus-trained log-prob is float-summation-order territory no
+    * cross-engine oracle can pin, but mean-df ranks docs the same way
+    * with pure integer arithmetic: rare-vocab/noisy docs score LOW,
+    * boilerplate-vocab docs HIGH). Two hash-agg passes over the
+    * distinct-word projection: df(w) = #docs containing w (distinct per
+    * doc, so the count IS document frequency), then per-doc
+    * (n_distinct, SUM df) via the join-back on word — the join fanout is
+    * one row per (doc, distinct word), linear in corpus vocabulary
+    * incidence, and a stopword's huge df is data carried per row, not a
+    * skewed group. Empty-string tokens are excluded like vocabTopk.
+    */
+  def docFreq(spark: SparkSession, dir: String): DataFrame = {
+    val w = docsNorm(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(col("words"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .localCheckpoint(true)
+    val df = w.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    w.join(df, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("df")).as("sum_df"))
+      .withColumn("mean_df", expr(Det.r4("sum_df / n_distinct")))
+  }
+
+  def docFreqSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, UNNEST(list_distinct(string_split(${normSql("text")}, ' '))) AS word
+       |  FROM documents
+       |), wf AS (SELECT * FROM w WHERE LENGTH(word) > 0),
+       |df AS (SELECT word, COUNT(*) AS df FROM wf GROUP BY word)
+       |SELECT doc_id, COUNT(*) AS n_distinct, CAST(SUM(df.df) AS BIGINT) AS sum_df,
+       |       ${Det.r4("SUM(df.df) / COUNT(*)")} AS mean_df
+       |FROM wf JOIN df USING (word)
+       |GROUP BY doc_id
+       |""".stripMargin
+
   /** Document-length histogram: 100-char buckets with per-bucket token
     * stats — the size-profile pass every corpus curation run starts with.
     * Single hash aggregation; bucket arithmetic is exact int math.
@@ -1866,6 +1904,7 @@ object TextPipeline extends QueryModule {
     "t_incremental_dedup" -> (incrementalDedup _),
     "t_cluster_best" -> (clusterBest _),
     "t_curation_e2e" -> (curationE2e _),
+    "t_doc_freq" -> (docFreq _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1900,5 +1939,6 @@ object TextPipeline extends QueryModule {
     "t_incremental_dedup" -> incrementalDedupSql,
     "t_cluster_best" -> clusterBestSql,
     "t_curation_e2e" -> curationE2eSql,
+    "t_doc_freq" -> docFreqSql,
   )
 }

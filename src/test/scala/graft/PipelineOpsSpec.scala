@@ -401,6 +401,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.filter(col("is_best") === 0).count() > 0, "fixture must contain non-kept dups")
   }
 
+  test("docFreq: df >= 1 per word, direct recompute of one doc agrees") {
+    val out = TextPipeline.docFreq(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out.nonEmpty && out.values.forall { case (n, s) => s >= n && n > 0 })
+    // recompute one doc by hand from the normalized corpus
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        split(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")), " ").as("w"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).distinct.filter(_.nonEmpty).toSet))
+    val dfMap = words.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (docId, vocab) = words.head
+    assert(out(docId) == ((vocab.size.toLong, vocab.toSeq.map(dfMap).sum)))
+  }
+
   test("curationE2e composes its stages: exact survivors, one winner per cluster, threshold") {
     val out = TextPipeline.curationE2e(spark, dir)
     // stage 2: output rows are exactly the exact-dedup canonicals
