@@ -401,6 +401,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.filter(col("is_best") === 0).count() > 0, "fixture must contain non-kept dups")
   }
 
+  test("winnowPairs: every pair shares >= 2 rare fingerprints, recompute agrees") {
+    val out = TextPipeline.winnowPairs(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out.nonEmpty && out.keys.forall { case (a, b) => a < b })
+    // reconstruct from the winnow fingerprint surface with the df cap
+    val w = TextPipeline.winnowFingerprint(spark, dir)
+      .select(col("doc_id"), col("min_hash")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val df = w.groupBy(_._2).view.mapValues(_.length).toMap
+    val byDoc = w.filter(p => df(p._2) <= 50).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val expected = (for {
+      (a, sa) <- byDoc.toSeq; (b, sb) <- byDoc.toSeq if a < b
+      k = (sa & sb).size if k >= 2
+    } yield (a, b) -> k.toLong).toMap
+    assert(out == expected)
+  }
+
   test("docFreq: df >= 1 per word, direct recompute of one doc agrees") {
     val out = TextPipeline.docFreq(spark, dir).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
