@@ -9,7 +9,11 @@ import org.apache.spark.sql.functions._
   *   - `approx_count_distinct` (HyperLogLog++): distinct counts whose
   *     shuffle payload is one fixed-size sketch per partition instead of
   *     every distinct key;
-  *   - `approx_percentile`: quantiles without a global sort.
+  *   - `approx_percentile`: quantiles without a global sort;
+  *   - `count_min_sketch`: per-item frequency estimates (never
+  *     under-counts, over-counts bounded by eps·N) from one fixed-size
+  *     sketch — the heavy-hitter profile over a vocabulary too large to
+  *     aggregate exactly.
   *
   * These have no DuckDB oracle entry (sketch internals differ between
   * engines, so driver hash-equality cannot hold); the capability contract
@@ -60,6 +64,41 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(p99a - p99e) / p99e <= 0.02, s"p99 approx=$p99a exact=$p99e")
       assert(p50a == goldP50 && p99a == goldP99,
         s"quantile summary drifted from golden ($goldP50, $goldP99) to ($p50a, $p99a)")
+    }
+  }
+
+  /** (sfDir, golden estimates for the 3 most frequent normalized words) —
+    * pinned on Spark 4.1.2 against testdata seed 42; see the golden
+    * rationale in the class doc (CMS with a fixed seed is a deterministic,
+    * order-free function of the input multiset: cell updates are
+    * commutative counts and merge is cell-wise addition).
+    */
+  private val CmsFixtures = Seq(
+    ("/root/testdata/sf0.01", Seq(964L, 947L, 943L)),
+    ("/root/testdata/sf0.1", Seq(9182L, 9159L, 9157L)))
+
+  for ((sfDir, golden) <- CmsFixtures) {
+    test(s"count_min_sketch over-estimates within eps*N, golden-pinned ($sfDir)") {
+      val w = Tables.documents(spark, sfDir)
+        .select(explode(split(trim(regexp_replace(regexp_replace(
+          lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val top = w.groupBy(col("w")).count()
+        .orderBy(col("count").desc, col("w").asc).limit(3)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val total = w.count()
+      val bytes = w.agg(expr("count_min_sketch(w, 0.001d, 0.99d, 42)"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      val ests = top.map { case (word, _) => cms.estimateCount(word) }
+      top.zip(ests).foreach { case ((word, exact), est) =>
+        // CMS never under-counts; eps bounds the over-count vs total mass
+        assert(est >= exact && est <= exact + (0.001 * total).toLong + 1,
+          s"word=$word exact=$exact est=$est total=$total")
+      }
+      assert(ests.toSeq == golden,
+        s"CMS estimates drifted from golden $golden to ${ests.toSeq} — sketch internals changed")
     }
   }
 
