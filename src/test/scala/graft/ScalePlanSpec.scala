@@ -176,4 +176,41 @@ class ScalePlanSpec extends SparkSpec {
       s"expected the probe below the verification join:\n$plan")
     assert(df.count() > 0)
   }
+
+  test("semanticDedup: no SortAggregate, canon mapping joined as broadcast") {
+    // the within-cell pair scoring shuffles on cluster id; the per-vector
+    // canon assignment must come back as a broadcast of the (small)
+    // min-partner table, never a second full shuffle of the corpus
+    val df = graft.queries.Similarity.semanticDedup(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"), s"expected hash aggregates only:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast canon join:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("clusterBest and curationE2e elect via hash MAX — no SortAggregate, no Window") {
+    // the packed-BIGINT argmax must stay a plain hash-aggregable MAX;
+    // max_by over a struct key (or a per-cluster window) would put a
+    // 10^8-doc template cluster into one sort partition
+    for (df <- Seq(
+      graft.queries.TextPipeline.clusterBest(spark, "/root/testdata/sf0.001"),
+      graft.queries.TextPipeline.curationE2e(spark, "/root/testdata/sf0.001"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortAggregate"), s"expected hash aggregates only:\n$plan")
+      assert(!plan.contains("Window"), s"expected no WindowExec:\n$plan")
+      assert(df.count() > 0)
+    }
+  }
+
+  test("docFreq joins the df table back as a broadcast — word-keyed shuffle only for the agg") {
+    // df(word) is |vocabulary|-sized (bounded, zipf-truncated), so the
+    // join-back must broadcast it; the per-doc rollup shuffles partials
+    // on doc_id only
+    val df = graft.queries.TextPipeline.docFreq(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast df join:\n$plan")
+    assert(!plan.contains("SortAggregate") && !plan.contains("Window"),
+      s"expected hash aggregates only:\n$plan")
+    assert(df.count() > 0)
+  }
 }
