@@ -348,7 +348,14 @@ object TextPipeline extends QueryModule {
     * computed only on candidates (LSH is the scale path; the verify join
     * is bucket-bounded).
     */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsRaw(spark, dir).select("doc_a", "doc_b", "jaccard")
+
+  /** Candidate pairs with the exact intersection/size counts kept — the
+    * shared core of [[minhashPairs]] (emits jaccard) and
+    * [[crossSourceDup]] (thresholds on the INTEGER counts: 3·inter ≥
+    * la+lb ⟺ jaccard ≥ ½ with no float boundary to disagree on). */
+  private def minhashPairsRaw(spark: SparkSession, dir: String): DataFrame = {
     // Materialize shingle sets and signatures once: the band self-join and
     // the pair-verification join would otherwise recompute the shingle
     // subtree four times. At scale this is the standard topology anyway:
@@ -376,9 +383,61 @@ object TextPipeline extends QueryModule {
     val sb = d.select(col("doc_id").as("doc_b"), col("shingles").as("shb"))
     cands.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard", expr(Det.r4("inter / (size(sha) + size(shb) - inter)")))
-      .select("doc_a", "doc_b", "jaccard")
+      .withColumn("la", size(col("sha"))).withColumn("lb", size(col("shb")))
+      .withColumn("jaccard", expr(Det.r4("inter / (la + lb - inter)")))
   }
+
+  /** Cross-source duplication matrix — WHICH corpora duplicate each
+    * other: near-dup pairs (MinHash-LSH candidates, verified at
+    * jaccard ≥ ½ via the integer form 3·inter ≥ la+lb) joined to each
+    * doc's source and rolled up per unordered source pair. The standard
+    * provenance diagnostic before mixing crawls: a heavy diagonal means
+    * within-source boilerplate, a heavy off-diagonal cell means one crawl
+    * substantially contains another and quota decisions should treat them
+    * as one pool. Pair set is sparse (LSH-bounded), the source map join
+    * is two doc_id hash joins, and the matrix is |sources|² rows.
+    */
+  def crossSourceDup(spark: SparkSession, dir: String): DataFrame = {
+    val dup = minhashPairsRaw(spark, dir)
+      .filter(col("inter") * 3 >= col("la") + col("lb"))
+      .select(col("doc_a"), col("doc_b"))
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    dup.join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+              greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  def crossSourceDupSql: String =
+    s"""WITH d0 AS (
+       |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM documents
+       |), d AS (
+       |  SELECT doc_id, ${shinglesSqlExpr(3)} AS shingles FROM d0 WHERE LEN(ws) >= 3
+       |), sh AS (
+       |  SELECT doc_id, UNNEST(shingles) AS sh FROM d
+       |), $sqlSigStages, bands AS (
+       |  $sqlBandSelects
+       |), cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |), j AS (
+       |  SELECT doc_a, doc_b,
+       |         LEN(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS inter,
+       |         LEN(a.shingles) AS la, LEN(b.shingles) AS lb
+       |  FROM cands JOIN d a ON doc_a = a.doc_id JOIN d b ON doc_b = b.doc_id
+       |), dup AS (
+       |  SELECT doc_a, doc_b FROM j WHERE inter * 3 >= la + lb
+       |)
+       |SELECT LEAST(da.source, db.source) AS source_a,
+       |       GREATEST(da.source, db.source) AS source_b,
+       |       COUNT(*) AS n_pairs
+       |FROM dup JOIN documents da ON dup.doc_a = da.doc_id
+       |         JOIN documents db ON dup.doc_b = db.doc_id
+       |GROUP BY 1, 2
+       |""".stripMargin
 
   def minhashPairsSql: String = {
     s"""WITH d0 AS (
@@ -1956,6 +2015,7 @@ object TextPipeline extends QueryModule {
     "t_curation_e2e" -> (curationE2e _),
     "t_doc_freq" -> (docFreq _),
     "t_winnow_pairs" -> (winnowPairs _),
+    "t_cross_source_dup" -> (crossSourceDup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1992,5 +2052,6 @@ object TextPipeline extends QueryModule {
     "t_curation_e2e" -> curationE2eSql,
     "t_doc_freq" -> docFreqSql,
     "t_winnow_pairs" -> winnowPairsSql,
+    "t_cross_source_dup" -> crossSourceDupSql,
   )
 }

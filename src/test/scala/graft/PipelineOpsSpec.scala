@@ -419,6 +419,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("crossSourceDup: normalized pairs, totals match the thresholded pair count") {
+    val out = TextPipeline.crossSourceDup(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    assert(out.nonEmpty && out.forall { case ((a, b), n) => a <= b && n > 0 })
+    // total matrix mass == number of jaccard>=1/2 pairs from the pair surface
+    val pairs = TextPipeline.minhashPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5).count()
+    assert(out.map(_._2).sum == pairs)
+  }
+
   test("docFreq: df >= 1 per word, direct recompute of one doc agrees") {
     val out = TextPipeline.docFreq(spark, dir).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
