@@ -983,6 +983,55 @@ object Similarity extends QueryModule {
     out
   }
 
+  /** ANN index-health evaluation: recall@k of the IVF index against the
+    * brute-force ground truth, per query — the metric a vector pipeline
+    * recomputes after every reindex/retrain to decide whether nprobe or
+    * ncells needs adjusting (recall silently decaying as the corpus
+    * drifts is THE operational failure mode of IVF serving). Both sides
+    * are this module's own oracle-gated top-k queries; the overlap is a
+    * semi-join on (query, id) and every output quantity is an exact
+    * integer (recall in basis points via integer division) — k rows per
+    * query in, |queries| rows out, trivially cheap next to the searches
+    * themselves.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val b = knnBrute(spark, dir).select(col("query_id"), col("vec_id"))
+      .localCheckpoint(true)
+    val i = knnIvf(spark, dir).select(col("query_id"), col("vec_id"))
+      .localCheckpoint(true)
+    val nb = b.groupBy(col("query_id")).agg(count(lit(1)).as("n_brute"))
+    val ni = i.groupBy(col("query_id")).agg(count(lit(1)).as("n_ivf"))
+    val ov = b.join(i, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("ov"))
+    nb.join(ni, Seq("query_id"), "left").join(ov, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_brute"),
+        coalesce(col("n_ivf"), lit(0L)).as("n_ivf"),
+        coalesce(col("ov"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_bp", expr("n_overlap * 10000 div n_brute"))
+  }
+
+  def annRecallSql: String =
+    s"""WITH b AS (
+       |${knnBruteSql}
+       |), i AS (
+       |${knnIvfSql}
+       |), nb AS (
+       |  SELECT query_id, COUNT(*) AS n_brute FROM b GROUP BY query_id
+       |), ni AS (
+       |  SELECT query_id, COUNT(*) AS n_ivf FROM i GROUP BY query_id
+       |), ov AS (
+       |  SELECT b.query_id, COUNT(*) AS ov
+       |  FROM b JOIN i ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+       |  GROUP BY b.query_id
+       |)
+       |SELECT nb.query_id, nb.n_brute,
+       |       COALESCE(ni.n_ivf, 0) AS n_ivf,
+       |       COALESCE(ov.ov, 0) AS n_overlap,
+       |       COALESCE(ov.ov, 0) * 10000 // nb.n_brute AS recall_bp
+       |FROM nb LEFT JOIN ni ON nb.query_id = ni.query_id
+       |        LEFT JOIN ov ON nb.query_id = ov.query_id
+       |""".stripMargin
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     * corpus with k-means, then compare embeddings ONLY within a cluster —
     * pairs in different clusters are never scored, which is the whole
@@ -1172,6 +1221,7 @@ object Similarity extends QueryModule {
     "s_knn_ivfpq" -> (knnIvfPq _),
     "s_kmeans" -> (kmeans _),
     "s_kmeans_conv" -> (kmeansConvEntry _),
+    "s_ann_recall" -> (annRecall _),
     "s_semantic_dedup" -> (semanticDedup _),
     "s_dim_stats" -> (dimStats _),
   )
@@ -1190,6 +1240,7 @@ object Similarity extends QueryModule {
     "s_knn_ivfpq" -> knnIvfPqSql,
     "s_kmeans" -> kmeansSql,
     "s_kmeans_conv" -> kmeansUnrolledSql(KmeansConvUnroll),
+    "s_ann_recall" -> annRecallSql,
     "s_semantic_dedup" -> semanticDedupSql,
     "s_dim_stats" -> dimStatsSql,
   )

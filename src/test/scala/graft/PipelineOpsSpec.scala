@@ -419,6 +419,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("annRecall agrees with a direct overlap of the two top-k surfaces") {
+    val out = Similarity.annRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val b = Similarity.knnBrute(spark, dir).select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val i = Similarity.knnIvf(spark, dir).select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(out.keySet == b.keySet)
+    out.foreach { case (q, (nb, ni, ov, bp)) =>
+      val (bs, is) = (b(q), i.getOrElse(q, Set.empty[Long]))
+      assert(nb == bs.size && ni == is.size && ov == (bs & is).size)
+      assert(bp == ov * 10000 / nb && bp >= 0 && bp <= 10000)
+    }
+  }
+
   test("crossSourceDup: normalized pairs, totals match the thresholded pair count") {
     val out = TextPipeline.crossSourceDup(spark, dir).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
