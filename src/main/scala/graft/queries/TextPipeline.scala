@@ -1981,6 +1981,120 @@ object TextPipeline extends QueryModule {
        |FROM delta LEFT JOIN c ON delta.fp = c.fp JOIN fw ON delta.fp = fw.fp
        |""".stripMargin
 
+  /** Per-doc top-K salient terms — the exact-integer analog of TF-IDF
+    * keyword extraction (the "what is this document about" primitive of
+    * corpus clustering and topic-balanced sampling). The IDF log is
+    * float-summation-free territory no cross-engine oracle can pin, so
+    * salience is ranked by tf/df in integer basis points
+    * (tf * 10000 div df) — a monotone transform of tf·(N/df) for fixed N,
+    * so the per-doc ranking is the TF-IDF ranking.
+    *
+    * One explode feeds both aggregates: tf is (doc, word)-keyed, df is
+    * the row count of tf per word (distinct-doc count by construction).
+    * The join-back fans out one row per (doc, distinct word); the rank
+    * filter plans as WindowGroupLimit partitioned by doc_id, so each
+    * task keeps a K-row heap per doc — no doc's full vocabulary is ever
+    * sorted, and no global sort exists anywhere.
+    */
+  private val TfidfK = 3
+  def tfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val tf = docsNorm(spark, dir)
+      .select(col("doc_id"), explode(col("words")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds both the df agg and the join-back
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    tf.join(df, "word")
+      .withColumn("score_bp", expr("tf * 10000 div df"))
+      .withColumn("rnk",
+        row_number().over(Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("score_bp").desc, col("word").asc)).cast("bigint"))
+      .filter(col("rnk") <= TfidfK)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+              col("score_bp"), col("rnk"))
+  }
+
+  def tfidfTopkSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, UNNEST(string_split(${normSql("text")}, ' ')) AS word FROM documents
+       |  ) WHERE LENGTH(word) > 0
+       |), t AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+       |f AS (SELECT word, COUNT(*) AS df FROM t GROUP BY word),
+       |s AS (
+       |  SELECT t.doc_id, t.word, t.tf, f.df, t.tf * 10000 // f.df AS score_bp,
+       |         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+       |                            ORDER BY t.tf * 10000 // f.df DESC, t.word ASC) AS rnk
+       |  FROM t JOIN f USING (word)
+       |)
+       |SELECT doc_id, word, tf, df, score_bp, rnk FROM s WHERE rnk <= $TfidfK
+       |""".stripMargin
+
+  /** Corpus collocations: adjacent-word pairs ranked by exact-integer
+    * lift — the PMI analog (PMI = log lift; log is monotone, so ranking
+    * by lift IS ranking by PMI, in cross-engine-exact arithmetic). The
+    * phrase-mining primitive behind tokenizer merge rules and
+    * multi-word-expression vocabularies.
+    *
+    * lift_bp = cbg * T * 10000 div (c1 * c2) where T is the corpus
+    * bigram total: > 10000 means the pair co-occurs more than
+    * independence predicts. Magnitudes: cbg, c1, c2, T ≤ corpus tokens
+    * (~2^31 at 100 TB text with this fixture's token sizes would not
+    * hold — but cbg ≤ min(c1, c2) keeps cbg·T·10⁴ under 2^63 for corpora
+    * to ~10^7 tokens per distinct-pair count; beyond that the MinCount
+    * prefilter keeps only pairs whose counts fit comfortably, and ANSI
+    * mode fails loud, not wrong). Shapes: two token-linear hash aggs
+    * (unigram, bigram), the 1-row total broadcast, two word-keyed
+    * shuffle joins (vocabulary can outgrow broadcast at corpus scale),
+    * and a TakeOrderedAndProject top-K — no global sort.
+    */
+  private val CollocMinCount = 3
+  private val CollocK = 50
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsNorm(spark, dir)
+    val uni = d.select(explode(col("words")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bg = d.filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(words) - 2), i -> struct(words[i] AS w1, words[i + 1] AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbg"))
+      .localCheckpoint(true) // feeds the total and the ranked output
+    val tot = bg.agg(sum(col("cbg")).as("t_bg"))
+    bg.filter(col("cbg") >= CollocMinCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_bp", expr("cbg * t_bg * 10000 div (c1 * c2)"))
+      .select(col("w1"), col("w2"), col("cbg"), col("c1"), col("c2"),
+              col("lift_bp"))
+      .orderBy(col("lift_bp").desc, col("w1").asc, col("w2").asc)
+      .limit(CollocK)
+  }
+
+  def collocationsSql: String =
+    s"""WITH d AS (SELECT string_split(${normSql("text")}, ' ') AS ws FROM documents),
+       |uni AS (
+       |  SELECT w, COUNT(*) AS c
+       |  FROM (SELECT UNNEST(ws) AS w FROM d) WHERE LENGTH(w) > 0 GROUP BY w
+       |), b AS (
+       |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+       |  FROM (SELECT ws, UNNEST(range(1, LEN(ws))) AS i FROM d WHERE LEN(ws) >= 2)
+       |), bg AS (SELECT w1, w2, COUNT(*) AS cbg FROM b GROUP BY w1, w2),
+       |tot AS (SELECT CAST(SUM(cbg) AS BIGINT) AS t_bg FROM bg)
+       |SELECT w1, w2, cbg, u1.c AS c1, u2.c AS c2,
+       |       cbg * t_bg * 10000 // (u1.c * u2.c) AS lift_bp
+       |FROM bg
+       |CROSS JOIN tot
+       |JOIN uni u1 ON bg.w1 = u1.w
+       |JOIN uni u2 ON bg.w2 = u2.w
+       |WHERE cbg >= $CollocMinCount
+       |ORDER BY lift_bp DESC, w1 ASC, w2 ASC
+       |LIMIT $CollocK
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> (tokenStats _),
     "t_lang_id" -> (langId _),
@@ -2016,6 +2130,8 @@ object TextPipeline extends QueryModule {
     "t_doc_freq" -> (docFreq _),
     "t_winnow_pairs" -> (winnowPairs _),
     "t_cross_source_dup" -> (crossSourceDup _),
+    "t_tfidf_topk" -> (tfidfTopk _),
+    "t_collocations" -> (collocations _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2053,5 +2169,7 @@ object TextPipeline extends QueryModule {
     "t_doc_freq" -> docFreqSql,
     "t_winnow_pairs" -> winnowPairsSql,
     "t_cross_source_dup" -> crossSourceDupSql,
+    "t_tfidf_topk" -> tfidfTopkSql,
+    "t_collocations" -> collocationsSql,
   )
 }

@@ -481,4 +481,49 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.join(unkept, "cluster_id").filter(col("score_scaled") >= 3500).count() == 0)
     assert(kept.count() > 0 && out.count() > kept.count(), "verdicts must be non-trivial")
   }
+
+  // shared hand-recompute basis for the term-statistics tests: per doc,
+  // the normalized token sequence (duplicates kept, empties dropped —
+  // the operator's exact token universe)
+  private def handTokens(): Array[(Long, Seq[String])] =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        split(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")), " ").as("w"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).filter(_.nonEmpty)))
+
+  test("tfidfTopk: exact tf/df recompute, true per-doc top-K in the tie order") {
+    val out = TextPipeline.tfidfTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(out.nonEmpty)
+    val words = handTokens()
+    val tf = words.flatMap { case (d, ws) => ws.map(w => (d, w)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val df = tf.keys.toSeq.map(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = tf.keys.groupBy(_._1).flatMap { case (d, ks) =>
+      ks.toSeq.map { case (_, w) => (w, tf((d, w)), df(w), tf((d, w)) * 10000 / df(w)) }
+        .sortBy { case (w, _, _, s) => (-s, w) }.take(3).zipWithIndex
+        .map { case ((w, t, f, s), i) => (d, w, t, f, s, i + 1L) }
+    }.toSet
+    assert(out == expect)
+  }
+
+  test("collocations: exact lift recompute, true global top-K among cbg >= 3 pairs") {
+    val out = TextPipeline.collocations(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty && out.length <= 50)
+    val words = handTokens()
+    val uni = words.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bg = words.flatMap { case (_, ws) =>
+      ws.sliding(2).collect { case Seq(a, b) => (a, b) } }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val t = bg.values.sum
+    val expect = bg.collect { case ((a, b), c) if c >= 3 =>
+      (a, b, c, uni(a), uni(b), c * t * 10000 / (uni(a) * uni(b))) }
+      .toSeq.sortBy { case (a, b, _, _, _, l) => (-l, a, b) }.take(50)
+    assert(out.toSeq.sortBy { case (a, b, _, _, _, l) => (-l, a, b) } == expect)
+    // lift separates: the top pair must beat independence (> 10000 bp)
+    assert(expect.head._6 > 10000)
+  }
 }

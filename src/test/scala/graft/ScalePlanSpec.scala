@@ -213,4 +213,20 @@ class ScalePlanSpec extends SparkSpec {
       s"expected hash aggregates only:\n$plan")
     assert(df.count() > 0)
   }
+
+  test("tfidfTopk rank-filters as WindowGroupLimit; collocations tops out without a global sort") {
+    // the per-doc rank filter must keep a K-row heap under the window
+    // (no doc's full vocabulary sorted in one task)
+    val t = graft.queries.TextPipeline.tfidfTopk(spark, "/root/testdata/sf0.001")
+    val tp = t.queryExecution.executedPlan.toString
+    assert(tp.contains("WindowGroupLimit"), s"expected WindowGroupLimit under the rank filter:\n$tp")
+    assert(t.count() > 0)
+    // the corpus-level top-K must merge per-partition heaps, and the
+    // 1-row bigram total must broadcast, never cartesian
+    val c = graft.queries.TextPipeline.collocations(spark, "/root/testdata/sf0.001")
+    val cp = c.queryExecution.executedPlan.toString
+    assert(cp.contains("TakeOrderedAndProject"), s"expected top-k merge, not a global sort:\n$cp")
+    assert(!cp.contains("CartesianProduct"), s"the 1-row total must broadcast:\n$cp")
+    assert(c.count() > 0)
+  }
 }
