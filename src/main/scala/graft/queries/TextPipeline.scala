@@ -2095,6 +2095,58 @@ object TextPipeline extends QueryModule {
        |LIMIT $CollocK
        |""".stripMargin
 
+  /** Source mixture weighting — the "how much of each source goes into
+    * the next training run" allocation step: per-source token mass,
+    * temperature-flattened sampling shares (weight ∝ tokens^(1/2), the
+    * standard mixture temperature that upweights small high-quality
+    * sources without letting a giant crawl dominate), and the integer
+    * token allocation of a fixed budget.
+    *
+    * Cross-engine exact despite the sqrt: IEEE-754 sqrt is correctly
+    * rounded in both engines (a per-row double op, no summation), and it
+    * is quantized to integer basis points BEFORE the cross-source sum,
+    * so every aggregate is exact integer arithmetic. Shapes: one
+    * token-linear hash agg to |sources| rows, the 2-scalar total
+    * broadcast back — nothing downstream of the agg exceeds the source
+    * count.
+    */
+  private val MixBudget = 1000000L
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val s = docsNorm(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(col("words")).cast("long")).as("n_tokens"))
+      .withColumn("q",
+        expr("CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE)) * 10000) AS BIGINT)"))
+      .localCheckpoint(true) // shares the agg between the total and the rows
+    val tot = s.agg(sum(col("q")).as("tot_q"),
+                    sum(col("n_tokens")).as("tot_tokens"))
+    s.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 10000 div tot_tokens").as("raw_share_bp"),
+        expr("q * 10000 div tot_q").as("share_bp"),
+        expr(s"$MixBudget * q div tot_q").as("alloc_tokens"))
+  }
+
+  def mixtureWeightsSql: String =
+    s"""WITH s AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |         CAST(SUM(LEN(string_split(${normSql("text")}, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source
+       |), w AS (
+       |  SELECT *, CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE)) * 10000) AS BIGINT) AS q
+       |  FROM s
+       |), t AS (
+       |  SELECT CAST(SUM(q) AS BIGINT) AS tot_q,
+       |         CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM w
+       |)
+       |SELECT source, n_docs, n_tokens,
+       |       n_tokens * 10000 // tot_tokens AS raw_share_bp,
+       |       q * 10000 // tot_q AS share_bp,
+       |       $MixBudget * q // tot_q AS alloc_tokens
+       |FROM w CROSS JOIN t
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> (tokenStats _),
     "t_lang_id" -> (langId _),
@@ -2132,6 +2184,7 @@ object TextPipeline extends QueryModule {
     "t_cross_source_dup" -> (crossSourceDup _),
     "t_tfidf_topk" -> (tfidfTopk _),
     "t_collocations" -> (collocations _),
+    "t_mixture_weights" -> (mixtureWeights _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2171,5 +2224,6 @@ object TextPipeline extends QueryModule {
     "t_cross_source_dup" -> crossSourceDupSql,
     "t_tfidf_topk" -> tfidfTopkSql,
     "t_collocations" -> collocationsSql,
+    "t_mixture_weights" -> mixtureWeightsSql,
   )
 }

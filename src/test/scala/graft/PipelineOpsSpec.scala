@@ -526,4 +526,31 @@ class PipelineOpsSpec extends SparkSpec {
     // lift separates: the top pair must beat independence (> 10000 bp)
     assert(expect.head._6 > 10000)
   }
+
+  test("mixtureWeights: exact recompute, sqrt flattens shares, allocation within budget") {
+    val out = TextPipeline.mixtureWeights(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out.nonEmpty)
+    // hand recompute from the token universe (empties kept: the operator
+    // counts size(words) like tokenStats, where an empty doc yields [""])
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"),
+        split(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")), " ").as("w"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).size.toLong))
+    val bySrc = toks.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    val q = bySrc.view.mapValues { case (_, t) =>
+      math.round(math.sqrt(t.toDouble) * 10000) }.toMap
+    val (totQ, totT) = (q.values.sum, bySrc.values.map(_._2).sum)
+    bySrc.foreach { case (s, (nd, nt)) =>
+      assert(out(s) == ((nd, nt, nt * 10000 / totT, q(s) * 10000 / totQ,
+        1000000L * q(s) / totQ)))
+    }
+    // integer floor allocation never exceeds the budget
+    assert(out.values.map(_._5).sum <= 1000000L)
+    // sqrt flattening: the biggest source's share shrinks, the smallest grows
+    val big = bySrc.maxBy(_._2._2)._1; val small = bySrc.minBy(_._2._2)._1
+    assert(out(big)._4 <= out(big)._3 && out(small)._4 >= out(small)._3)
+  }
 }
