@@ -2147,6 +2147,98 @@ object TextPipeline extends QueryModule {
        |FROM w CROSS JOIN t
        |""".stripMargin
 
+  /** Mixture sampling — materializes a [[mixtureWeights]]-style
+    * allocation into an actual document selection: the budget is half
+    * the corpus's token mass, split across sources by the same
+    * sqrt-flattened shares (so the cut always binds and big sources are
+    * always trimmed); per source, documents are laid out in the
+    * deterministic content-hash order (first md5 word, the
+    * [[corpusShuffle]] idiom — a reproducible uniform shuffle, stable
+    * across engines and partition counts) and the greedy prefix whose
+    * cumulative token count fits the source's allocation is selected.
+    * This is the "write the next run's input list" step of corpus
+    * assembly.
+    *
+    * Scale shape: the cumulative sum is the trap here. A naive
+    * `Window.partitionBy(source)` puts EVERY doc of a source on one
+    * task — a single-node sort of a multi-TB source at 100 TB. Instead
+    * the classic two-pass distributed prefix sum: skey (uniform 32-bit)
+    * is range-bucketed ORDER-ALIGNED (bucket = skey div 2^28, so bucket
+    * order == skey order), per-(source, bucket) token subtotals (a tiny
+    * agg, |sources| × 16 rows) turn into per-bucket prefix offsets via a
+    * window over that tiny frame, and the running sum completes inside
+    * each (source, bucket) — parallelism = sources × buckets with no
+    * whole-source sort anywhere; buckets scale with the data by raising
+    * MixSampleBuckets. At 100 TB the doc list is read twice (subtotal
+    * pass + main pass) — two pruned 3-column scans beat caching the
+    * corpus. The DuckDB oracle is the naive single-window form, which is
+    * exactly what the bucketed plan must reproduce.
+    */
+  private val MixSampleBuckets = 16L
+  private val MixBucketWidth = (1L << 32) / MixSampleBuckets // 2^28
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsNorm(spark, dir).select(
+        col("doc_id"), col("source"),
+        size(col("words")).cast("long").as("n_tokens"),
+        element_at(call_function("md5_words", col("text")), 1).as("skey"))
+      .withColumn("bucket", expr(s"skey div $MixBucketWidth"))
+    val sub = d.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("bt"))
+      .localCheckpoint(true) // feeds both the offsets and the allocation
+    // budget = half the corpus's token mass, split by sqrt-flattened
+    // shares (the mixtureWeights temperature) — binds at every scale by
+    // construction, so big sources are always cut. Integer-exact; the
+    // (tot_tokens div 2) * q product stays below 2^63 for corpora up to
+    // ~2^31 tokens per source (past that, shrink the 10^4 bp unit).
+    val srcTot = sub.groupBy(col("source")).agg(sum(col("bt")).as("src_tokens"))
+      .withColumn("q",
+        expr("CAST(ROUND(SQRT(CAST(src_tokens AS DOUBLE)) * 10000) AS BIGINT)"))
+    val tot = srcTot.agg(sum(col("q")).as("tot_q"),
+                         sum(col("src_tokens")).as("tot_tokens"))
+    val alloc = srcTot.crossJoin(broadcast(tot))
+      .select(col("source"),
+        expr("(tot_tokens div 2) * q div tot_q").as("alloc_tokens"))
+    val wOff = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = sub
+      .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+      .select(col("source"), col("bucket"), col("off"))
+    val wIn = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("skey"), col("doc_id"))
+    d.join(broadcast(off), Seq("source", "bucket"))
+      .withColumn("cum_tokens", col("off") + sum(col("n_tokens")).over(wIn))
+      .join(broadcast(alloc), Seq("source"))
+      .where(col("cum_tokens") <= col("alloc_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  def mixtureSampleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         CAST(LEN(string_split(${normSql("text")}, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(${sqlWord(0)} AS BIGINT) AS skey
+       |  FROM (SELECT doc_id, source, text, md5(text) AS h FROM documents)
+       |), s AS (
+       |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM d GROUP BY source
+       |), w AS (
+       |  SELECT source, src_tokens,
+       |         CAST(ROUND(SQRT(CAST(src_tokens AS DOUBLE)) * 10000) AS BIGINT) AS q
+       |  FROM s
+       |), t AS (
+       |  SELECT CAST(SUM(q) AS BIGINT) AS tot_q,
+       |         CAST(SUM(src_tokens) AS BIGINT) AS tot_tokens FROM w
+       |), alloc AS (
+       |  SELECT source, (tot_tokens // 2) * q // tot_q AS alloc_tokens FROM w CROSS JOIN t
+       |), c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY skey, doc_id) AS BIGINT) AS cum_tokens
+       |  FROM d
+       |)
+       |SELECT doc_id, source, n_tokens, cum_tokens
+       |FROM c JOIN alloc USING (source)
+       |WHERE cum_tokens <= alloc_tokens
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> (tokenStats _),
     "t_lang_id" -> (langId _),
@@ -2185,6 +2277,7 @@ object TextPipeline extends QueryModule {
     "t_tfidf_topk" -> (tfidfTopk _),
     "t_collocations" -> (collocations _),
     "t_mixture_weights" -> (mixtureWeights _),
+    "t_mixture_sample" -> (mixtureSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2225,5 +2318,6 @@ object TextPipeline extends QueryModule {
     "t_tfidf_topk" -> tfidfTopkSql,
     "t_collocations" -> collocationsSql,
     "t_mixture_weights" -> mixtureWeightsSql,
+    "t_mixture_sample" -> mixtureSampleSql,
   )
 }

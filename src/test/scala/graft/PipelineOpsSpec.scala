@@ -553,4 +553,35 @@ class PipelineOpsSpec extends SparkSpec {
     val big = bySrc.maxBy(_._2._2)._1; val small = bySrc.minBy(_._2._2)._1
     assert(out(big)._4 <= out(big)._3 && out(small)._4 >= out(small)._3)
   }
+
+  test("mixtureSample: bucketed two-pass prefix == independent Scala recompute; budget binds") {
+    val out = TextPipeline.mixtureSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // independent recompute: collect the doc universe, do the whole
+    // allocation + greedy prefix in plain Scala
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      size(split(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")), " "))
+        .cast("long").as("n_tokens"),
+      element_at(call_function("md5_words", col("text")), 1).as("skey"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySrc = d.groupBy(_._2)
+    val srcTok = bySrc.view.mapValues(_.map(_._3).sum).toMap
+    val q = srcTok.view.mapValues(t => math.round(math.sqrt(t.toDouble) * 10000)).toMap
+    val (totQ, totT) = (q.values.sum, srcTok.values.sum)
+    val alloc = q.view.mapValues(qs => (totT / 2) * qs / totQ).toMap
+    val expect = bySrc.toSeq.flatMap { case (s, docs) =>
+      var cum = 0L
+      docs.toSeq.sortBy(r => (r._4, r._1)).flatMap { r =>
+        cum += r._3
+        if (cum <= alloc(s)) Some((r._1, s, r._3, cum)) else None
+      }
+    }.toSet
+    assert(out.nonEmpty && out == expect)
+    // the budget binds: some docs are rejected, and what survives per
+    // source never exceeds its allocation
+    assert(out.size < d.length)
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sum <= alloc(s))
+    }
+  }
 }
