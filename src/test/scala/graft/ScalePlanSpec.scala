@@ -229,4 +229,23 @@ class ScalePlanSpec extends SparkSpec {
     assert(!cp.contains("CartesianProduct"), s"the 1-row total must broadcast:\n$cp")
     assert(c.count() > 0)
   }
+
+  test("mixtureSample: every window partitions on bucket — no whole-source sort task") {
+    val m = graft.queries.TextPipeline.mixtureSample(spark, "/root/testdata/sf0.001")
+    val mp = m.queryExecution.executedPlan.toString
+    // the doc-stream cumulative sum must run inside (source, bucket);
+    // a Window partitioned on source alone is the single-task-per-source
+    // shape this operator exists to avoid. The only source-partitioned
+    // window allowed is the per-bucket offset scan over the tiny
+    // |sources| x buckets subtotal frame, which reads from the
+    // checkpointed agg, never from the doc stream.
+    val windowSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(mp.toLowerCase).map(_.group(1)).toSeq
+    assert(windowSpecs.nonEmpty)
+    val onDocs = windowSpecs.filter(s => s.contains("skey"))
+    assert(onDocs.nonEmpty && onDocs.forall(_.contains("bucket")),
+      s"doc-stream window must partition on bucket:\n$mp")
+    assert(!mp.contains("SortAggregate"), s"no SortAggregate:\n$mp")
+    assert(m.count() > 0)
+  }
 }
