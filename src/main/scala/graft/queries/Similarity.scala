@@ -1191,6 +1191,56 @@ object Similarity extends QueryModule {
        |FROM s
        |""".stripMargin
 
+  /** Per-dimension embedding drift across label cohorts — the two-corpus
+    * drift monitor: quantized per-(label, dim) means (the [[dimStats]]
+    * integer-sum scheme, so the cross-engine float-sum-order trap never
+    * applies), then per dim the spread between the lowest and highest
+    * cohort mean. A drifting embedding version or a skewed cohort shows
+    * up as a large `drift6` on the affected dimensions.
+    *
+    * Shapes: explode → (label, dim) hash agg with map-side partials →
+    * (dim) hash agg; output is 64 rows regardless of corpus size, and
+    * nothing after the first agg exceeds |labels| × 64 rows. The min/max
+    * comparisons run on exact BIGINT-ratio doubles (qsum/n, each
+    * < 2^53 — correctly-rounded single division, no summation), rounded
+    * only for display.
+    */
+  def labelDrift(spark: SparkSession, dir: String): DataFrame = {
+    val perLabel = vecs(spark, dir)
+      .select(col("label"), posexplode(col("emb")).as(Seq("dim", "x")))
+      .withColumn("qx", expr(s"CAST(ROUND(x * $KmeansQ) AS BIGINT)"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("qx")).as("qsum"))
+      .withColumn("m", expr("CAST(qsum AS DOUBLE) / CAST(n AS DOUBLE)"))
+    perLabel.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_labels"),
+           min(col("m")).as("lo"), max(col("m")).as("hi"))
+      .select(col("dim"), col("n_labels"),
+        expr(s"ROUND(lo / $KmeansQ, 6)").as("lo_mean6"),
+        expr(s"ROUND(hi / $KmeansQ, 6)").as("hi_mean6"),
+        expr(s"ROUND((hi - lo) / $KmeansQ, 6)").as("drift6"))
+  }
+
+  def labelDriftSql: String =
+    s"""WITH e AS (
+       |  SELECT label, embedding::DOUBLE[] AS emb FROM embeddings
+       |  WHERE sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) > 0
+       |), x AS (
+       |  SELECT label, r.j - 1 AS dim, CAST(ROUND(emb[r.j] * $KmeansQ) AS BIGINT) AS qx
+       |  FROM e, range(1, 65) r(j)
+       |), pl AS (
+       |  SELECT label, dim, COUNT(*) AS n, CAST(SUM(qx) AS BIGINT) AS qsum
+       |  FROM x GROUP BY label, dim
+       |), m AS (
+       |  SELECT dim, CAST(qsum AS DOUBLE) / CAST(n AS DOUBLE) AS m FROM pl
+       |)
+       |SELECT dim, COUNT(*) AS n_labels,
+       |       ROUND(MIN(m) / $KmeansQ, 6) AS lo_mean6,
+       |       ROUND(MAX(m) / $KmeansQ, 6) AS hi_mean6,
+       |       ROUND((MAX(m) - MIN(m)) / $KmeansQ, 6) AS drift6
+       |FROM m GROUP BY dim
+       |""".stripMargin
+
   /** Per-label vector statistics (sanity/profiling pass). */
   def labelStats(spark: SparkSession, dir: String): DataFrame =
     vecs(spark, dir).groupBy(col("label"))
@@ -1224,6 +1274,7 @@ object Similarity extends QueryModule {
     "s_ann_recall" -> (annRecall _),
     "s_semantic_dedup" -> (semanticDedup _),
     "s_dim_stats" -> (dimStats _),
+    "s_label_drift" -> (labelDrift _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1243,5 +1294,6 @@ object Similarity extends QueryModule {
     "s_ann_recall" -> annRecallSql,
     "s_semantic_dedup" -> semanticDedupSql,
     "s_dim_stats" -> dimStatsSql,
+    "s_label_drift" -> labelDriftSql,
   )
 }

@@ -584,4 +584,33 @@ class PipelineOpsSpec extends SparkSpec {
       assert(rows.map(_._3).sum <= alloc(s))
     }
   }
+
+  test("labelDrift: exact recompute of cohort means; spread separates cohorts") {
+    val out = Similarity.labelDrift(spark, dir).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.size == 64)
+    // independent recompute from the raw vectors
+    val raw = Tables.embeddings(spark, dir)
+      .select(col("label"), col("embedding").cast("array<double>").as("emb"))
+      .where(expr("sqrt(aggregate(transform(emb, x -> x * x), 0D, (a, x) -> a + x)) > 0"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val nLabels = raw.map(_._1).distinct.size.toLong
+    val q = 1048576.0
+    // Spark/DuckDB ROUND is HALF_UP on the double's exact value —
+    // math.round (floor(x + 0.5)) disagrees on negative halves
+    def rnd(x: Double, scale: Int): BigDecimal =
+      BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+    for (dim <- Seq(0, 17, 63)) {
+      val means = raw.groupBy(_._1).values.map { g =>
+        g.map(v => rnd(v._2(dim) * q, 0).toLong).sum.toDouble / g.length
+      }
+      val (lo, hi) = (means.min, means.max)
+      val (nl, lo6, hi6, d6) = out(dim)
+      assert(nl == nLabels)
+      assert(lo6 == rnd(lo / q, 6).toDouble && hi6 == rnd(hi / q, 6).toDouble)
+      assert(d6 == rnd((hi - lo) / q, 6).toDouble && d6 >= 0)
+    }
+    // drift is a real signal on the fixture: some dimension separates cohorts
+    assert(out.values.map(_._4).max > 0)
+  }
 }
