@@ -1696,6 +1696,80 @@ object TextPipeline extends QueryModule {
        |""".stripMargin
   }
 
+  /** Adaptive per-source quality cut: keep the best HALF of every
+    * source by quality score — the threshold adapts to each source's
+    * own score distribution instead of a global constant, so a clean
+    * source isn't decimated by a crawl-calibrated cutoff (the rank twin
+    * of [[sourceQuota]]'s fixed-K cap). Keep-count = ceil(n_src / 2),
+    * ties to the lower doc_id.
+    *
+    * Scale shape: an exact top-half needs each doc's global rank within
+    * its source, and `ROW_NUMBER() OVER (PARTITION BY source)` is a
+    * whole-source single-task sort at 100 TB. Same cure as
+    * [[mixtureSample]], applied to order statistics instead of prefix
+    * sums: the integer score is equal-width range-bucketed
+    * (order-aligned, sbucket = score div 250), per-(source, sbucket)
+    * counts (a tiny agg) give every bucket its higher-score offset and
+    * every source its total, and ranking completes inside
+    * (source, sbucket). Bucket width bounds the largest within-bucket
+    * sort; the per-source keep count rides the same tiny frame.
+    */
+  private val CutBucketW = 250L
+  def qualityCut(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsNorm(spark, dir)
+    val sw = Stopwords.map(s => s"w = '$s'").mkString(" or ")
+    val scored = d.select(
+        col("doc_id"), col("source"),
+        size(col("words")).as("n_tokens"),
+        expr(s"size(filter(words, w -> $sw))").as("stopword_count"),
+        size(array_distinct(col("words"))).as("n_distinct"))
+      .withColumn("score_scaled", expr(scoreScaledSql("n_tokens", "stopword_count", "n_distinct")))
+      .withColumn("sbucket", expr(s"score_scaled div $CutBucketW"))
+      .select(col("doc_id"), col("source"), col("score_scaled"), col("sbucket"))
+    val sub = scored.groupBy(col("source"), col("sbucket"))
+      .agg(count(lit(1)).as("bc"))
+      .localCheckpoint(true) // feeds the offsets and the keep counts
+    val wOff = Window.partitionBy(col("source")).orderBy(col("sbucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = sub
+      .withColumn("off", coalesce(sum(col("bc")).over(wOff), lit(0L)))
+      .select(col("source"), col("sbucket"), col("off"))
+    val keep = sub.groupBy(col("source")).agg(sum(col("bc")).as("n_src"))
+      .select(col("source"), expr("(n_src + 1) div 2").as("keep_n"))
+    val wIn = Window.partitionBy(col("source"), col("sbucket"))
+      .orderBy(col("score_scaled").desc, col("doc_id").asc)
+    scored.join(broadcast(off), Seq("source", "sbucket"))
+      .withColumn("rk", col("off") + row_number().over(wIn))
+      .join(broadcast(keep), Seq("source"))
+      .where(col("rk") <= col("keep_n"))
+      .select(col("doc_id"), col("source"), col("score_scaled"), col("rk"))
+  }
+
+  def qualityCutSql: String = {
+    val sw = Stopwords.map(s => s"w = '$s'").mkString(" or ")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, string_split(${normSql("text")}, ' ') AS ws FROM documents
+       |), b AS (
+       |  SELECT doc_id, source,
+       |         LEN(ws) AS n_tokens,
+       |         LEN(list_filter(ws, w -> $sw)) AS stopword_count,
+       |         LEN(list_distinct(ws)) AS n_distinct
+       |  FROM d
+       |), s AS (
+       |  SELECT doc_id, source,
+       |         ${scoreScaledSql("n_tokens", "stopword_count", "n_distinct")} AS score_scaled
+       |  FROM b
+       |), c AS (
+       |  SELECT doc_id, source, score_scaled,
+       |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY score_scaled DESC, doc_id ASC) AS rk,
+       |         COUNT(*) OVER (PARTITION BY source) AS n_src
+       |  FROM s
+       |)
+       |SELECT doc_id, source, score_scaled, rk
+       |FROM c WHERE rk <= (n_src + 1) // 2
+       |""".stripMargin
+  }
+
   /** Deterministic corpus shuffle: the reproducible global permutation a
     * training run reads the corpus in — shard = content-hash mod
     * ShuffleShards, position = rank of (hash, doc_id) within the shard.
@@ -2278,6 +2352,7 @@ object TextPipeline extends QueryModule {
     "t_collocations" -> (collocations _),
     "t_mixture_weights" -> (mixtureWeights _),
     "t_mixture_sample" -> (mixtureSample _),
+    "t_quality_cut" -> (qualityCut _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2319,5 +2394,6 @@ object TextPipeline extends QueryModule {
     "t_collocations" -> collocationsSql,
     "t_mixture_weights" -> mixtureWeightsSql,
     "t_mixture_sample" -> mixtureSampleSql,
+    "t_quality_cut" -> qualityCutSql,
   )
 }

@@ -585,6 +585,32 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("qualityCut: bucketed rank == independent Scala recompute; adaptive per-source threshold") {
+    val out = TextPipeline.qualityCut(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // independent recompute: score every doc in Scala, rank per source
+    val sw = Set("the", "a", "of", "and", "in")
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        split(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")), " ").as("ws"))
+      .collect().map { r =>
+        val ws = r.getSeq[String](2)
+        val (n, st, dt) = (ws.size.toLong, ws.count(sw).toLong, ws.distinct.size.toLong)
+        val score = BigDecimal((40.0 * math.min(n, 100) * n + 3000.0 * (st + dt)) / n)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        (r.getLong(0), r.getString(1), score)
+      }
+    val expect = d.groupBy(_._2).toSeq.flatMap { case (s, docs) =>
+      val ranked = docs.toSeq.sortBy(r => (-r._3, r._1)).zipWithIndex
+        .map { case ((id, _, sc), i) => (id, s, sc, i + 1L) }
+      ranked.take(((docs.length + 1) / 2))
+    }.toSet
+    assert(out.nonEmpty && out == expect)
+    // adaptivity is real on the fixture: per-source minimum kept score differs
+    val minKept = out.groupBy(_._2).view.mapValues(_.map(_._3).min).values.toSet
+    assert(minKept.size > 1, "per-source thresholds should differ")
+  }
+
   test("labelDrift: exact recompute of cohort means; spread separates cohorts") {
     val out = Similarity.labelDrift(spark, dir).collect()
       .map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap

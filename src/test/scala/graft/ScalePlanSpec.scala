@@ -247,5 +247,16 @@ class ScalePlanSpec extends SparkSpec {
       s"doc-stream window must partition on bucket:\n$mp")
     assert(!mp.contains("SortAggregate"), s"no SortAggregate:\n$mp")
     assert(m.count() > 0)
+
+    // same property for the rank twin: qualityCut's doc-stream
+    // row_number must partition on (source, sbucket), never source alone
+    val c = graft.queries.TextPipeline.qualityCut(spark, "/root/testdata/sf0.001")
+    val cp = c.queryExecution.executedPlan.toString
+    val cSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(cp.toLowerCase).map(_.group(1)).toSeq
+    val onScores = cSpecs.filter(s => s.contains("score_scaled"))
+    assert(onScores.nonEmpty && onScores.forall(_.contains("sbucket")),
+      s"doc-stream rank must partition on sbucket:\n$cp")
+    assert(c.count() > 0)
   }
 }
