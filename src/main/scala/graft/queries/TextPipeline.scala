@@ -1696,6 +1696,92 @@ object TextPipeline extends QueryModule {
        |""".stripMargin
   }
 
+  /** MinHash-LSH recall audit — the text twin of `s_ann_recall`: on a
+    * deterministic content-hash sample of the corpus, compute the EXACT
+    * near-dup ground truth (shingle Jaccard ≥ ½, integer threshold form
+    * 3·inter ≥ la+lb so no float boundary can disagree) and flag which
+    * true pairs the production banding ([[minhashPairs]]' 6-band × 2-row
+    * scheme) actually surfaces. The expected catch rate at j = ½ is
+    * 1 − (1 − j²)⁶ ≈ 0.82, so a healthy audit shows a sub-1.0 recall —
+    * this entry is the measurement that turns the banding parameters
+    * from folklore into a monitored number.
+    *
+    * Scale shape: ground truth does NOT brute-force the sample — pairs
+    * come from an inverted shingle index (explode → self-join on the
+    * shingle string → (pair) count = exact intersection size), which is
+    * shuffle-linear in postings and is the same topology exact
+    * verification uses at 100 TB; only docs sharing a shingle ever meet,
+    * and any pair at j ≥ ½ shares ≥ ⅓ of its shingles, so nothing true
+    * can be missed. The audit cost is bounded by the sample rate
+    * (1/$LshRecallP of docs), which shrinks as the corpus grows.
+    */
+  private val LshRecallP = 4L
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsNorm(spark, dir)
+      .filter(size(col("words")) >= 3)
+      .filter(pmod(element_at(call_function("md5_words", col("text")), 1),
+        lit(LshRecallP)) === 0)
+      .select(col("doc_id"), shinglesCol.as("shingles"))
+      .localCheckpoint(true) // shared by the index, the sigs, and the sizes
+    // exact ground truth via the inverted shingle index
+    val posts = d.select(col("doc_id"), size(col("shingles")).as("lsz"),
+      explode(col("shingles")).as("s0"))
+    val px = posts.as("x"); val py = posts.as("y")
+    val truth = px.join(py,
+        col("x.s0") === col("y.s0") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+               col("x.lsz").as("la"), col("y.lsz").as("lb"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(expr("3 * inter >= la + lb"))
+    // the production banding, evaluated on the sampled docs (band keys
+    // are per-doc, so restricting the corpus restricts only the pairs)
+    val sh = d.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), call_function("md5_words", col("sh")).as("w"))
+    val sigs = sh.groupBy(col("doc_id")).agg(sigAggCols.head, sigAggCols.tail: _*)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array(bandKeyCols: _*)).as(Seq("band", "bkey")))
+    val bx = bands.as("bx"); val by = bands.as("by")
+    val cands = bx.join(by,
+        col("bx.band") === col("by.band") && col("bx.bkey") === col("by.bkey") &&
+          col("bx.doc_id") < col("by.doc_id"))
+      .select(col("bx.doc_id").as("doc_a"), col("by.doc_id").as("doc_b"))
+      .distinct()
+      .withColumn("caught", lit(1L))
+    truth.join(cands, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("la"), col("lb"),
+        coalesce(col("caught"), lit(0L)).as("caught"))
+  }
+
+  def lshRecallSql: String =
+    s"""WITH d0 AS (
+       |  SELECT doc_id, text, string_split(${normSql("text")}, ' ') AS ws FROM documents
+       |), smp AS (
+       |  SELECT doc_id, ws FROM (SELECT doc_id, ws, md5(text) AS h FROM d0 WHERE LEN(ws) >= 3)
+       |  WHERE CAST(${sqlWord(0)} AS BIGINT) % $LshRecallP = 0
+       |), d AS (
+       |  SELECT doc_id, ${shinglesSqlExpr(3)} AS shingles FROM smp
+       |), posts AS (
+       |  SELECT doc_id, LEN(shingles) AS lsz, UNNEST(shingles) AS s0 FROM d
+       |), tp AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.lsz AS la, y.lsz AS lb,
+       |         COUNT(*) AS inter
+       |  FROM posts x JOIN posts y ON x.s0 = y.s0 AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2, 3, 4
+       |  HAVING 3 * COUNT(*) >= x.lsz + y.lsz
+       |), sh AS (
+       |  SELECT doc_id, UNNEST(shingles) AS sh FROM d
+       |), $sqlSigStages, bands AS (
+       |  $sqlBandSelects
+       |), cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |)
+       |SELECT tp.doc_a, tp.doc_b, inter, la, lb,
+       |       CAST(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS BIGINT) AS caught
+       |FROM tp LEFT JOIN cands c ON tp.doc_a = c.doc_a AND tp.doc_b = c.doc_b
+       |""".stripMargin
+
   /** Adaptive per-source quality cut: keep the best HALF of every
     * source by quality score — the threshold adapts to each source's
     * own score distribution instead of a global constant, so a clean
@@ -2353,6 +2439,7 @@ object TextPipeline extends QueryModule {
     "t_mixture_weights" -> (mixtureWeights _),
     "t_mixture_sample" -> (mixtureSample _),
     "t_quality_cut" -> (qualityCut _),
+    "t_lsh_recall" -> (lshRecall _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2395,5 +2482,6 @@ object TextPipeline extends QueryModule {
     "t_mixture_weights" -> mixtureWeightsSql,
     "t_mixture_sample" -> mixtureSampleSql,
     "t_quality_cut" -> qualityCutSql,
+    "t_lsh_recall" -> lshRecallSql,
   )
 }

@@ -639,4 +639,34 @@ class PipelineOpsSpec extends SparkSpec {
     // drift is a real signal on the fixture: some dimension separates cohorts
     assert(out.values.map(_._4).max > 0)
   }
+
+  test("lshRecall: inverted-index truth == brute force; caught == production banding") {
+    val out = TextPipeline.lshRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getLong(5)))
+    // independent recompute: sample + shingle + all-pairs Jaccard in Scala
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        split(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")), " ").as("ws"),
+        element_at(call_function("md5_words", col("text")), 1).as("h1"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2)))
+    val shing = docs.filter(d => d._2.size >= 3 && java.lang.Math.floorMod(d._3, 4L) == 0L)
+      .map { case (id, ws, _) => id -> ws.sliding(3).map(_.mkString(" ")).toSet }.toMap
+    val ids = shing.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      inter = (shing(i) & shing(j)).size
+      if 3 * inter >= shing(i).size + shing(j).size
+    } yield (i, j, inter.toLong, shing(i).size, shing(j).size)).toSet
+    assert(out.nonEmpty && out.map(t => (t._1, t._2, t._3, t._4, t._5)).toSet == brute)
+    // `caught` must agree with the PRODUCTION banding: a sampled pair
+    // collides in lshRecall's bands iff it collides in minhashPairs'
+    // (band keys are per-doc, so restricting the corpus to the sample
+    // cannot change any pair's collision outcome)
+    val prod = TextPipeline.minhashPairs(spark, dir).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.foreach { case (a, b, _, _, _, caught) =>
+      assert((caught == 1L) == prod((a, b)),
+        s"pair ($a,$b): audit caught=$caught disagrees with production banding")
+    }
+  }
 }

@@ -259,4 +259,17 @@ class ScalePlanSpec extends SparkSpec {
       s"doc-stream rank must partition on sbucket:\n$cp")
     assert(c.count() > 0)
   }
+
+  test("lshRecall: ground truth is an equi-join on the shingle index — never a cartesian") {
+    val r = graft.queries.TextPipeline.lshRecall(spark, "/root/testdata/sf0.001")
+    val rp = r.queryExecution.executedPlan.toString
+    // the exact-truth pair generation must come from the inverted shingle
+    // index (shuffle equi-join on the shingle string), not an all-pairs
+    // product over the sample — the sample shrinks relatively at scale
+    // but its absolute size grows with the corpus
+    assert(!rp.contains("CartesianProduct"), s"truth join must be an equi-join:\n$rp")
+    assert(!rp.contains("BroadcastNestedLoopJoin"), s"truth join must be an equi-join:\n$rp")
+    assert(!rp.contains("SortAggregate"), s"no SortAggregate:\n$rp")
+    assert(r.count() > 0)
+  }
 }
