@@ -52,6 +52,14 @@ object Det {
   def r4(x: String): String =
     s"CAST(CAST(ROUND(CAST(10000 AS DOUBLE) * ($x)) AS BIGINT) AS DOUBLE) / 10000.0"
 
+  /** Deterministic ROUND(x, 6), same scheme as [[r4]]. Safe for negative
+    * inputs too: integer ROUND is half-AWAY-from-zero in both engines, so
+    * the sign flip is consistent (the non-negative caveat above is about
+    * half-up equivalence, not cross-engine agreement).
+    */
+  def r6(x: String): String =
+    s"CAST(CAST(ROUND(CAST(1000000 AS DOUBLE) * ($x)) AS BIGINT) AS DOUBLE) / 1000000.0"
+
   /** Deterministic ROUND(AVG(x), 4) via cents quantization: each value is
     * quantized to cents (identity for 2-decimal data), summed exactly, and
     * the average is rounded through exact integer scaling.

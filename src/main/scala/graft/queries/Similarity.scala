@@ -1241,6 +1241,112 @@ object Similarity extends QueryModule {
        |FROM m GROUP BY dim
        |""".stripMargin
 
+  /** Dominant principal component of the embedding corpus via power
+    * iteration — the whitening / drift-direction primitive: v ← A·v
+    * normalized, where A·v = Σᵢ xᵢ(xᵢ·v) (covariance-free Gram form, no
+    * N division — scale cancels in the normalize). [[PcaRounds]] fixed
+    * rounds, matching the `s_kmeans` fixed-round gate pattern; the
+    * production knob is the round count.
+    *
+    * Cross-engine exactness: the per-row contribution xᵢ_d·(xᵢ·v) is
+    * quantized to 2⁻²⁰ units and summed EXACTLY (order-free BIGINT, the
+    * k-means scheme), so each round's 64 sums are bit-identical in both
+    * engines; the normalize then runs on those exact sums in ONE pinned
+    * op sequence — sᵈ = qsumᵈ/Q, ‖s‖² = left-fold of sᵈ² in dim order
+    * (list_reduce ≡ Scala reduceLeft ≡ Spark aggregate-with-0D-seed: the
+    * 0+x₀² seed is exact for non-negative x₀²), v′ᵈ = sᵈ/√‖s‖². The dot
+    * xᵢ·v is the same native/list_inner_product pair every similarity
+    * oracle already pins. Per-row |x_d·(x·v)·Q| ≲ 2²⁶ on unit-ish data,
+    * so the BIGINT sum is exact past 10¹¹ rows.
+    *
+    * Scale: each round is ONE narrow pass (broadcast v as a literal) +
+    * a 64-row hash agg with map-side partials — at 1 B vectors that is R
+    * scan-shaped jobs and R driver round-trips of 64 longs, the same
+    * iteration shape as [[kmeansIterate]]. The final round stays in the
+    * plan (tiny agg + 1-row broadcast) so the entry's result is computed
+    * distributed.
+    */
+  private val PcaRounds = 6
+
+  /** One power-iteration step: per-dim EXACT quantized sums of x·(x·v). */
+  private def pcaStep(e: DataFrame, v: Array[Double]): DataFrame =
+    e.withColumn("dot", dp(col("emb"), array(v.map(lit).toIndexedSeq: _*)))
+      .select(col("dot"), posexplode(col("emb")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(sum(expr(s"CAST(ROUND(x * dot * $KmeansQ) AS BIGINT)")).as("qsum"))
+
+  /** The pinned normalize: identical op sequence to the oracle's
+    * list_transform/list_reduce composition (see the class doc). */
+  private def pcaNormalize(qsums: Array[Long]): Array[Double] = {
+    val s = qsums.map(q => q.toDouble / 1048576.0)
+    val norm = math.sqrt(s.map(x => x * x).reduceLeft(_ + _))
+    s.map(_ / norm)
+  }
+
+  private[graft] def pcaIterate(spark: SparkSession, dir: String,
+                                rounds: Int): (DataFrame, Seq[Double]) = {
+    require(rounds >= 1)
+    val e = vecs(spark, dir).select(col("vec_id"), col("emb")).localCheckpoint(true)
+    var v = Array.fill(64)(0.125) // unit vector, exactly representable
+    val lams = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 1 until rounds) {
+      val qs = pcaStep(e, v).collect().map(r => (r.getInt(0), r.getLong(1)))
+        .sortBy(_._1).map(_._2)
+      require(qs.exists(_ != 0L), "power iteration collapsed: A·v quantized to zero")
+      lams += math.sqrt(qs.map(q => q.toDouble / 1048576.0).map(x => x * x).reduceLeft(_ + _))
+      v = pcaNormalize(qs)
+    }
+    // final round declaratively: 64-row agg + 1-row broadcast norm
+    val sv = pcaStep(e, v).withColumn("s", expr(s"CAST(qsum AS DOUBLE) / $KmeansQ"))
+    val nsq = sv.agg(expr(
+      "aggregate(transform(array_sort(collect_list(struct(dim, s))), p -> p.s * p.s), 0D, (a, x) -> a + x)")
+      .as("nsq"))
+    val out = sv.crossJoin(broadcast(nsq))
+      .select(col("dim"),
+        expr(Det.r6("s / sqrt(nsq)")).as("loading6"),
+        expr(Det.r6("sqrt(nsq)")).as("lam6"))
+    (out, lams.toSeq)
+  }
+
+  /** `s_pca_power`: the [[PcaRounds]]-round iterate. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame =
+    pcaIterate(spark, dir, PcaRounds)._1
+
+  def pcaPowerSql: String = {
+    val rounds = (1 to PcaRounds).map { r =>
+      s"""d$r AS (
+         |  SELECT emb, list_inner_product(emb, v) AS dot FROM e, v${r - 1}
+         |), w$r AS (
+         |  SELECT rr.j - 1 AS dim,
+         |         CAST(SUM(CAST(ROUND(emb[rr.j] * dot * $KmeansQ) AS BIGINT)) AS BIGINT) AS qsum
+         |  FROM d$r, range(1, 65) rr(j) GROUP BY 1
+         |), s$r AS (
+         |  SELECT list(CAST(qsum AS DOUBLE) / $KmeansQ ORDER BY dim) AS sv FROM w$r
+         |), v$r AS (
+         |  SELECT list_transform(sv, x ->
+         |    x / sqrt(list_reduce(list_transform(sv, y -> y * y), (a, b) -> a + b))) AS v
+         |  FROM s$r
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  $VecsCteSql
+       |), v0 AS (
+       |  SELECT list_transform(range(1, 65), i -> 0.125) AS v
+       |),
+       |$rounds,
+       |fs AS (
+       |  SELECT dim, CAST(qsum AS DOUBLE) / $KmeansQ AS s FROM w$PcaRounds
+       |), nq AS (
+       |  SELECT list_reduce(list_transform(list(s ORDER BY dim), y -> y * y),
+       |                     (a, b) -> a + b) AS nsq
+       |  FROM fs
+       |)
+       |SELECT dim, ${Det.r6("s / sqrt(nsq)")} AS loading6,
+       |       ${Det.r6("sqrt(nsq)")} AS lam6
+       |FROM fs, nq
+       |""".stripMargin
+  }
+
   /** Per-label vector statistics (sanity/profiling pass). */
   def labelStats(spark: SparkSession, dir: String): DataFrame =
     vecs(spark, dir).groupBy(col("label"))
@@ -1275,6 +1381,7 @@ object Similarity extends QueryModule {
     "s_semantic_dedup" -> (semanticDedup _),
     "s_dim_stats" -> (dimStats _),
     "s_label_drift" -> (labelDrift _),
+    "s_pca_power" -> (pcaPower _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1295,5 +1402,6 @@ object Similarity extends QueryModule {
     "s_semantic_dedup" -> semanticDedupSql,
     "s_dim_stats" -> dimStatsSql,
     "s_label_drift" -> labelDriftSql,
+    "s_pca_power" -> pcaPowerSql,
   )
 }

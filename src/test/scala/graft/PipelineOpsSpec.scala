@@ -640,6 +640,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.values.map(_._4).max > 0)
   }
 
+  test("pcaPower: quantized power iteration == plain-Scala recompute; Rayleigh norm monotone") {
+    val (outDf, lams) = Similarity.pcaIterate(spark, dir, 6)
+    val out = outDf.collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(out.length == 64)
+    // independent recompute in plain Scala from the raw vectors
+    val raw = Tables.embeddings(spark, dir)
+      .select(col("embedding").cast("array<double>").as("emb"))
+      .where(expr("sqrt(aggregate(transform(emb, x -> x * x), 0D, (a, x) -> a + x)) > 0"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val Q = 1048576.0
+    def rnd(y: Double): Long =
+      BigDecimal(y).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    var v = Array.fill(64)(0.125)
+    var s = Array.empty[Double]
+    for (_ <- 1 to 6) {
+      val qs = Array.fill(64)(0L)
+      raw.foreach { x =>
+        val dot = x.indices.foldLeft(0.0)((a, d) => a + x(d) * v(d))
+        for (d <- 0 until 64) qs(d) += rnd(x(d) * dot * Q)
+      }
+      s = qs.map(_.toDouble / Q)
+      val norm = math.sqrt(s.map(x => x * x).reduceLeft(_ + _))
+      v = s.map(_ / norm)
+    }
+    val norm = math.sqrt(s.map(x => x * x).reduceLeft(_ + _))
+    def r6(y: Double): Double = rnd(y * 1e6).toDouble / 1e6
+    out.foreach { case (d, loading6, lam6) =>
+      assert(loading6 == r6(s(d) / norm), s"dim $d loading mismatch")
+      assert(lam6 == r6(norm))
+    }
+    // ‖A·v_k‖ is monotone non-decreasing for PSD A (Cauchy-Schwarz);
+    // quantization can wobble it only below the fixture's eigengap
+    assert(lams.size == 5)
+    (lams :+ out.head._3).sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a * (1 - 1e-9), s"Rayleigh norm decreased: $a -> $b")
+    }
+    // the final vector is unit up to 6dp rounding
+    val nsq = out.map(_._2).map(x => x * x).sum
+    assert(math.abs(nsq - 1.0) < 1e-4)
+  }
+
   test("lshRecall: inverted-index truth == brute force; caught == production banding") {
     val out = TextPipeline.lshRecall(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getLong(5)))

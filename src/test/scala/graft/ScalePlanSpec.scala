@@ -260,6 +260,16 @@ class ScalePlanSpec extends SparkSpec {
     assert(c.count() > 0)
   }
 
+  test("pcaPower: each round is one narrow pass + 64-row agg; norm broadcasts") {
+    val p = graft.queries.Similarity.pcaPower(spark, "/root/testdata/sf0.001")
+    val pp = p.queryExecution.executedPlan.toString
+    // the final-round plan: per-dim hash agg with map-side partials,
+    // 1-row norm broadcast back — never a sort, never a real cartesian
+    assert(!pp.contains("SortAggregate"), s"no SortAggregate:\n$pp")
+    assert(!pp.contains("CartesianProduct"), s"norm must broadcast:\n$pp")
+    assert(p.count() == 64)
+  }
+
   test("lshRecall: ground truth is an equi-join on the shingle index — never a cartesian") {
     val r = graft.queries.TextPipeline.lshRecall(spark, "/root/testdata/sf0.001")
     val rp = r.queryExecution.executedPlan.toString
