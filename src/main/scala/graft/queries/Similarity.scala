@@ -1032,6 +1032,87 @@ object Similarity extends QueryModule {
        |        LEFT JOIN ov ON nb.query_id = ov.query_id
        |""".stripMargin
 
+  /** Truncated-embedding retrieval recall — the Matryoshka/dimension-cut
+    * evaluation: run the SAME brute-force cosine top-k with every vector
+    * truncated to its first [[TruncDims]] coordinates, and report per
+    * query how much of the full-dimension ground truth ([[knnBrute]])
+    * the truncated index retains. This is the measurement behind the
+    * "serve the 16-dim prefix, rerank with the full vector" storage cut:
+    * recall_bp is the number that decides whether the prefix is servable.
+    * Same integer-exact shape as [[annRecall]] (overlap semi-join,
+    * basis-point integer division); the truncated scorer reuses the
+    * salted top-k merge, so no per-query candidate set ever reaches one
+    * reducer. Prefixes with zero norm are excluded on both sides by the
+    * same guard that [[vecs]] applies to full vectors.
+    */
+  private val TruncDims = 16
+
+  private def knnTruncIds(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+      .select(col("vec_id"), slice(col("emb"), 1, TruncDims).as("temb"))
+      .withColumn("tnrm", expr("sqrt(aggregate(transform(temb, x -> x * x), 0D, (a, x) -> a + x))"))
+      .filter(col("tnrm") > 0)
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("temb").as("qemb"))
+    val scored = e.select(col("vec_id"), col("temb").as("cemb"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qemb"), col("cemb")))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    saltedTopK(scored, col("cos").desc_nulls_last, col("vec_id").asc)
+      .select(col("query_id"), col("vec_id"))
+  }
+
+  def truncRecall(spark: SparkSession, dir: String): DataFrame = {
+    val b = knnBrute(spark, dir).select(col("query_id"), col("vec_id"))
+      .localCheckpoint(true)
+    val t = knnTruncIds(spark, dir).localCheckpoint(true)
+    val nb = b.groupBy(col("query_id")).agg(count(lit(1)).as("n_full"))
+    val nt = t.groupBy(col("query_id")).agg(count(lit(1)).as("n_trunc"))
+    val ov = b.join(t, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("ov"))
+    nb.join(nt, Seq("query_id"), "left").join(ov, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_full"),
+        coalesce(col("n_trunc"), lit(0L)).as("n_trunc"),
+        coalesce(col("ov"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_bp", expr("n_overlap * 10000 div n_full"))
+  }
+
+  def truncRecallSql: String =
+    s"""WITH b AS (
+       |${knnBruteSql}
+       |), e2 AS (
+       |  $VecsCteSql
+       |), et AS (
+       |  SELECT vec_id, emb[1:$TruncDims] AS temb FROM e2
+       |  WHERE sqrt(list_sum(list_transform(emb[1:$TruncDims], x -> x * x))) > 0
+       |), tq AS (
+       |  SELECT vec_id AS query_id, temb AS qemb FROM et WHERE vec_id % $QueryMod = 0
+       |), ts AS (
+       |  SELECT query_id, vec_id, list_cosine_similarity(qemb, temb) AS cos
+       |  FROM tq, et WHERE vec_id <> query_id
+       |), t AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC NULLS LAST, vec_id ASC) AS rk
+       |    FROM ts) WHERE rk <= $TopK
+       |), nb AS (
+       |  SELECT query_id, COUNT(*) AS n_full FROM b GROUP BY query_id
+       |), nt AS (
+       |  SELECT query_id, COUNT(*) AS n_trunc FROM t GROUP BY query_id
+       |), ov AS (
+       |  SELECT b.query_id, COUNT(*) AS ov
+       |  FROM b JOIN t ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+       |  GROUP BY b.query_id
+       |)
+       |SELECT nb.query_id, nb.n_full,
+       |       COALESCE(nt.n_trunc, 0) AS n_trunc,
+       |       COALESCE(ov.ov, 0) AS n_overlap,
+       |       COALESCE(ov.ov, 0) * 10000 // nb.n_full AS recall_bp
+       |FROM nb LEFT JOIN nt ON nb.query_id = nt.query_id
+       |        LEFT JOIN ov ON nb.query_id = ov.query_id
+       |""".stripMargin
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     * corpus with k-means, then compare embeddings ONLY within a cluster —
     * pairs in different clusters are never scored, which is the whole
@@ -1382,6 +1463,7 @@ object Similarity extends QueryModule {
     "s_dim_stats" -> (dimStats _),
     "s_label_drift" -> (labelDrift _),
     "s_pca_power" -> (pcaPower _),
+    "s_trunc_recall" -> (truncRecall _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1403,5 +1485,6 @@ object Similarity extends QueryModule {
     "s_dim_stats" -> dimStatsSql,
     "s_label_drift" -> labelDriftSql,
     "s_pca_power" -> pcaPowerSql,
+    "s_trunc_recall" -> truncRecallSql,
   )
 }

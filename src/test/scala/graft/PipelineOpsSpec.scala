@@ -682,6 +682,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(nsq - 1.0) < 1e-4)
   }
 
+  test("truncRecall: recall matches window-rank recompute of both top-k sets") {
+    val out = Similarity.truncRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // independent recompute: plain window-rank top-k on full and truncated
+    // cosine (no salted merge), overlap counted in Scala
+    import org.apache.spark.sql.expressions.Window
+    def topk(trunc: Boolean): Map[Long, Set[Long]] = {
+      val e0 = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("full"))
+        .where(expr("sqrt(aggregate(transform(full, x -> x * x), 0D, (a, x) -> a + x)) > 0"))
+        .withColumn("emb", if (trunc) slice(col("full"), 1, 16) else col("full"))
+        .where(expr("sqrt(aggregate(transform(emb, x -> x * x), 0D, (a, x) -> a + x)) > 0"))
+      val q = e0.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc_nulls_last, col("vec_id").asc)
+      e0.crossJoin(q).filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", call_function("cosine_sim", col("qemb"), col("emb")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    }
+    val (full, tr) = (topk(trunc = false), topk(trunc = true))
+    assert(out.nonEmpty && out.keySet == full.keySet)
+    out.foreach { case (qid, (nFull, nTrunc, ov, bp)) =>
+      assert(nFull == full(qid).size.toLong)
+      assert(nTrunc == tr.getOrElse(qid, Set.empty[Long]).size.toLong)
+      assert(ov == (full(qid) & tr.getOrElse(qid, Set.empty[Long])).size.toLong)
+      assert(bp == ov * 10000 / nFull)
+    }
+    // truncation must actually lose something on the fixture — otherwise
+    // this evaluation is measuring nothing
+    assert(out.values.exists(_._4 < 10000))
+  }
+
   test("lshRecall: inverted-index truth == brute force; caught == production banding") {
     val out = TextPipeline.lshRecall(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getLong(5)))

@@ -270,6 +270,14 @@ class ScalePlanSpec extends SparkSpec {
     assert(p.count() == 64)
   }
 
+  test("truncRecall: both scorers broadcast the query side; no real cartesian, no sortagg") {
+    val t = graft.queries.Similarity.truncRecall(spark, "/root/testdata/sf0.001")
+    val tp = t.queryExecution.executedPlan.toString
+    assert(!tp.contains("CartesianProduct"), s"query sides must broadcast:\n$tp")
+    assert(!tp.contains("SortAggregate"), s"no SortAggregate:\n$tp")
+    assert(t.count() > 0)
+  }
+
   test("lshRecall: ground truth is an equi-join on the shingle index — never a cartesian") {
     val r = graft.queries.TextPipeline.lshRecall(spark, "/root/testdata/sf0.001")
     val rp = r.queryExecution.executedPlan.toString
