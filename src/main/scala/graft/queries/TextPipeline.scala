@@ -1614,6 +1614,82 @@ object TextPipeline extends QueryModule {
        |FROM r GROUP BY doc_id
        |""".stripMargin
 
+  /** Content-defined chunk dedup — the insertion-robust sibling of
+    * [[chunkDedup]]: chunk boundaries are placed where the local 3-word
+    * shingle's hash hits a mask (word₁ of md5 ≡ 0 mod [[CdcMaskMod]]),
+    * so inserting a sentence shifts only the ONE chunk containing the
+    * edit while fixed-width windows shift every chunk after it — the
+    * FastCDC/rsync boundary idea applied to word streams. Mean chunk
+    * length ≈ CdcMaskMod words; boundaries are a pure per-doc map
+    * (one array pipeline inside codegen, no shuffle until the digest
+    * agg). Dedup aggregation reuses chunkDedup's de-skewed shape: two
+    * hash aggs (doc → n_chunks; digest → min doc) + a doc_id join-back,
+    * so a boilerplate chunk shared by millions of docs never forms a
+    * hot window partition.
+    *
+    * Dialect note: Spark's indexed `transform` lambda is 0-based while
+    * DuckDB's is 1-based, and Spark's `sequence(1, n)` is DESCENDING for
+    * n < 1 while DuckDB's `range` is empty — the shingle-position list is
+    * generated over `greatest(n-2, 1)` and re-filtered, so short docs
+    * yield [start=1] and exactly one whole-doc chunk in both engines.
+    */
+  private val CdcMaskMod = 16
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val shingleHash = "element_at(md5_words(concat_ws(' ', element_at(words, i), " +
+      "element_at(words, i + 1), element_at(words, i + 2))), 1)"
+    val ch = docsNorm(spark, dir)
+      .withColumn("starts", expr(
+        s"concat(array(1), filter(sequence(1, greatest(size(words) - 2, 1)), " +
+          s"i -> i > 1 AND i <= size(words) - 2 AND $shingleHash % $CdcMaskMod = 0))"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(starts, (s, j) -> concat_ws(' ', slice(words, s, " +
+            "IF(j + 2 <= size(starts), element_at(starts, j + 2), size(words) + 1) - s)))"))
+          .as(Seq("c", "chunk")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val perDoc = ch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    val firstsPerDoc = ch
+      .groupBy(md5(col("chunk")).as("dg"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_first"))
+    perDoc.join(firstsPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_first"), lit(0L))).as("n_dup_chunks"))
+      .withColumn("dup_bp", expr("n_dup_chunks * 10000 div n_chunks"))
+  }
+
+  def cdcChunksSql: String = {
+    val fold = (s: String) => s"list_reduce(list_transform(range(0, 8), " +
+      s"k -> strpos('0123456789abcdef', substr(md5($s), k + 1, 1)) - 1), (a, b) -> a * 16 + b)"
+    val shingle = "ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]"
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM documents
+       |), st AS (
+       |  SELECT doc_id, ws,
+       |         list_concat([CAST(1 AS BIGINT)],
+       |           list_filter(range(1, greatest(LEN(ws) - 2, 0) + 1),
+       |             i -> i > 1 AND ${fold(shingle)} % $CdcMaskMod = 0)) AS starts
+       |  FROM d
+       |), cl AS (
+       |  SELECT doc_id,
+       |         list_transform(starts, (s, j) -> array_to_string(
+       |           ws[s : CASE WHEN j < LEN(starts) THEN starts[j + 1] - 1 ELSE LEN(ws) END],
+       |           ' ')) AS chunks
+       |  FROM st
+       |), ch AS (
+       |  SELECT doc_id, UNNEST(range(0, LEN(chunks))) AS c, UNNEST(chunks) AS chunk FROM cl
+       |), r AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, c) AS rn
+       |  FROM ch
+       |)
+       |SELECT doc_id, COUNT(*) AS n_chunks,
+       |       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       |       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000 // COUNT(*) AS dup_bp
+       |FROM r GROUP BY doc_id
+       |""".stripMargin
+  }
+
   /** Tokenizer-vocabulary coverage audit: per doc, the fraction of tokens
     * OUTSIDE the corpus top-OovVocabK vocabulary (the OOV rate a
     * tokenizer build checks before committing to a vocab). The vocabulary
@@ -2440,6 +2516,7 @@ object TextPipeline extends QueryModule {
     "t_mixture_sample" -> (mixtureSample _),
     "t_quality_cut" -> (qualityCut _),
     "t_lsh_recall" -> (lshRecall _),
+    "t_cdc_chunks" -> (cdcChunks _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2483,5 +2560,6 @@ object TextPipeline extends QueryModule {
     "t_mixture_sample" -> mixtureSampleSql,
     "t_quality_cut" -> qualityCutSql,
     "t_lsh_recall" -> lshRecallSql,
+    "t_cdc_chunks" -> cdcChunksSql,
   )
 }

@@ -717,6 +717,52 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.values.exists(_._4 < 10000))
   }
 
+  test("cdcChunks: Scala recompute matches; boundaries survive insertion where fixed windows shift") {
+    def w1(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) | ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    }
+    def cdc(ws: IndexedSeq[String]): Seq[String] = {
+      val starts = 1 +: (2 to ws.size - 2)
+        .filter(i => w1(s"${ws(i - 1)} ${ws(i)} ${ws(i + 1)}") % 16 == 0)
+      starts.zipWithIndex.map { case (s, j) =>
+        val end = if (j + 1 < starts.size) starts(j + 1) - 1 else ws.size
+        ws.slice(s - 1, end).mkString(" ")
+      }
+    }
+    // 1) the distributed entry equals the plain-Scala model on the fixture
+    val out = TextPipeline.cdcChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase
+        .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim.split(" ").toIndexedSeq))
+    val rows = docs.flatMap { case (id, ws) => cdc(ws).zipWithIndex.map { case (c, i) => (id, i, c) } }
+    val dupPerDoc = rows.groupBy(_._3).values
+      .flatMap(g => g.sortBy(r => (r._1, r._2)).drop(1)).toSeq
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(out.size == docs.length)
+    docs.foreach { case (id, ws) =>
+      val n = cdc(ws).size.toLong; val nd = dupPerDoc.getOrElse(id, 0L)
+      assert(out(id) == ((n, nd, nd * 10000 / n)), s"doc $id")
+    }
+    // 2) the CDC property, on a synthetic stream big enough to measure:
+    // one mid-sequence insertion perturbs only the chunk(s) at the edit,
+    // while fixed-width windows shift every chunk after it
+    // distinct words: a periodic vocabulary would let SHIFTED fixed
+    // windows coincide textually and mask the contrast being tested
+    val ws = (0 until 500).map(i => s"w$i")
+    val ws2 = (ws.take(250) :+ "inserted") ++ ws.drop(250)
+    def shared(a: Seq[String], b: Seq[String]): Int = {
+      val bc = scala.collection.mutable.Map(b.groupBy(identity).view.mapValues(_.size).toSeq: _*)
+      a.count(c => bc.get(c).exists(_ > 0) && { bc(c) -= 1; true })
+    }
+    val (c1, c2) = (cdc(ws), cdc(ws2))
+    val cdcShared = shared(c1, c2)
+    assert(cdcShared >= c1.size - 3, s"CDC lost ${c1.size - cdcShared} of ${c1.size} chunks")
+    val (f1, f2) = (ws.grouped(16).map(_.mkString(" ")).toSeq, ws2.grouped(16).map(_.mkString(" ")).toSeq)
+    assert(shared(f1, f2) < cdcShared, "fixed windows should lose more chunks than CDC")
+  }
+
   test("lshRecall: inverted-index truth == brute force; caught == production banding") {
     val out = TextPipeline.lshRecall(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getLong(5)))
