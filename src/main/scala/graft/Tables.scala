@@ -17,15 +17,23 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized parquet
-    * reader rejects; read nanos as long and convert to a µs timestamp (the
-    * fixture's nanos are exact µs multiples, and DuckDB also truncates its
-    * timestamps to µs, so both engines see identical instants).
+  /** events.parquet has shipped with two physical layouts for `ts` across
+    * driver testdata generations: TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects — read nanos as long, convert to µs) and
+    * plain TIMESTAMP(MICROS) (isAdjustedToUTC=false → TIMESTAMP_NTZ).
+    * Handle both by inspecting the loaded dtype; either way normalize to
+    * session-local TIMESTAMP so instants match DuckDB's naive µs
+    * timestamps under the pinned UTC session timezone.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.LongType
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
