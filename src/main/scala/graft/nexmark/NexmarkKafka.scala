@@ -55,22 +55,32 @@ object NexmarkKafka {
     * — the routing stays codegen'd and plan-auditable; only the byte-level
     * codec runs in a lambda (the documented binary-codec exception).
     */
-  def writeEventsToKafka(events: Dataset[Event], servers: String,
-                         numPartitions: Int, checkpoint: String,
-                         topic: String = "nexmark-events"): DataStreamWriter[org.apache.spark.sql.Row] = {
+  /** The producer's exact output projection — `key` (8-byte BE partition
+    * key), `value` (tagged wire bytes), `partition` (murmur3 routing) —
+    * shared by the Kafka sink below and the broker-less partition-log
+    * composition spec, so the spec exercises the production routing
+    * byte-for-byte rather than a reimplementation.
+    */
+  def keyedForProduce(events: Dataset[Event], numPartitions: Int): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.functions.{call_function, col, lit}
     // fail fast with the actual precondition instead of an unresolved-
     // function AnalysisException at stream start: the routing column needs
     // the session built with spark.sql.extensions=graft.spark.GraftExtensions
     require(events.sparkSession.catalog.functionExists("murmur3_partition"),
-      "writeEventsToKafka requires graft.spark.GraftExtensions " +
+      "the events producer requires graft.spark.GraftExtensions " +
         "(spark.sql.extensions) for the native murmur3_partition routing column")
-    val keyed = events
+    events
       .map(e => (TaggedCodec.encodeKey(e), TaggedCodec.encode(e), e.key))
       .toDF("key", "value", "k")
       .withColumn("partition", call_function("murmur3_partition", col("k"), lit(numPartitions)))
       .drop("k")
+  }
+
+  def writeEventsToKafka(events: Dataset[Event], servers: String,
+                         numPartitions: Int, checkpoint: String,
+                         topic: String = "nexmark-events"): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val keyed = keyedForProduce(events, numPartitions)
     keyed.writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", servers)
