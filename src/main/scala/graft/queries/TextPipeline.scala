@@ -2475,6 +2475,75 @@ object TextPipeline extends QueryModule {
        |WHERE cum_tokens <= alloc_tokens
        |""".stripMargin
 
+  /** Gopher-style document-shape rules (Rae et al. 2021 §A1.1, the
+    * published web-corpus filter battery) as ONE shuffle-free projection:
+    * every rule is exact integer arithmetic over per-row token stats, so
+    * at 100 TB this is a map-only pass over the scan — no explode, no
+    * aggregation, nothing leaves the input partition. Complements
+    * [[qualityScore]] (weighted score) and [[repetitionFilter]] (the
+    * repetition half of Gopher's battery, which needs per-token counts):
+    * a bit SET in `fail_bits` = that rule FAILED.
+    *
+    *   bit 0  min_tokens     n_tokens >= 50
+    *   bit 1  max_tokens     n_tokens <= 100000
+    *   bit 2  mean_word_len  mean token length in [3, 10]
+    *   bit 3  symbol_ratio   punctuation chars <= 10% of tokens
+    *   bit 4  stopword_hits  >= 2 DISTINCT stopwords present
+    *   bit 5  alpha_tokens   >= 80% of tokens contain a letter
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val sw = Stopwords.map(s => s"w = '$s'").mkString(" or ")
+    docsNorm(spark, dir)
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_tokens"),
+        // single-space normalized text: total word chars = len - (n-1)
+        (length(col("nc")) - size(col("words")) + 1).cast("long").as("sum_chars"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("long").as("punct_count"),
+        expr(s"size(filter(array_distinct(words), w -> $sw))").cast("long").as("sw_distinct"),
+        expr("size(filter(words, w -> w rlike '[a-z]'))").cast("long").as("n_alpha"))
+      .withColumn("fail_bits",
+        expr("""CAST(IF(n_tokens >= 50, 0, 1) AS BIGINT)
+               | + IF(n_tokens <= 100000, 0, 2)
+               | + IF(3 * n_tokens <= sum_chars AND sum_chars <= 10 * n_tokens, 0, 4)
+               | + IF(punct_count * 10 <= n_tokens, 0, 8)
+               | + IF(sw_distinct >= 2, 0, 16)
+               | + IF(5 * n_alpha >= 4 * n_tokens, 0, 32)""".stripMargin))
+      .select(col("doc_id"), col("n_tokens"), col("fail_bits"),
+        expr("bit_count(fail_bits)").cast("int").as("n_failed"),
+        expr("CAST(fail_bits = 0 AS INT)").as("pass"))
+  }
+
+  def gopherRulesSql: String = {
+    val sw = Stopwords.map(s => s"w = '$s'").mkString(" or ")
+    s"""WITH d AS (
+       |  SELECT doc_id, text, ${normSql("text")} AS nc,
+       |         string_split(${normSql("text")}, ' ') AS ws
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id,
+       |         CAST(LEN(ws) AS BIGINT) AS n_tokens,
+       |         CAST(LENGTH(nc) - LEN(ws) + 1 AS BIGINT) AS sum_chars,
+       |         CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS punct_count,
+       |         CAST(LEN(list_filter(list_distinct(ws), w -> $sw)) AS BIGINT) AS sw_distinct,
+       |         CAST(LEN(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha
+       |  FROM d
+       |), f AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(CASE WHEN n_tokens >= 50 THEN 0 ELSE 1 END
+       |          + CASE WHEN n_tokens <= 100000 THEN 0 ELSE 2 END
+       |          + CASE WHEN 3 * n_tokens <= sum_chars AND sum_chars <= 10 * n_tokens THEN 0 ELSE 4 END
+       |          + CASE WHEN punct_count * 10 <= n_tokens THEN 0 ELSE 8 END
+       |          + CASE WHEN sw_distinct >= 2 THEN 0 ELSE 16 END
+       |          + CASE WHEN 5 * n_alpha >= 4 * n_tokens THEN 0 ELSE 32 END AS BIGINT) AS fail_bits
+       |  FROM b
+       |)
+       |SELECT doc_id, n_tokens, fail_bits,
+       |       CAST(bit_count(fail_bits) AS INT) AS n_failed,
+       |       CAST(fail_bits = 0 AS INT) AS pass
+       |FROM f
+       |""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> (tokenStats _),
     "t_lang_id" -> (langId _),
@@ -2517,6 +2586,7 @@ object TextPipeline extends QueryModule {
     "t_quality_cut" -> (qualityCut _),
     "t_lsh_recall" -> (lshRecall _),
     "t_cdc_chunks" -> (cdcChunks _),
+    "t_gopher_rules" -> (gopherRules _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2561,5 +2631,6 @@ object TextPipeline extends QueryModule {
     "t_quality_cut" -> qualityCutSql,
     "t_lsh_recall" -> lshRecallSql,
     "t_cdc_chunks" -> cdcChunksSql,
+    "t_gopher_rules" -> gopherRulesSql,
   )
 }
