@@ -70,12 +70,17 @@ object Similarity extends QueryModule {
     * TopK × Salts rows do. `order` must be a total order (score, vec_id)
     * so both phases agree with the oracle's ROW_NUMBER deterministically.
     */
-  private def saltedTopK(scored: DataFrame, order: Column*): DataFrame = {
+  private def saltedTopK(scored: DataFrame, order: Column*): DataFrame =
+    saltedTopN(scored, TopK, order: _*)
+
+  /** [[saltedTopK]] at an arbitrary per-query result size `n` (the MMR
+    * candidate pool wants a deeper cut than the serving TopK). */
+  private def saltedTopN(scored: DataFrame, n: Int, order: Column*): DataFrame = {
     val w1 = Window.partitionBy(col("query_id"), pmod(col("vec_id"), lit(Salts)))
       .orderBy(order: _*)
     val w2 = Window.partitionBy(col("query_id")).orderBy(order: _*)
-    scored.withColumn("prk", row_number().over(w1)).filter(col("prk") <= TopK)
-      .withColumn("rk", row_number().over(w2)).filter(col("rk") <= TopK)
+    scored.withColumn("prk", row_number().over(w1)).filter(col("prk") <= n)
+      .withColumn("rk", row_number().over(w2)).filter(col("rk") <= n)
   }
 
   /** Brute-force cosine top-k per query vector, two-phase (salted) rank. */
@@ -1444,6 +1449,130 @@ object Similarity extends QueryModule {
       |GROUP BY label
       |""".stripMargin
 
+  private val MmrPool = 20 // candidate pool depth per query
+  private val MmrK = 5     // diversified results per query
+  /** MMR score as shared SQL text (identical in both dialects; CASTs keep
+    * Spark from parsing the literals as DECIMAL): λ=0.7 relevance,
+    * 0.3 redundancy penalty. */
+  private def mmrSql(rel: String, pen: String): String =
+    s"(CAST(7 AS DOUBLE) * $rel - CAST(3 AS DOUBLE) * $pen) / CAST(10 AS DOUBLE)"
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998): per
+    * query, greedily pick MmrK of the MmrPool most-relevant candidates,
+    * each round maximizing λ·rel − (1−λ)·max-similarity-to-already-picked
+    * — the serving-side diversity pass that keeps a result page from
+    * being MmrK near-duplicates (the same redundancy the `s_*_dedup`
+    * entries remove corpus-side).
+    *
+    * Scale shape: the pool cut is the salted two-phase top-N (never an
+    * unbounded per-query sort), and everything after operates on
+    * per-query sets BOUNDED BY CONSTRUCTION — MmrPool rows and
+    * MmrPool·(MmrPool−1) pairwise sims per query, checkpointed once.
+    * The greedy loop is MmrK−1 driver rounds over those tiny tables
+    * (the kmeansIterate pattern: lazy per-round checkpoint, one action),
+    * independent of corpus size. Windows inside the loop partition by
+    * query over ≤ MmrPool rows, so no salting is needed there.
+    *
+    * Picks and scores are cross-engine exact for the same reason
+    * [[knnBrute]]'s are: both engines evaluate the identical
+    * double-precision expression tree (cosines in index order, one
+    * fused multiply-subtract formula — [[mmrSql]] is interpolated into
+    * BOTH plans), and every argmax carries the vec_id tie-break.
+    */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val scored = e.select(col("vec_id"), col("emb")).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rel", cosine(col("qemb"), col("emb")))
+      .select(col("query_id"), col("vec_id"), col("rel"), col("emb"))
+    val pool = saltedTopN(scored, MmrPool, col("rel").desc_nulls_last, col("vec_id").asc)
+      .select(col("query_id"), col("vec_id"), col("rel"), col("emb"))
+      .localCheckpoint(true)
+    val pairs = pool.select(col("query_id"), col("vec_id").as("cand"), col("emb").as("cemb"))
+      .join(pool.select(col("query_id"), col("vec_id").as("other"), col("emb").as("oemb")),
+        Seq("query_id"))
+      .filter(col("cand") =!= col("other"))
+      .select(col("query_id"), col("cand"), col("other"),
+        cosine(col("cemb"), col("oemb")).as("sim"))
+      .localCheckpoint(true)
+    val slim = pool.select(col("query_id"), col("vec_id"), col("rel"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr").desc_nulls_last, col("vec_id").asc)
+    var sel = slim
+      .withColumn("mmr", expr(mmrSql("rel", "CAST(0 AS DOUBLE)")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id"), col("rel"), col("mmr"),
+        lit(1).as("sel_rank"))
+    for (r <- 2 to MmrK) {
+      val pen = pairs
+        .join(sel.select(col("query_id"), col("vec_id").as("other")), Seq("query_id", "other"))
+        .groupBy(col("query_id"), col("cand").as("vec_id"))
+        .agg(max(col("sim")).as("pen"))
+      val pick = slim
+        .join(sel.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"), "left_anti")
+        .join(pen, Seq("query_id", "vec_id"))
+        .withColumn("mmr", expr(mmrSql("rel", "pen")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), col("rel"), col("mmr"),
+          lit(r).as("sel_rank"))
+      sel = sel.union(pick).localCheckpoint(false)
+    }
+    sel.select(col("query_id"), col("sel_rank"), col("vec_id"),
+      round(col("rel"), 6).as("rel6"), round(col("mmr"), 6).as("mmr6"))
+  }
+
+  def mmrRerankSql: String = {
+    val rounds = (2 to MmrK).map { r =>
+      s"""sel$r AS MATERIALIZED (
+         |  SELECT query_id, vec_id, rel, mmr, $r AS sel_rank FROM (
+         |    SELECT query_id, vec_id, rel, mmr,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC NULLS LAST, vec_id) AS rn
+         |    FROM (
+         |      SELECT p.query_id, p.vec_id, p.rel, ${mmrSql("p.rel", "pen.pen")} AS mmr
+         |      FROM pool p
+         |      JOIN (SELECT pr.query_id, pr.cand, MAX(pr.sim) AS pen
+         |            FROM pairs pr JOIN cum${r - 1} s
+         |              ON pr.query_id = s.query_id AND pr.other = s.vec_id
+         |            GROUP BY pr.query_id, pr.cand) pen
+         |        ON pen.query_id = p.query_id AND pen.cand = p.vec_id
+         |      LEFT JOIN cum${r - 1} d
+         |        ON d.query_id = p.query_id AND d.vec_id = p.vec_id
+         |      WHERE d.vec_id IS NULL
+         |    )
+         |  ) WHERE rn = 1
+         |),
+         |cum$r AS (SELECT * FROM cum${r - 1} UNION ALL SELECT * FROM sel$r),""".stripMargin
+    }.mkString("\n")
+    s"""WITH e AS (
+       |  $VecsCteSql
+       |), q AS (
+       |  SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id % $QueryMod = 0
+       |), s AS (
+       |  SELECT query_id, vec_id, list_cosine_similarity(qemb, emb) AS rel, emb
+       |  FROM q, e WHERE vec_id <> query_id
+       |), pool AS MATERIALIZED (
+       |  SELECT query_id, vec_id, rel, emb,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC NULLS LAST, vec_id) AS rn
+       |  FROM s QUALIFY rn <= $MmrPool
+       |), pairs AS MATERIALIZED (
+       |  SELECT a.query_id, a.vec_id AS cand, b.vec_id AS other,
+       |         list_cosine_similarity(a.emb, b.emb) AS sim
+       |  FROM pool a JOIN pool b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+       |), sel1 AS (
+       |  SELECT query_id, vec_id, rel, ${mmrSql("rel", "CAST(0 AS DOUBLE)")} AS mmr, 1 AS sel_rank
+       |  FROM pool WHERE rn = 1
+       |), cum1 AS (SELECT * FROM sel1),
+       |$rounds
+       |outp AS (SELECT * FROM cum$MmrK)
+       |SELECT query_id, sel_rank, vec_id,
+       |       ROUND(rel, 6) AS rel6, ROUND(mmr, 6) AS mmr6
+       |FROM outp
+       |""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_knn_brute" -> (knnBrute _),
     "s_knn_ivf" -> (knnIvf _),
@@ -1464,6 +1593,7 @@ object Similarity extends QueryModule {
     "s_label_drift" -> (labelDrift _),
     "s_pca_power" -> (pcaPower _),
     "s_trunc_recall" -> (truncRecall _),
+    "s_mmr_rerank" -> (mmrRerank _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1486,5 +1616,6 @@ object Similarity extends QueryModule {
     "s_label_drift" -> labelDriftSql,
     "s_pca_power" -> pcaPowerSql,
     "s_trunc_recall" -> truncRecallSql,
+    "s_mmr_rerank" -> mmrRerankSql,
   )
 }
