@@ -394,6 +394,94 @@ object EventAnalytics extends QueryModule {
       |  ON p.user_id = v.user_id AND p.ts >= v.ts
       |""".stripMargin
 
+  /** Ordered conversion funnel signup → view → purchase per user: each
+    * stage's timestamp is the EARLIEST event of that type at-or-after the
+    * previous stage's timestamp (the product-analytics sequence-match
+    * semantics — a view before the signup does not count).
+    *
+    * Three conditional-min hash aggregations, each keyed on user_id, with
+    * the per-user stage frontier joined back between them. The stage
+    * frontier is one row per converted user (≤ |users|, tiny next to
+    * events), so at 100 TB each round is one shuffle of the filtered
+    * event-type slice plus a frontier join — nothing sorts, nothing holds
+    * per-user event lists.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("tms"))
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("tms")).as("s_ms"))
+    val v = ev.filter(col("event_type") === "view")
+      .join(s, "user_id").filter(col("tms") >= col("s_ms"))
+      .groupBy(col("user_id")).agg(min(col("tms")).as("v_ms"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id").filter(col("tms") >= col("v_ms"))
+      .groupBy(col("user_id")).agg(min(col("tms")).as("p_ms"))
+    s.join(v, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("s_ms"), col("v_ms"), col("p_ms"),
+        (lit(1) + col("v_ms").isNotNull.cast("int")
+               + col("p_ms").isNotNull.cast("int")).as("stage"))
+  }
+
+  def funnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(epoch_ms(ts) AS BIGINT) AS tms FROM events
+      |), s AS (
+      |  SELECT user_id, MIN(tms) AS s_ms FROM ev WHERE event_type = 'signup' GROUP BY user_id
+      |), v AS (
+      |  SELECT ev.user_id, MIN(tms) AS v_ms FROM ev JOIN s USING (user_id)
+      |  WHERE event_type = 'view' AND tms >= s_ms GROUP BY ev.user_id
+      |), p AS (
+      |  SELECT ev.user_id, MIN(tms) AS p_ms FROM ev JOIN v USING (user_id)
+      |  WHERE event_type = 'purchase' AND tms >= v_ms GROUP BY ev.user_id
+      |)
+      |SELECT s.user_id, s_ms, v_ms, p_ms,
+      |       1 + CAST(v_ms IS NOT NULL AS INT) + CAST(p_ms IS NOT NULL AS INT) AS stage
+      |FROM s LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id)
+      |""".stripMargin
+
+  /** Cohort retention: users grouped by first-activity day; for each
+    * (cohort day, day offset) the share of the cohort active that day,
+    * in exact basis points. Two hash aggregations over a distinct-day
+    * projection plus a broadcast-sized cohort frontier — the daily-ingest
+    * engagement report at any scale (|cohorts × offsets| rows out).
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), dayMs(col("ts")).as("day_ms"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("day_ms")).as("cohort_ms"))
+    val sizes = cohort.groupBy(col("cohort_ms")).agg(count(lit(1)).as("n_cohort"))
+    // (user_id, day_ms) is distinct after the distinct() and a user maps
+    // to exactly one cohort, so COUNT(*) per (cohort, offset) IS the
+    // distinct-user count — no second dedup agg needed
+    ev.distinct()
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_ms"),
+        expr("(day_ms - cohort_ms) div 86400000").as("offset_day"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_ms")
+      .select(col("cohort_ms"), col("offset_day"), col("n_active"), col("n_cohort"),
+        expr("n_active * 10000 div n_cohort").as("retention_bp"))
+  }
+
+  def retentionSql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS day_ms FROM events
+      |), cohort AS (
+      |  SELECT user_id, MIN(day_ms) AS cohort_ms FROM ev GROUP BY user_id
+      |), sizes AS (
+      |  SELECT cohort_ms, COUNT(*) AS n_cohort FROM cohort GROUP BY cohort_ms
+      |), act AS (
+      |  SELECT cohort_ms, (day_ms - cohort_ms) // 86400000 AS offset_day,
+      |         COUNT(*) AS n_active
+      |  FROM ev JOIN cohort USING (user_id)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT cohort_ms, offset_day, n_active, n_cohort,
+      |       n_active * 10000 // n_cohort AS retention_bp
+      |FROM act JOIN sizes USING (cohort_ms)
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q5_hot_users" -> (hotUsers _),
     "q4_avg_max_value" -> (avgMaxValue _),
@@ -406,6 +494,8 @@ object EventAnalytics extends QueryModule {
     "qx_union_mix" -> (unionMix _),
     "q_topk_per_type" -> (topkPerType _),
     "q_asof_join" -> (asofViewPurchase _),
+    "q_funnel" -> (funnel _),
+    "q_retention" -> (retention _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -420,5 +510,7 @@ object EventAnalytics extends QueryModule {
     "qx_union_mix" -> unionMixSql,
     "q_topk_per_type" -> topkPerTypeSql,
     "q_asof_join" -> asofViewPurchaseSql,
+    "q_funnel" -> funnelSql,
+    "q_retention" -> retentionSql,
   )
 }
