@@ -345,4 +345,88 @@ object NexmarkStateful {
           }
       }
   }
+
+  // ---- conversion funnel: CEP-style ordered pattern detection ----
+
+  /** Tagged per-person funnel event: kind 0 = person created (the signup),
+    * 1 = auction listed by that person, 2 = bid placed by that person.
+    * The kind is also the equal-timestamp processing order within a batch.
+    */
+  case class FEvent(personId: Long, kind: Int, ts: Long)
+  case class FunnelState(sMs: Long, vMs: Long, pMs: Long, done: Boolean)
+  case class FunnelOut(personId: Long, sMs: Long, vMs: Long, pMs: Long, stage: Int)
+
+  /** Ordered conversion funnel with a fixed per-key conversion window —
+    * the product-analytics "signup → first listing → first sale-bid
+    * within W of signup" pattern, as a keyed state machine with ONE
+    * event-time timer armed at signup + W (the conversion window close).
+    * This is the CEP shape Flink users write as a KeyedProcessFunction
+    * with a one-shot timer; stages advance only forward and only inside
+    * [signup, signup + W).
+    *
+    * Determinism under multi-batch admission (the oracle's model):
+    *   - generator event time is globally non-decreasing across batches
+    *     and each batch's per-key slice is sorted (ts, kind) here, so
+    *     stage transitions process in event-time order;
+    *   - the timer never re-arms at a different instant (the clamp to
+    *     watermark+1 only DELAYS an already-closed window's emission to
+    *     the key's next quiet batch — by then every event below
+    *     signup + W has long arrived), so the emitted row is the same
+    *     whether the timer fires mid-stream or in the AvailableNow final
+    *     pass: emitted iff signup + W < final watermark, stages = the
+    *     batch conditional-mins over [signup, signup + W);
+    *   - after firing, the key keeps a `done` tombstone so stragglers
+    *     can never re-open an emitted funnel (generator person ids are
+    *     unique, so this is belt-and-braces; a production deployment
+    *     would TTL tombstones).
+    */
+  def funnelStateful(persons: Dataset[Person], auctions: Dataset[Auction],
+                     bids: Dataset[Bid], windowMs: Long): Dataset[FunnelOut] = {
+    import persons.sparkSession.implicits._
+    val p = persons.map(x => FEvent(x.personId, 0, x.timestamp))
+    val a = auctions.map(x => FEvent(x.personId, 1, x.timestamp))
+    val b = bids.map(x => FEvent(x.personId, 2, x.timestamp))
+    val withTime = p.unionByName(a).unionByName(b).toDF
+      .withColumn("eventTime", timestamp_millis(col("ts")))
+      .withWatermark("eventTime", "2 seconds")
+      .as[FEvent]
+    withTime
+      .groupByKey(_.personId)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (pid, rows, state: GroupState[FunnelState]) =>
+          def out(st: FunnelState) = FunnelOut(pid, st.sMs, st.vMs, st.pMs,
+            1 + (if (st.vMs >= 0) 1 else 0) + (if (st.pMs >= 0) 1 else 0))
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.update(st.copy(done = true))
+            if (!st.done && st.sMs >= 0) Iterator.single(out(st))
+            else Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, done = false))
+            if (st.done) Iterator.empty
+            else {
+              rows.toSeq.sortBy(e => (e.ts, e.kind)).foreach { e =>
+                e.kind match {
+                  case 0 =>
+                    if (st.sMs < 0) st = st.copy(sMs = e.ts)
+                  case 1 =>
+                    if (st.sMs >= 0 && st.vMs < 0 &&
+                        e.ts >= st.sMs && e.ts < st.sMs + windowMs)
+                      st = st.copy(vMs = e.ts)
+                  case _ =>
+                    if (st.vMs >= 0 && st.pMs < 0 &&
+                        e.ts >= st.vMs && e.ts < st.sMs + windowMs)
+                      st = st.copy(pMs = e.ts)
+                }
+              }
+              state.update(st)
+              if (st.sMs >= 0)
+                state.setTimeoutTimestamp(
+                  math.max(st.sMs + windowMs, state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            }
+          }
+      }
+  }
 }

@@ -654,6 +654,72 @@ object StreamingBench extends QueryModule {
       expectedBatches(rows)))
   }
 
+  /** Conversion funnel as keyed CEP state (signup → first listing →
+    * first sale-bid within a 5 s conversion window of signup,
+    * [[NexmarkStateful.funnelStateful]]) over the three entity streams.
+    *
+    * Volumes are forced to a multiple of 12 so the three streams'
+    * micro-batch boundaries land on IDENTICAL event-time instants
+    * (persons: rows/4 events at 4 ms spacing; auctions/bids: rows events
+    * at 1 ms — each batch then covers the same half-open time range in
+    * all three streams). That makes equal-timestamp cross-stream pairs
+    * arrive in the SAME batch, where the state machine's (ts, kind) sort
+    * orders them deterministically — the one interleaving the
+    * monotone-time argument alone does not fix.
+    */
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val raw = (10000000L * sfOf(dir) / Parallelism).toLong
+    val rows = math.max(12L, raw / 12L * 12L)
+    val pRows = rows / 4
+    val pCfg = GenConfig(eventsPerSecond = 250L)
+    val abCfg = GenConfig(eventsPerSecond = 1000L)
+    dumpInput(spark, dir, "stream_funnel", "persons", pCfg, pRows)
+    dumpInput(spark, dir, "stream_funnel", "auctions", abCfg, rows)
+    dumpInput(spark, dir, "stream_funnel", "bids", abCfg, rows)
+    val persons = NexmarkSources.personStreamDsv2(spark, pCfg, Parallelism, pRows, rowsPerBatchFor(pRows))
+    val auctions = NexmarkSources.auctionStreamDsv2(spark, abCfg, Parallelism, rows, rowsPerBatchFor(rows))
+    val bids = NexmarkSources.bidStreamDsv2(spark, abCfg, Parallelism, rows, rowsPerBatchFor(rows))
+    runToParquet(spark,
+      NexmarkStateful.funnelStateful(persons, auctions, bids, windowMs = 5000L).toDF,
+      "funnel", expectedBatches(rows))
+  }
+
+  /** Funnel oracle: the timer arms once at signup + 5000 and the clamp
+    * only delays emission past window close (class doc of
+    * [[NexmarkStateful.funnelStateful]]), so a funnel row is emitted iff
+    * signup + 5000 < the final min-across-sources watermark; stages are
+    * conditional mins inside [signup, signup + 5000). Persons keep the
+    * earliest event per personId (generator ids are unique per stream,
+    * but MIN matches the state machine's first-wins exactly).
+    */
+  private val streamFunnelSql: String =
+    s"""WITH p AS (SELECT personId, MIN(timestamp) AS s_ms
+      |           FROM ${inPath("stream_funnel", "persons")} GROUP BY personId),
+      |a AS (SELECT personId, timestamp FROM ${inPath("stream_funnel", "auctions")}),
+      |b AS (SELECT personId, timestamp FROM ${inPath("stream_funnel", "bids")}),
+      |wm AS (SELECT LEAST(
+      |         (SELECT MAX(timestamp) FROM ${inPath("stream_funnel", "persons")}),
+      |         (SELECT MAX(timestamp) FROM a),
+      |         (SELECT MAX(timestamp) FROM b)) - 2000 AS w),
+      |v AS (
+      |  SELECT p.personId, MIN(a.timestamp) AS v_ms
+      |  FROM p JOIN a ON a.personId = p.personId
+      |   AND a.timestamp >= p.s_ms AND a.timestamp < p.s_ms + 5000
+      |  GROUP BY p.personId
+      |), pp AS (
+      |  SELECT p.personId, MIN(b.timestamp) AS p_ms
+      |  FROM p JOIN v ON v.personId = p.personId
+      |  JOIN b ON b.personId = p.personId
+      |   AND b.timestamp >= v.v_ms AND b.timestamp < p.s_ms + 5000
+      |  GROUP BY p.personId
+      |)
+      |SELECT p.personId, p.s_ms AS sMs,
+      |       COALESCE(v.v_ms, -1) AS vMs, COALESCE(pp.p_ms, -1) AS pMs,
+      |       1 + CAST(v.v_ms IS NOT NULL AS INT) + CAST(pp.p_ms IS NOT NULL AS INT) AS stage
+      |FROM p LEFT JOIN v USING (personId) LEFT JOIN pp USING (personId)
+      |WHERE p.s_ms + 5000 < (SELECT w FROM wm)
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_q5_hot" -> (streamQ5Hot _),
     "stream_q8_join" -> (streamQ8Join _),
@@ -664,6 +730,7 @@ object StreamingBench extends QueryModule {
     "stream_q7_highest" -> (streamQ7Highest _),
     "stream_dedup" -> (streamDedup _),
     "stream_incremental_dedup" -> (streamIncrementalDedup _),
+    "stream_funnel" -> (streamFunnel _),
   )
 
   /** DuckDB oracles over each entry's dumped input events (see the class
@@ -679,5 +746,6 @@ object StreamingBench extends QueryModule {
     "stream_q7_highest" -> streamQ7HighestSql,
     "stream_dedup" -> streamDedupSql,
     "stream_incremental_dedup" -> streamIncrementalDedupSql,
+    "stream_funnel" -> streamFunnelSql,
   )
 }

@@ -110,6 +110,42 @@ class StreamingMultiBatchSpec extends SparkSpec {
     }
   }
 
+  test("conversion-window funnel state: 1-batch output == 4-batch output") {
+    // one-shot-timer + tombstone shape (NexmarkStateful.funnelStateful).
+    // rows/eps chosen so the three streams' batch boundaries land on the
+    // same event-time instants (500@eps100 vs 2000@eps400, 1:4 with 4×
+    // spacing — the alignment StreamingBench.streamFunnel forces), and
+    // W=2 s against a 5 s span so some windows close (and fire) under
+    // INTERMEDIATE watermarks in the 4-batch run — the mid-stream-fire
+    // path must agree with the 1-batch final-pass-only path.
+    def funnel(batches: Int): (Seq[String], Int) = {
+      val pRows = 500L; val abRows = 2000L
+      val pRpb = math.max(1L, (pRows + batches - 1) / batches)
+      val abRpb = math.max(1L, (abRows + batches - 1) / batches)
+      val persons = NexmarkSources.personStreamDsv2(spark,
+        GenConfig(eventsPerSecond = 100L), 2, pRows, pRpb)
+      val auctions = NexmarkSources.auctionStreamDsv2(spark,
+        GenConfig(eventsPerSecond = 400L), 2, abRows, abRpb)
+      val bids = NexmarkSources.bidStreamDsv2(spark,
+        GenConfig(eventsPerSecond = 400L), 2, abRows, abRpb)
+      val base = java.nio.file.Files.createTempDirectory(s"graftmbfn_$batches")
+      val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val q = NexmarkStateful.funnelStateful(persons, auctions, bids, windowMs = 2000L)
+        .toDF.writeStream
+        .format("parquet").option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(300000), "stream did not drain in 300s")
+      val committed = Option(new java.io.File(s"$ckpt/commits").listFiles())
+        .map(_.count(_.getName.forall(_.isDigit))).getOrElse(0)
+      (spark.read.parquet(out).collect().map(_.toSeq.mkString("|")).toSeq.sorted, committed)
+    }
+    val (one, _) = funnel(1)
+    val (four, committed) = funnel(4)
+    assert(committed >= 4, s"expected >= 4 committed batches, got $committed")
+    assert(one.nonEmpty, "degenerate: no closed conversion windows at this volume")
+    assert(four == one)
+  }
+
   /** Run a two-entity query admitted in `batches` slices per source. */
   private def runTwo(batches: Int, tag: String,
                      aRows: Long, aEps: Long, bRows: Long, bEps: Long)(
