@@ -140,9 +140,15 @@ object Similarity extends QueryModule {
     * branch instead of persisted: both branches are shuffle-free map work
     * against broadcast centroids.
     */
-  private def ivfCandidates(e: DataFrame): DataFrame = {
-    val cent = e.filter(col("vec_id") % CentroidMod === 0)
+  /** The deterministic pivot cells every IVF oracle is keyed to. */
+  private def pivotCentroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % CentroidMod === 0)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+
+  private def ivfCandidates(e: DataFrame): DataFrame =
+    ivfCandidates(e, pivotCentroids(e))
+
+  private def ivfCandidates(e: DataFrame, cent: DataFrame): DataFrame = {
     def simsOf(df: DataFrame): DataFrame = df
       .select(col("vec_id"), col("emb"))
       .crossJoin(broadcast(cent))
@@ -162,17 +168,51 @@ object Similarity extends QueryModule {
       .select(col("query_id"), col("vec_id"))
   }
 
-  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+  def knnIvf(spark: SparkSession, dir: String): DataFrame =
+    knnIvfWithCentroids(spark, dir, null)
+
+  /** [[knnIvf]] with a caller-supplied coarse-centroid table
+    * (cid, cemb) — `null` = the oracle-pinned pivot cells. Lets the
+    * trained-centroid path (IvfTrainingSpec) reuse the EXACT production
+    * probe/assign/rank machinery rather than a spec reimplementation.
+    */
+  private[graft] def knnIvfWithCentroids(spark: SparkSession, dir: String,
+                                         centroids: DataFrame): DataFrame = {
     val e = vecs(spark, dir)
+    val cent = Option(centroids).getOrElse(pivotCentroids(e))
     val all = e.select(col("vec_id"), col("emb").as("cemb"), col("nrm").as("cnrm"))
     val q = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
-    val scored = ivfCandidates(e)
+    val scored = ivfCandidates(e, cent)
       .join(all, "vec_id")
       .join(broadcast(q), "query_id")
       .withColumn("cos", cosine(col("qemb"), col("cemb")))
     saltedTopK(scored, col("cos").desc_nulls_last, col("vec_id").asc)
       .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos6"), col("rk"))
+  }
+
+  /** Convergence trace of the production k-means (round 1 = the
+    * pivot-cell assignment), for training-quality audits. */
+  private[graft] def kmeansTrace(spark: SparkSession, dir: String): Seq[KmeansRound] =
+    kmeansIterate(spark, dir, maxRounds = 30)._2
+
+  /** Total (query, candidate) pairs the IVF probe would score — the
+    * index's scan cost, for the recall/cost tradeoff audit. */
+  private[graft] def scannedCandidates(spark: SparkSession, dir: String,
+                                       centroids: DataFrame): Long = {
+    val e = vecs(spark, dir)
+    ivfCandidates(e, Option(centroids).getOrElse(pivotCentroids(e))).count()
+  }
+
+  /** Coarse centroids TRAINED by the convergent k-means (the production
+    * reindex path) — the converged assignment's exact quantized means,
+    * keyed by cluster id. The pivot cells stay the cross-engine oracles;
+    * this is what a real IVF build would broadcast instead.
+    */
+  private[graft] def trainedCoarseCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = kmeansPrep(spark, dir)
+    val (out, _) = kmeansIterate(spark, dir, maxRounds = 30)
+    kmeansMeanUpdate(e, out.select(col("vec_id"), col("cluster_id").as("cid")))
   }
 
   /** Shared oracle CTE chain — the SQL twin of [[ivfCandidates]]

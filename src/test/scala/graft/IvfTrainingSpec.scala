@@ -1,0 +1,77 @@
+package graft
+
+import graft.nexmark.SparkSpec
+import graft.queries.Similarity
+
+/** IVF coarse-centroid training (Similarity.trainedCoarseCentroids): a
+  * real vector pipeline retrains its coarse quantizer with k-means and
+  * reindexes. The trained centroids flow through the EXACT knnIvf
+  * probe/assign/rank path via knnIvfWithCentroids (not a spec
+  * reimplementation), and the deterministic pivot cells stay the
+  * cross-engine oracle (`s_knn_ivf`, `s_ann_recall`).
+  *
+  * What training guarantees — and what it does not: Lloyd's from the
+  * pivot initialization monotonically tightens CELL COMPACTNESS (the
+  * quantization objective), which is the invariant asserted here.
+  * Recall@k at a fixed nprobe is NOT monotone in compactness, and on
+  * this ISOTROPIC synthetic fixture it measurably does not improve
+  * (0.96 pivot → 0.90 trained at nprobe=3, with a comparable scanned-
+  * candidate budget, 680 vs 725 — balanced trained cells spread true
+  * neighbors across more cells, while the skewed pivot cells over-scan
+  * their big cells into higher recall). On a real clustered corpus the
+  * compactness gain is what buys recall; here the numbers are reported
+  * so the tradeoff stays measured, not assumed. `s_ann_recall` remains
+  * the per-reindex recall audit that would catch a bad trade in
+  * production.
+  */
+class IvfTrainingSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.01"
+
+  private def topkSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  test("training tightens the quantization objective it optimizes (inertia vs pivot init)") {
+    // round 1 of the trace IS the pivot-cell assignment; the converged
+    // round's quantized inertia must sit strictly below it (the fixture
+    // converges well past any ±1-quantum-per-point wobble)
+    val trace = Similarity.kmeansTrace(spark, dir)
+    assert(trace.size >= 2, "fixture converged instantly — nothing trained")
+    assert(trace.last.inertiaQ < trace.head.inertiaQ,
+      s"training did not tighten cells: ${trace.last.inertiaQ} >= ${trace.head.inertiaQ}")
+  }
+
+  test("trained index serves through the production path; recall/cost stays measured") {
+    val truth = topkSets(Similarity.knnBrute(spark, dir))
+    val pivot = topkSets(Similarity.knnIvfWithCentroids(spark, dir, null))
+    val trainedCents = Similarity.trainedCoarseCentroids(spark, dir)
+    val trained = topkSets(Similarity.knnIvfWithCentroids(spark, dir, trainedCents))
+    def recall(got: Map[Long, Set[Long]]): Double = {
+      val per = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }
+      per.sum / per.size
+    }
+    val (rPivot, rTrained) = (recall(pivot), recall(trained))
+    val sPivot = Similarity.scannedCandidates(spark, dir, null)
+    val sTrained = Similarity.scannedCandidates(spark, dir, trainedCents)
+    info(f"recall@k pivot=$rPivot%.3f trained=$rTrained%.3f over ${truth.size} queries")
+    info(f"scanned candidates pivot=$sPivot trained=$sTrained")
+    // the trained index must be a working index (non-degenerate recall at
+    // a sane scan budget), and every query must still get answers
+    assert(rTrained > 0.5, f"trained index degenerate: recall $rTrained%.3f")
+    assert(trained.keySet == truth.keySet, "trained index dropped queries")
+    assert(sTrained < 3L * sPivot, "trained probe scans exploded vs pivot cells")
+  }
+
+  test("trained centroids keep the (cid, cemb) contract and the index shape") {
+    val cent = Similarity.trainedCoarseCentroids(spark, dir)
+    assert(cent.columns.toSeq == Seq("cid", "cemb"))
+    val n = cent.count()
+    // converged k-means may only lose (empty) cells vs the pivot init,
+    // never invent new ones
+    val pivots = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter("vec_id % 25 = 0").count()
+    assert(n > 0 && n <= pivots, s"$n trained cells vs $pivots pivot cells")
+  }
+}

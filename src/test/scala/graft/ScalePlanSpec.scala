@@ -290,4 +290,29 @@ class ScalePlanSpec extends SparkSpec {
     assert(!rp.contains("SortAggregate"), s"no SortAggregate:\n$rp")
     assert(r.count() > 0)
   }
+
+  test("gopherRules is a single shuffle-free projection over a 2-column scan") {
+    val g = graft.queries.TextPipeline.gopherRules(spark, "/root/testdata/sf0.001")
+    val gp = g.queryExecution.executedPlan.toString
+    assert(!gp.contains("Exchange"), s"rule battery must be map-only:\n$gp")
+    assert(!gp.contains("Generate"), s"no explode in the rule battery:\n$gp")
+    assert("ReadSchema: struct<doc_id:bigint,text:string".r.findFirstIn(gp).isDefined,
+      s"scan must prune to doc_id+text:\n$gp")
+    assert(g.count() > 0)
+  }
+
+  test("funnel: conditional-min hash aggs, no Window; retention: no re-dedup after distinct") {
+    val f = graft.queries.EventAnalytics.funnel(spark, "/root/testdata/sf0.001")
+    val fp = f.queryExecution.executedPlan.toString
+    assert(!fp.contains("WindowExec"), s"funnel stages must be aggs, not windows:\n$fp")
+    assert(!fp.contains("SortAggregate"), s"no SortAggregate:\n$fp")
+    assert(f.count() > 0)
+    val r = graft.queries.EventAnalytics.retention(spark, "/root/testdata/sf0.001")
+    val rp = r.queryExecution.executedPlan.toString
+    assert(!rp.contains("SortAggregate"), s"no SortAggregate:\n$rp")
+    // the distinct-user count must ride the already-distinct projection:
+    // no `count(distinct …)` expand node may appear
+    assert(!rp.contains("Expand"), s"no distinct-agg Expand:\n$rp")
+    assert(r.count() > 0)
+  }
 }
