@@ -1527,6 +1527,33 @@ object Similarity extends QueryModule {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("rel", cosine(col("qemb"), col("emb")))
       .select(col("query_id"), col("vec_id"), col("rel"), col("emb"))
+    mmrFromScored(scored)
+  }
+
+  /** `s_mmr_ann`: the production serving chain — IVF candidate pruning
+    * feeds the MMR pool instead of the brute scorer, i.e. retrieve with
+    * the index, diversify the page. Identical greedy machinery; only the
+    * candidate source differs (the composition-as-entry pattern of
+    * `t_curation_e2e`). At 1 B vectors the brute pool cut scans the
+    * corpus per query; this one scans only the probed cells.
+    */
+  def mmrAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val all = e.select(col("vec_id"), col("emb"))
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val scored = ivfCandidates(e)
+      .join(all, "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("rel", cosine(col("qemb"), col("emb")))
+      .select(col("query_id"), col("vec_id"), col("rel"), col("emb"))
+    mmrFromScored(scored)
+  }
+
+  /** Greedy MMR over any scored candidate source
+    * (query_id, vec_id, rel, emb) — shared by [[mmrRerank]] (brute) and
+    * [[mmrAnn]] (IVF-pruned). */
+  private def mmrFromScored(scored: DataFrame): DataFrame = {
     val pool = saltedTopN(scored, MmrPool, col("rel").desc_nulls_last, col("vec_id").asc)
       .select(col("query_id"), col("vec_id"), col("rel"), col("emb"))
       .localCheckpoint(true)
@@ -1564,7 +1591,12 @@ object Similarity extends QueryModule {
       round(col("rel"), 6).as("rel6"), round(col("mmr"), 6).as("mmr6"))
   }
 
-  def mmrRerankSql: String = {
+  /** The unrolled greedy-MMR oracle over any candidate-source CTE chain
+    * ending in `s(query_id, vec_id, rel, emb)` — the SQL twin of
+    * [[mmrFromScored]], shared by both MMR oracles exactly as the Scala
+    * helper is shared by both entries.
+    */
+  private def mmrUnrolledSql(sourceCtes: String): String = {
     val rounds = (2 to MmrK).map { r =>
       s"""sel$r AS MATERIALIZED (
          |  SELECT query_id, vec_id, rel, mmr, $r AS sel_rank FROM (
@@ -1586,14 +1618,7 @@ object Similarity extends QueryModule {
          |),
          |cum$r AS (SELECT * FROM cum${r - 1} UNION ALL SELECT * FROM sel$r),""".stripMargin
     }.mkString("\n")
-    s"""WITH e AS (
-       |  $VecsCteSql
-       |), q AS (
-       |  SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id % $QueryMod = 0
-       |), s AS (
-       |  SELECT query_id, vec_id, list_cosine_similarity(qemb, emb) AS rel, emb
-       |  FROM q, e WHERE vec_id <> query_id
-       |), pool AS MATERIALIZED (
+    s"""WITH $sourceCtes, pool AS MATERIALIZED (
        |  SELECT query_id, vec_id, rel, emb,
        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC NULLS LAST, vec_id) AS rn
        |  FROM s QUALIFY rn <= $MmrPool
@@ -1612,6 +1637,26 @@ object Similarity extends QueryModule {
        |FROM outp
        |""".stripMargin
   }
+
+  def mmrRerankSql: String = mmrUnrolledSql(
+    s"""e AS (
+       |  $VecsCteSql
+       |), q AS (
+       |  SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id % $QueryMod = 0
+       |), s AS (
+       |  SELECT query_id, vec_id, list_cosine_similarity(qemb, emb) AS rel, emb
+       |  FROM q, e WHERE vec_id <> query_id
+       |)""".stripMargin)
+
+  def mmrAnnSql: String = mmrUnrolledSql(
+    s"""e AS (
+       |  $VecsCteSql
+       |), $ivfCandsCtesSql, s AS (
+       |  SELECT query_id, c.vec_id,
+       |         list_cosine_similarity(qe.emb, ce.emb) AS rel, ce.emb AS emb
+       |  FROM cands c JOIN e qe ON qe.vec_id = query_id
+       |               JOIN e ce ON ce.vec_id = c.vec_id
+       |)""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_knn_brute" -> (knnBrute _),
@@ -1634,6 +1679,7 @@ object Similarity extends QueryModule {
     "s_pca_power" -> (pcaPower _),
     "s_trunc_recall" -> (truncRecall _),
     "s_mmr_rerank" -> (mmrRerank _),
+    "s_mmr_ann" -> (mmrAnn _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1657,5 +1703,6 @@ object Similarity extends QueryModule {
     "s_pca_power" -> pcaPowerSql,
     "s_trunc_recall" -> truncRecallSql,
     "s_mmr_rerank" -> mmrRerankSql,
+    "s_mmr_ann" -> mmrAnnSql,
   )
 }
