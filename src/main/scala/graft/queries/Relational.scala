@@ -488,6 +488,46 @@ object Relational extends QueryModule {
       |GROUP BY 1
       |""".stripMargin
 
+  /** Shared logic text of the correlated-scalar-subquery query (TPC-H
+    * Q17/Q22 flavor): customers whose total order spend exceeds 1.5× the
+    * average spend of their nation — the 1.5× test kept in exact integer
+    * cents (spend·2·count > 3·sum) so no float threshold can straddle
+    * the two engines. `tbl` maps a table name to each engine's reference.
+    */
+  private def aboveAvgSql(tbl: String => String): String =
+    s"""WITH spend AS (
+       |  SELECT c_custkey, c_name, c_nationkey,
+       |         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS spend_c
+       |  FROM ${tbl("customer")} JOIN ${tbl("orders")} ON o_custkey = c_custkey
+       |  GROUP BY c_custkey, c_name, c_nationkey
+       |)
+       |SELECT s.c_custkey, s.c_name, s.c_nationkey,
+       |       CAST(s.spend_c AS DOUBLE) / 100.0 AS spend
+       |FROM spend s
+       |WHERE s.spend_c * 2 * (SELECT COUNT(*) FROM spend t
+       |                       WHERE t.c_nationkey = s.c_nationkey)
+       |      > 3 * (SELECT SUM(t.spend_c) FROM spend t
+       |             WHERE t.c_nationkey = s.c_nationkey)
+       |""".stripMargin
+
+  /** Correlated scalar subqueries, run through Spark SQL so Catalyst's
+    * decorrelation does the rewrite (subquery → per-nation aggregate +
+    * join) — the one relational feature the semi/anti/set-op entries
+    * don't exercise. The per-row subquery formulation would be O(n²) if
+    * executed literally; decorrelation turns each subquery into a
+    * |nations|-row aggregate joined back (PlanAudit: bnlj = 0, i.e. no
+    * per-row execution survives). Honest cost note: Catalyst
+    * decorrelates the two subqueries SEPARATELY, so the spend CTE is
+    * evaluated once per consumer — a hand-tuned pipeline would compute
+    * (count, sum) in one per-nation pass (what the window/agg entries
+    * elsewhere do); this entry exists precisely to pin the optimizer
+    * path for the declarative form users actually write.
+    */
+  def aboveAvgSpenders(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(aboveAvgSql(t => s"parquet.`$dir/$t.parquet`"))
+
+  def aboveAvgSpendersSql: String = aboveAvgSql(identity)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r_pricing_summary" -> (pricingSummary _),
     "r_top_customers" -> (topCustomers _),
@@ -505,6 +545,7 @@ object Relational extends QueryModule {
     "r_setops_customers" -> (setOpsCustomers _),
     "r_percentiles" -> (percentiles _),
     "r_interval_ship" -> (intervalShip _),
+    "r_above_avg_spenders" -> (aboveAvgSpenders _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -524,5 +565,6 @@ object Relational extends QueryModule {
     "r_setops_customers" -> setOpsCustomersSql,
     "r_percentiles" -> percentilesSql,
     "r_interval_ship" -> intervalShipSql,
+    "r_above_avg_spenders" -> aboveAvgSpendersSql,
   )
 }
