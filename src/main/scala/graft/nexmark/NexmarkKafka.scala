@@ -44,22 +44,20 @@ object NexmarkKafka {
     rawValues(spark, servers, topic).map(TaggedCodec.decode)
   }
 
-  /** K4: unified-topic producer with a murmur3 (seed 104729) `partition`
-    * column. Deliberately hashes all 8 key bytes, NOT the reference's
+  /** K4: the producer's exact output projection — `key` (8-byte BE
+    * partition key), `value` (tagged wire bytes), `partition` (murmur3
+    * seed-104729 routing) — shared by [[writeEventsToKafka]] and the
+    * broker-less partition-log composition spec, so the spec exercises
+    * the production routing byte-for-byte rather than a reimplementation.
+    *
+    * Routing deliberately hashes all 8 key bytes, NOT the reference's
     * first-4-bytes hash (GeneratorPipeline.java:198-251), which collapses
     * to one partition for ids < 2^32 — see [[Murmur3Partitioner]]'s doc;
     * `Murmur3Partitioner.referencePartitionFor` is the byte-exact port.
-    *
     * The partition column is the native `murmur3_partition` expression
     * computed in the projection AFTER the (unavoidable) binary-encode map
     * — the routing stays codegen'd and plan-auditable; only the byte-level
     * codec runs in a lambda (the documented binary-codec exception).
-    */
-  /** The producer's exact output projection — `key` (8-byte BE partition
-    * key), `value` (tagged wire bytes), `partition` (murmur3 routing) —
-    * shared by the Kafka sink below and the broker-less partition-log
-    * composition spec, so the spec exercises the production routing
-    * byte-for-byte rather than a reimplementation.
     */
   def keyedForProduce(events: Dataset[Event], numPartitions: Int): DataFrame = {
     import events.sparkSession.implicits._
@@ -77,6 +75,8 @@ object NexmarkKafka {
       .drop("k")
   }
 
+  /** The Kafka sink for [[keyedForProduce]]'s projection (routing/codec
+    * rationale documented there). */
   def writeEventsToKafka(events: Dataset[Event], servers: String,
                          numPartitions: Int, checkpoint: String,
                          topic: String = "nexmark-events"): DataStreamWriter[org.apache.spark.sql.Row] = {

@@ -377,19 +377,46 @@ object NexmarkStateful {
     *     batch conditional-mins over [signup, signup + W);
     *   - after firing, the key keeps a `done` tombstone so stragglers
     *     can never re-open an emitted funnel (generator person ids are
-    *     unique, so this is belt-and-braces; a production deployment
-    *     would TTL tombstones).
+    *     unique, so this is belt-and-braces; pass `tombstoneTtlMs` to
+    *     retire tombstones — see param doc).
+    *
+    * Watermark semantics: each stream is watermarked BEFORE the union, so
+    * the engine's global watermark is the MIN across the three sources
+    * (`spark.sql.streaming.multipleWatermarkPolicy` defaults to `min`) —
+    * i.e. `LEAST(per-stream MAX) - delay`, exactly what the oracle
+    * models. A single post-union watermark would instead track the
+    * overall MAX across streams, which diverges whenever one stream's
+    * last event trails the others' (here persons end 3 ms early at 4 ms
+    * vs 1 ms spacing) — a window closing inside that gap would then be
+    * emitted by the engine but excluded by the oracle.
+    *
+    * State hygiene: keys seen only in auction/bid events (no signup yet)
+    * create NO state — pre-signup events cannot advance any stage
+    * (`ts >= sMs` fails for them; generator time is non-decreasing across
+    * batches and equal-timestamp pairs share a batch where the (ts, kind)
+    * sort puts the signup first), so dropping them is lossless and the
+    * state footprint is bounded by signup cardinality, not event-key
+    * cardinality.
+    *
+    * @param tombstoneTtlMs production mode: when set, an emitted funnel's
+    *   `done` tombstone is retired by a second event-time timer at
+    *   fire-time + TTL (choose TTL ≥ `windowMs` so no straggler inside
+    *   the conversion window can outlive it). State then holds at most
+    *   one conversion-window wave of keys. The default (None) keeps
+    *   tombstones forever — exact replay fidelity, unbounded on an
+    *   unbounded signup stream.
     */
   def funnelStateful(persons: Dataset[Person], auctions: Dataset[Auction],
-                     bids: Dataset[Bid], windowMs: Long): Dataset[FunnelOut] = {
+                     bids: Dataset[Bid], windowMs: Long,
+                     tombstoneTtlMs: Option[Long] = None): Dataset[FunnelOut] = {
     import persons.sparkSession.implicits._
-    val p = persons.map(x => FEvent(x.personId, 0, x.timestamp))
-    val a = auctions.map(x => FEvent(x.personId, 1, x.timestamp))
-    val b = bids.map(x => FEvent(x.personId, 2, x.timestamp))
-    val withTime = p.unionByName(a).unionByName(b).toDF
+    def wm(ds: Dataset[FEvent]): org.apache.spark.sql.DataFrame = ds.toDF
       .withColumn("eventTime", timestamp_millis(col("ts")))
       .withWatermark("eventTime", "2 seconds")
-      .as[FEvent]
+    val p = wm(persons.map(x => FEvent(x.personId, 0, x.timestamp)))
+    val a = wm(auctions.map(x => FEvent(x.personId, 1, x.timestamp)))
+    val b = wm(bids.map(x => FEvent(x.personId, 2, x.timestamp)))
+    val withTime = p.unionByName(a).unionByName(b).as[FEvent]
     withTime
       .groupByKey(_.personId)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
@@ -399,9 +426,19 @@ object NexmarkStateful {
             1 + (if (st.vMs >= 0) 1 else 0) + (if (st.pMs >= 0) 1 else 0))
           if (state.hasTimedOut) {
             val st = state.get
-            state.update(st.copy(done = true))
-            if (!st.done && st.sMs >= 0) Iterator.single(out(st))
-            else Iterator.empty
+            if (st.done) {
+              // second (TTL) fire: the tombstone has outlived every
+              // possible straggler — retire the key entirely
+              state.remove()
+              Iterator.empty
+            } else {
+              state.update(st.copy(done = true))
+              tombstoneTtlMs.foreach { ttl =>
+                state.setTimeoutTimestamp(math.max(
+                  st.sMs + windowMs + ttl, state.getCurrentWatermarkMs() + 1))
+              }
+              if (st.sMs >= 0) Iterator.single(out(st)) else Iterator.empty
+            }
           } else {
             var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, done = false))
             if (st.done) Iterator.empty
@@ -420,10 +457,13 @@ object NexmarkStateful {
                       st = st.copy(pMs = e.ts)
                 }
               }
-              state.update(st)
-              if (st.sMs >= 0)
+              // no signup yet → nothing can have advanced and no timer to
+              // arm: create no state for this key (see class doc)
+              if (st.sMs >= 0) {
+                state.update(st)
                 state.setTimeoutTimestamp(
                   math.max(st.sMs + windowMs, state.getCurrentWatermarkMs() + 1))
+              }
               Iterator.empty
             }
           }

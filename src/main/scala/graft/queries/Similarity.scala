@@ -135,6 +135,9 @@ object Similarity extends QueryModule {
     * map-side PARTIAL aggregation, so only K≪N×K pre-reduced rows per
     * partition reach the shuffle (the property that matters at scale; the
     * row_number window this replaced shuffled and sorted all N×K rows).
+    * This is a REVIEWED SortAggregate: the entries whose final plan
+    * carries it are explicitly allowlisted in PlanSweepSpec, which bans
+    * the node everywhere else.
     * The probe set (top-NProbe cells per *query*) only touches the
     * 1/QueryMod query subset, so the similarity map is recomputed for that
     * branch instead of persisted: both branches are shuffle-free map work
@@ -1536,6 +1539,12 @@ object Similarity extends QueryModule {
     * candidate source differs (the composition-as-entry pattern of
     * `t_curation_e2e`). At 1 B vectors the brute pool cut scans the
     * corpus per query; this one scans only the probed cells.
+    *
+    * Like [[mmrRerank]] (and unlike [[knnIvf]], where the self-hit is the
+    * standard recall@k convention), the query vector is excluded from its
+    * own candidates — queries are also centroids here, so without the
+    * filter the query would always occupy sel_rank 1 with rel = 1.0 and
+    * the page would carry only MmrK − 1 real results.
     */
   def mmrAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
@@ -1543,6 +1552,7 @@ object Similarity extends QueryModule {
     val q = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
     val scored = ivfCandidates(e)
+      .filter(col("vec_id") =!= col("query_id"))
       .join(all, "vec_id")
       .join(broadcast(q), "query_id")
       .withColumn("rel", cosine(col("qemb"), col("emb")))
@@ -1656,6 +1666,7 @@ object Similarity extends QueryModule {
        |         list_cosine_similarity(qe.emb, ce.emb) AS rel, ce.emb AS emb
        |  FROM cands c JOIN e qe ON qe.vec_id = query_id
        |               JOIN e ce ON ce.vec_id = c.vec_id
+       |  WHERE c.vec_id <> query_id
        |)""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

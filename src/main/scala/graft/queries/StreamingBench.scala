@@ -691,6 +691,15 @@ object StreamingBench extends QueryModule {
     * conditional mins inside [signup, signup + 5000). Persons keep the
     * earliest event per personId (generator ids are unique per stream,
     * but MIN matches the state machine's first-wins exactly).
+    *
+    * The LEAST(per-stream MAX) - 2000 watermark model is the ENGINE's
+    * semantics by construction, not a coincidence: funnelStateful
+    * watermarks each stream before the union, so Spark's default
+    * multipleWatermarkPolicy=min makes the global watermark exactly the
+    * min across the three sources. (Persons' last event trails
+    * auctions/bids by 3 ms at these spacings — with a single post-union
+    * watermark the engine would use the overall MAX and could emit
+    * windows closing inside that gap that this oracle excludes.)
     */
   private val streamFunnelSql: String =
     s"""WITH p AS (SELECT personId, MIN(timestamp) AS s_ms
