@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off perf-fixture generator (VERDICT r8 Next #1): replicates the
+  * driver's `documents` and `embeddings` tables ×K into a `sf1`-named
+  * directory so the expensive entries can be measured at 10× the bench
+  * scale. This is a PERF fixture only — no oracle runs against it; the
+  * correctness gate stays on the driver's own testdata.
+  *
+  * Replication must not manufacture degenerate duplicate structure, or the
+  * measurement captures a data artifact instead of engine scaling:
+  *
+  *   - documents: replica k > 0 suffixes every word with an alphanumeric
+  *     replica tag (survives the pipeline's punctuation-stripping
+  *     normalizer), so replicas share no shingles/minhashes with the
+  *     original — pair-generation work grows with corpus size, not
+  *     quadratically with copy count. `n_chars` is recomputed to stay
+  *     consistent with the perturbed text.
+  *   - embeddings: replica k > 0 adds deterministic per-(row, dim) noise
+  *     of amplitude ≤ 5e-3, breaking exact-duplicate geometry while
+  *     preserving the label/cluster structure. vec_id shifts by a multiple
+  *     of 100 = lcm(QueryMod, CentroidMod)·2, so every replica contributes
+  *     the same FRACTION of queries (id%50=0) and pivot centroids (id%25=0)
+  *     as the original — the entry definitions scale both the corpus and
+  *     the query/cell sets with SF, by fixture construction (the scaling
+  *     table in BASELINE.md names which exponents that inflates).
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <dstDir> [factor=10]
+  * (name <dstDir> ending in /sf1 — StreamingBench.sfOf parses the SF from
+  * the path, which also scales the streaming entries' generated volume).
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val k = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val reps = spark.range(k).select(col("id").as("rep"))
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val nD = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    docs.crossJoin(broadcast(reps))
+      .select(
+        (col("doc_id") + col("rep") * nD).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "), w => concat(w, lit("q"), col("rep"))),
+            " ")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val nVraw = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val nV = ((nVraw + 99) / 100) * 100
+    emb.crossJoin(broadcast(reps))
+      .select(
+        (col("vec_id") + col("rep") * nV).as("vec_id"),
+        when(col("rep") === 0, col("embedding"))
+          .otherwise(expr(
+            "transform(embedding, (x, i) -> cast(x + " +
+              "(pmod(vec_id * 31 + i * 7 + rep * 13, 997) - 498) / 1e5 as float))"))
+          .as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    println(s"scaled $src x$k -> $dst (docs ${nD}x$k, vecs base $nV x$k)")
+    spark.stop()
+  }
+}
