@@ -45,7 +45,7 @@ object Similarity extends QueryModule {
     "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings\n" +
     "  WHERE sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) > 0"
 
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
               col("embedding").cast("array<double>").as("emb"))
@@ -368,7 +368,7 @@ object Similarity extends QueryModule {
   /** (vec_a < vec_b) pairs whose cosine clears DedupTau — the verified
     * dup-pair EDGE LIST both dedup flavors cluster over.
     */
-  private def verifiedDupPairs(e: DataFrame): DataFrame = {
+  private[graft] def verifiedDupPairs(e: DataFrame): DataFrame = {
     val bands = e.select(col("vec_id"),
       posexplode(array(bandKeyCols(lshCoordPairs): _*)).as(Seq("band", "bkey")))
     val x = bands.as("x"); val y = bands.as("y")

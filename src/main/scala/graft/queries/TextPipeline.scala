@@ -534,38 +534,71 @@ object TextPipeline extends QueryModule {
     * buckets, take mins, repeat).
     *
     * Each round is the bucket pass (two hash-agg shuffles: bucket-min of
-    * current labels, then doc-min of bucket labels) FOLLOWED by one
-    * pointer-doubling shortcut (label := label-of-label, a single
-    * labels⋈labels hash join): the bucket pass moves a label one hop, the
-    * shortcut then halves every remaining chain distance, so convergence
-    * takes O(log diameter) rounds instead of O(diameter) — an adversarial
-    * N-link chain needs ~log₂N rounds, not N (spec-pinned on a 16-link
-    * chain). Labels are localCheckpoint'ed per round (lazily — the
-    * convergence scalar doubles as the materializing action) so lineage
-    * stays flat across iterations; labels only ever DECREASE, so both
-    * steps preserve the same fixed point. [[MaxCcRounds]] (25 ≫
-    * log₂(any real component)) is a loud-failure guard, not a truncation
-    * — the loop throws rather than return a silently unconverged
-    * (oracle-mismatching) labeling.
+    * current labels, then doc-min of bucket labels) followed by TWO
+    * complementary shortcuts, each fast exactly where the other is
+    * powerless:
+    *
+    *   - POINTER JUMP (h := h∘h, one labels⋈labels hash join): doubles
+    *     progress where labels form CHAINS — monotone-id runs, the
+    *     adversarial N-link chain of the spec (~log₂N rounds).
+    *   - CLUSTER-MIN BROADCAST (group the jumped mins by each doc's
+    *     PREVIOUS label, relabel the whole cluster to the cluster-wide
+    *     min — Hash-Min on the contracted cluster graph): merges
+    *     neighboring clusters every round where the jump is an IDEMPOTENT
+    *     NO-OP — labels pointing at local minima m have h(m) = m, so
+    *     h∘h = h and without the broadcast the global min crawls ONE
+    *     bucket-hop per round through cluster boundaries.
+    *
+    * r8 shipped the jump only, believing it alone gave the doubling
+    * bound; the ×10 sf1 perf fixture falsified that
+    * (graft.tools.CcProbe: 182k verified cosine pairs, label sum
+    * shrinking by a few hundred per round — local-minima stall — blowing
+    * the 25-round guard at 26 rounds; with the broadcast added the same
+    * graph converges in 6 rounds, same 951-component fixed point, and
+    * the round count grows ~log with corpus size: 4 at sf0.1 →
+    * 6 at sf1 — BASELINE.md §Scaling). sf0.1 graphs were too shallow to
+    * expose the stall.
+    *
+    * Labels are localCheckpoint'ed per round (lazily — the convergence
+    * scalar doubles as the materializing action) so lineage stays flat
+    * across iterations; labels only ever DECREASE (the broadcast min is
+    * ≤ every member's hop min ≤ its label), so every step preserves the
+    * same fixed point and the oracles are invariant to the round
+    * structure. [[MaxCcRounds]] (25 ≫ log₂(any real component-chain)) is
+    * a loud-failure guard, not a truncation — the loop throws rather
+    * than return a silently unconverged (oracle-mismatching) labeling.
     *
     * Returns (labels(doc_id, cluster_id), rounds) — rounds includes the
     * final no-change confirmation pass.
     */
   private[graft] val MaxCcRounds = 25
-  private[graft] def ccIterate(bands: DataFrame, maxRounds: Int = MaxCcRounds): (DataFrame, Int) = {
+  /** @param onRound diagnostic hook (round index, label sum after the
+    *   round) — used by graft.tools.CcProbe to trace convergence on
+    *   scale fixtures; a no-op in production paths. */
+  private[graft] def ccIterate(bands: DataFrame, maxRounds: Int = MaxCcRounds,
+      onRound: (Int, java.math.BigDecimal) => Unit = (_, _) => ()): (DataFrame, Int) = {
     def relabel(labels: DataFrame): DataFrame = {
       val bl = bands.join(labels, "doc_id")
         .groupBy(col("band"), col("bkey")).agg(min(col("cluster_id")).as("bl"))
       val hop = bands.join(bl, Seq("band", "bkey"))
-        .groupBy(col("doc_id")).agg(min(col("bl")).as("cluster_id"))
-      // pointer doubling: follow the label one more step (labels are doc
-      // ids, so L(L(d)) resolves through the same table); coalesce keeps
-      // docs whose label has no own row (possible mid-iteration)
-      val next = hop.as("a")
-        .join(hop.select(col("doc_id").as("ld"), col("cluster_id").as("ll")).as("b"),
-          col("a.cluster_id") === col("b.ld"), "left")
-        .select(col("a.doc_id"),
-          coalesce(col("b.ll"), col("a.cluster_id")).as("cluster_id"))
+        .groupBy(col("doc_id")).agg(min(col("bl")).as("h0"))
+      // pointer jump: h := h∘h — doubles progress where labels form
+      // CHAINS (monotone-id runs; the 16-link chain spec), a no-op where
+      // they point at local minima
+      val jump = hop.as("a")
+        .join(hop.select(col("doc_id").as("ld"), col("h0").as("hh")).as("b"),
+          col("a.h0") === col("b.ld"), "left")
+        .select(col("a.doc_id"), coalesce(col("hh"), col("a.h0")).as("h"))
+      // cluster-min broadcast: group the jumped mins by each doc's
+      // PREVIOUS label and relabel the whole cluster to the cluster-wide
+      // min — contracts the cluster graph where the jump is idempotent
+      // (labels at local minima, the sf1 stall; see class doc)
+      val withPrev = labels.select(col("doc_id"), col("cluster_id").as("prev"))
+        .join(jump, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("prev"), coalesce(col("h"), col("prev")).as("h"))
+      val cm = withPrev.groupBy(col("prev")).agg(min(col("h")).as("cmin"))
+      val next = withPrev.join(cm, "prev")
+        .select(col("doc_id"), col("cmin").as("cluster_id"))
       // LAZY checkpoint: the per-round labelSum convergence scalar is the
       // action that materializes the round's blocks, so each round costs
       // ONE driver round-trip, not two (same fusion as kmeansIterate)
@@ -590,10 +623,12 @@ object TextPipeline extends QueryModule {
     var prevSum = s0
     var rounds = 0
     var converged = n0 == 0L
+    onRound(0, s0)
     while (!converged && rounds < maxRounds) {
       labels = relabel(labels)
       val s = labelStats(labels)._1
       rounds += 1
+      onRound(rounds, s)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
     }
