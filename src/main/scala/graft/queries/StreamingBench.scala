@@ -624,16 +624,27 @@ object StreamingBench extends QueryModule {
   }
 
   /** transformWithState requires multi-column-family state, i.e. RocksDB;
-    * provider conf is set/restored around the run. */
+    * provider conf is set/restored around the run. Changelog
+    * checkpointing rides along, exactly as in production
+    * (conf/cluster.conf): each commit uploads the batch's delta instead
+    * of a full RocksDB snapshot. Without it the per-batch commit cost is
+    * ∝ TOTAL accumulated state, which the r9 10× scale-stress measured
+    * as stream_q11_tws's superlinearity (13.5× wall for 10× rows,
+    * exponent 1.13); with the delta commit the entry scales ~linearly
+    * (BASELINE.md §Scaling).
+    */
   private def withRocksDB[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val keys = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+      "spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB" -> "128")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
-    finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None    => spark.conf.unset(key)
+    finally prev.foreach {
+      case (k, Some(p)) => spark.conf.set(k, p)
+      case (k, None)    => spark.conf.unset(k)
     }
   }
 
