@@ -1669,6 +1669,92 @@ object Similarity extends QueryModule {
        |  WHERE c.vec_id <> query_id
        |)""".stripMargin)
 
+  // ---- binary (sign-bit) quantization + asymmetric Hamming search ----
+
+  /** Hamming-prefilter pool depth per query (> TopK so the exact rerank
+    * has real candidates to reorder — sign bits only preserve direction
+    * octants, so the Hamming order and the cosine order genuinely differ). */
+  private val BinPool = 20
+
+  /** Sign-bit packing of dims [lo, lo+31] into one non-negative BIGINT
+    * (bit i−lo set ⟺ emb[i] > 0). Two 32-dim halves instead of one
+    * 64-bit word keeps every signature positive — no two's-complement
+    * sign-bit edge cases in either engine's bit_count/xor.
+    */
+  private def signPack(lo: Int): Column =
+    expr(s"aggregate(sequence($lo, ${lo + 31}), CAST(0 AS BIGINT), " +
+      s"(a, i) -> a + CASE WHEN element_at(emb, i) > 0D " +
+      s"THEN CAST(shiftleft(CAST(1 AS BIGINT), i - $lo) AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+
+  private def signPackSql(lo: Int): String =
+    s"CAST(list_sum(list_transform(generate_series($lo, ${lo + 31}), " +
+      s"i -> CASE WHEN emb[i] > 0 THEN (CAST(1 AS BIGINT) << (i - $lo)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+
+  /** `s_knn_binary`: 1-bit (sign) quantization search — pack each vector
+    * into two 32-bit sign words (16 B vs 512 B of f64: 32× compression),
+    * scan signatures by Hamming distance (xor + bit_count, pure integer
+    * codegen), keep the BinPool nearest per query, then rerank ONLY those
+    * survivors by exact cosine against the full vectors. The
+    * binary-prefilter + asymmetric-rerank shape of modern vector stores
+    * (sign-LSH/RaBitQ family): at 1 B vectors the Hamming scan touches
+    * 16 GB of signatures instead of 512 GB of floats, and full vectors
+    * are fetched for BinPool rows per query, never the corpus.
+    *
+    * Scale shape: signatures are ONE narrow projection (no shuffle); the
+    * Hamming scan is the same broadcast-queries × streaming-corpus pass
+    * as [[knnBrute]] but over 2 BIGINT columns; the pool cut is the
+    * salted two-phase top-N; the rerank join touches ≤ queries × BinPool
+    * rows. Everything before the final ROUND is exact integer arithmetic,
+    * so pool membership is bit-identical across engines by construction.
+    */
+  def knnBinary(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val sig = e.select(col("vec_id"), signPack(1).as("h1"), signPack(33).as("h2"))
+    val qsig = sig.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("h1").as("q1"), col("h2").as("q2"))
+    val ham = sig.crossJoin(broadcast(qsig))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("ham", expr("CAST(bit_count(h1 ^ q1) + bit_count(h2 ^ q2) AS BIGINT)"))
+      .select(col("query_id"), col("vec_id"), col("ham"))
+    val pool = saltedTopN(ham, BinPool, col("ham").asc, col("vec_id").asc)
+      .select(col("query_id"), col("vec_id"), col("ham"))
+    val full = e.select(col("vec_id"), col("emb"))
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val rer = pool.join(full, "vec_id").join(broadcast(q), "query_id")
+      .withColumn("cos", cosine(col("qemb"), col("emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc_nulls_last, col("vec_id").asc)
+    rer.withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
+      .select(col("query_id"), col("vec_id"), col("ham"),
+        round(col("cos"), 6).as("cos6"), col("rk"))
+  }
+
+  def knnBinarySql: String =
+    s"""WITH e AS (
+       |  $VecsCteSql
+       |), sig AS (
+       |  SELECT vec_id, ${signPackSql(1)} AS h1, ${signPackSql(33)} AS h2 FROM e
+       |), q AS (
+       |  SELECT vec_id AS query_id, h1 AS q1, h2 AS q2 FROM sig WHERE vec_id % $QueryMod = 0
+       |), ham AS (
+       |  SELECT query_id, s.vec_id,
+       |         CAST(bit_count(xor(s.h1, q1)) + bit_count(xor(s.h2, q2)) AS BIGINT) AS ham
+       |  FROM q, sig s WHERE s.vec_id <> query_id
+       |), pool AS (
+       |  SELECT query_id, vec_id, ham,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ham ASC, vec_id ASC) AS prk
+       |  FROM ham QUALIFY prk <= $BinPool
+       |), r AS (
+       |  SELECT query_id, p.vec_id, ham, list_cosine_similarity(qe.emb, ce.emb) AS cos
+       |  FROM pool p JOIN e qe ON qe.vec_id = p.query_id
+       |              JOIN e ce ON ce.vec_id = p.vec_id
+       |)
+       |SELECT query_id, vec_id, ham, ROUND(cos, 6) AS cos6,
+       |       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC NULLS LAST, vec_id ASC) AS rk
+       |FROM r QUALIFY rk <= $TopK
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_knn_brute" -> (knnBrute _),
     "s_knn_ivf" -> (knnIvf _),
@@ -1691,6 +1777,7 @@ object Similarity extends QueryModule {
     "s_trunc_recall" -> (truncRecall _),
     "s_mmr_rerank" -> (mmrRerank _),
     "s_mmr_ann" -> (mmrAnn _),
+    "s_knn_binary" -> (knnBinary _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1715,5 +1802,6 @@ object Similarity extends QueryModule {
     "s_trunc_recall" -> truncRecallSql,
     "s_mmr_rerank" -> mmrRerankSql,
     "s_mmr_ann" -> mmrAnnSql,
+    "s_knn_binary" -> knnBinarySql,
   )
 }

@@ -2579,6 +2579,271 @@ object TextPipeline extends QueryModule {
        |""".stripMargin
   }
 
+  // ---- LM-quality scoring, DSIR selection, BPE tokenizer training ----
+
+  /** "Curated" source subset standing in for the high-quality target
+    * corpus (the Wikipedia side of CCNet/DSIR): the training distribution
+    * for [[lmPerplexity]]'s unigram LM and [[dsirSelect]]'s target
+    * feature distribution. 4 of the fixture's 20 sources. */
+  private val LmTrainSources = Seq("src0", "src1", "src2", "src3")
+  private def lmTrainSql: String = LmTrainSources.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** Non-empty (doc_id, lang, source, w) token occurrences. */
+  private def tokenOccs(spark: SparkSession, dir: String): DataFrame =
+    docsNorm(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), explode(col("words")).as("w"))
+      .filter(length(col("w")) > 0)
+
+  private def tokenOccsSql: String =
+    s"""SELECT doc_id, lang, source, w FROM (
+       |    SELECT doc_id, lang, source, UNNEST(string_split(${normSql("text")}, ' ')) AS w FROM documents
+       |  ) WHERE LENGTH(w) > 0""".stripMargin
+
+  /** `t_lm_perplexity`: CCNet-style LM quality scoring — train an
+    * add-one-smoothed unigram LM on the curated [[LmTrainSources]]
+    * subset, score every document by average negative log-likelihood,
+    * and bucket into per-language terciles (CCNet's head/middle/tail
+    * split; the tail is what a curation pipeline drops or down-weights).
+    *
+    * Scale shape: the model is ONE corpus-pass aggregate whose output is
+    * vocab-sized (broadcast); scoring is a per-(doc, token) partial agg →
+    * broadcast join → per-doc agg — no corpus-side shuffle beyond the
+    * doc_id partial aggregation; the tercile window partitions by lang
+    * over doc-count rows. Cross-engine determinism: each distinct token's
+    * log-prob is quantized to 1e-4 (BIGINT) BEFORE summing — the finite
+    * per-vocab-entry value set is where the engines' ln ulp differences
+    * could live, and the quantization margin (~1e-12 relative vs a 0.5e-4
+    * boundary) makes a flip on fixture data practically impossible; every
+    * aggregation after that point is exact integer arithmetic.
+    */
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokenOccs(spark, dir)
+    val vocab = toks.filter(col("source").isin(LmTrainSources: _*))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val stats = vocab.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("nv"))
+    val dw = toks.groupBy(col("doc_id"), col("lang"), col("w")).agg(count(lit(1)).as("occ"))
+    val scored = dw.join(broadcast(vocab), Seq("w"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("qlp", expr(
+        "CAST(ROUND(CAST(10000 AS DOUBLE) * ln(CAST(coalesce(cnt, CAST(0 AS BIGINT)) + 1 AS DOUBLE) / " +
+        "CAST(tot + nv AS DOUBLE))) AS BIGINT)"))
+    val d = scored.groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("occ") * col("qlp")).as("sq"), sum(col("occ")).as("n_tokens"))
+      .withColumn("nll4", expr(
+        "CAST(CAST(ROUND(-CAST(sq AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS DOUBLE) / 10000.0"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("nll4").asc, col("doc_id").asc)
+    d.withColumn("ppl_bucket", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("nll4"), col("ppl_bucket"))
+  }
+
+  def lmPerplexitySql: String =
+    s"""WITH ww AS (
+       |  $tokenOccsSql
+       |), v AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM ww WHERE source IN $lmTrainSql GROUP BY w
+       |), st AS (
+       |  SELECT CAST(SUM(cnt) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS nv FROM v
+       |), dw AS (
+       |  SELECT doc_id, lang, w, CAST(COUNT(*) AS BIGINT) AS occ FROM ww GROUP BY 1, 2, 3
+       |), sc AS (
+       |  SELECT doc_id, lang, occ,
+       |         CAST(ROUND(10000 * ln(CAST(COALESCE(cnt, 0) + 1 AS DOUBLE) / CAST(tot + nv AS DOUBLE))) AS BIGINT) AS qlp
+       |  FROM dw LEFT JOIN v USING (w) CROSS JOIN st
+       |), d AS (
+       |  SELECT doc_id, lang, CAST(SUM(occ * qlp) AS BIGINT) AS sq, CAST(SUM(occ) AS BIGINT) AS n_tokens
+       |  FROM sc GROUP BY 1, 2
+       |), o AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |         CAST(CAST(ROUND(-CAST(sq AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS DOUBLE) / 10000.0 AS nll4
+       |  FROM d
+       |)
+       |SELECT doc_id, lang, n_tokens, nll4,
+       |       CAST(NTILE(3) OVER (PARTITION BY lang ORDER BY nll4 ASC, doc_id ASC) AS INT) AS ppl_bucket
+       |FROM o
+       |""".stripMargin
+
+  /** DSIR feature-hash buckets and selection size. 64 buckets over the
+    * fixture's compact vocab keeps multiple words per bucket (the hashed
+    * collision regime DSIR actually operates in); production uses 10⁴-10⁵
+    * buckets over n-gram features — same shapes, bigger broadcast. */
+  private val DsirBuckets = 64
+  private val DsirKeep = 100
+
+  /** `t_dsir_select`: Data Selection via Importance Resampling (Xie et
+    * al. 2023) — estimate target (curated) and raw feature distributions
+    * over hashed token buckets, score every document by the sum of
+    * per-occurrence log importance ratios log(p_target/p_raw), and keep
+    * the top [[DsirKeep]]. The production "select pretraining data to
+    * match a high-quality distribution" operator.
+    *
+    * Scale shape: both distributions are one corpus-pass aggregate with
+    * [[DsirBuckets]]-row outputs (broadcast); doc scoring is a broadcast
+    * join + per-doc partial agg; the final cut is a global
+    * TakeOrderedAndProject of the per-doc totals — [[DsirKeep]] rows ever
+    * reach the driver-side sort, never the corpus. The per-bucket log
+    * ratio is quantized to 1e-4 BIGINT before summing ([[lmPerplexity]]'s
+    * determinism contract); its input is a ratio of exact-integer
+    * products (< 2⁵³), so both engines divide identical doubles.
+    */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val hb = tokenOccs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        pmod(element_at(call_function("md5_words", col("w")), 1), lit(DsirBuckets.toLong)).as("bkt"))
+    val rb = hb.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
+    val tb = hb.filter(col("source").isin(LmTrainSources: _*))
+      .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
+    val st = rb.agg(sum(col("cr")).as("totr")).crossJoin(tb.agg(sum(col("ct")).as("tott")))
+    val lr = rb.join(tb, Seq("bkt"), "left").crossJoin(broadcast(st))
+      .withColumn("qlr", expr(
+        s"CAST(ROUND(CAST(10000 AS DOUBLE) * ln((CAST(coalesce(ct, CAST(0 AS BIGINT)) + 1 AS DOUBLE) * CAST(totr + $DsirBuckets AS DOUBLE)) / " +
+        s"(CAST(cr + 1 AS DOUBLE) * CAST(tott + $DsirBuckets AS DOUBLE)))) AS BIGINT)"))
+      .select(col("bkt"), col("qlr"))
+    val d = hb.join(broadcast(lr), Seq("bkt"))
+      .groupBy(col("doc_id"), col("source")).agg(sum(col("qlr")).as("sw"))
+    // global top-N first (TakeOrderedAndProject — only DsirKeep rows
+    // survive), THEN the rank window over those DsirKeep rows: the
+    // single-partition window never sees more than DsirKeep rows.
+    val top = d.orderBy(col("sw").desc, col("doc_id").asc).limit(DsirKeep)
+    val w = Window.orderBy(col("sw").desc, col("doc_id").asc)
+    top.withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("source"),
+        expr("CAST(sw AS DOUBLE) / 10000.0").as("weight4"), col("rk"))
+  }
+
+  def dsirSelectSql: String =
+    s"""WITH ww AS (
+       |  $tokenOccsSql
+       |), hb AS (
+       |  SELECT doc_id, source, CAST(${sqlWord(0)} % $DsirBuckets AS BIGINT) AS bkt
+       |  FROM (SELECT doc_id, source, md5(w) AS h FROM ww)
+       |), rb AS (
+       |  SELECT bkt, CAST(COUNT(*) AS BIGINT) AS cr FROM hb GROUP BY bkt
+       |), tb AS (
+       |  SELECT bkt, CAST(COUNT(*) AS BIGINT) AS ct FROM hb WHERE source IN $lmTrainSql GROUP BY bkt
+       |), st AS (
+       |  SELECT CAST(SUM(cr) AS BIGINT) AS totr, (SELECT CAST(SUM(ct) AS BIGINT) FROM tb) AS tott FROM rb
+       |), lr AS (
+       |  SELECT bkt, CAST(ROUND(10000 * ln((CAST(COALESCE(ct, 0) + 1 AS DOUBLE) * CAST(totr + $DsirBuckets AS DOUBLE)) /
+       |                                    (CAST(cr + 1 AS DOUBLE) * CAST(tott + $DsirBuckets AS DOUBLE)))) AS BIGINT) AS qlr
+       |  FROM rb LEFT JOIN tb USING (bkt) CROSS JOIN st
+       |), d AS (
+       |  SELECT doc_id, source, CAST(SUM(qlr) AS BIGINT) AS sw FROM hb JOIN lr USING (bkt) GROUP BY 1, 2
+       |)
+       |SELECT doc_id, source, CAST(sw AS DOUBLE) / 10000.0 AS weight4,
+       |       ROW_NUMBER() OVER (ORDER BY sw DESC, doc_id ASC) AS rk
+       |FROM d QUALIFY rk <= $DsirKeep
+       |""".stripMargin
+
+  /** BPE merge rounds. 8 is deep enough that later rounds merge into
+    * PREVIOUS rounds' output (the fixture's round 8 merges p+ar→par),
+    * proving the iterative dependency, while keeping the unrolled oracle
+    * readable. */
+  private val BpeRounds = 8
+
+  /** Word-type frequency table with the double-space symbol encoding:
+    * `sym = "␣␣c1␣␣c2␣␣…cn␣␣"` — every token boundary is TWO spaces, so
+    * the merge pattern `"␣a␣␣b␣"` takes one space from each side and
+    * leaves one intact: consecutive pair occurrences never share pattern
+    * characters, and one left-to-right non-overlapping `replace` applies
+    * a merge exactly like greedy BPE (both engines' `replace` scan
+    * left-to-right and continue AFTER the replacement, so a merged token
+    * can't cascade-merge within the same round).
+    */
+  private def bpeWords(spark: SparkSession, dir: String): DataFrame =
+    tokenOccs(spark, dir).groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("sym", concat(lit("  "), regexp_replace(col("w"), "(.)", "$1  ")))
+
+  private case class BpeMerge(round: Int, left_sym: String, right_sym: String,
+                              merged: String, pair_count: Long)
+
+  /** Distributed BPE tokenizer training (Sennrich et al. 2016), the way
+    * production tokenizer builds actually run at corpus scale: ONE
+    * corpus-wide pass reduces the corpus to a word-type frequency table
+    * (vocab-sized — everything after is independent of corpus size), then
+    * each merge round counts adjacent symbol pairs weighted by word
+    * frequency, picks the argmax (ties → lexicographic), and applies the
+    * merge to the symbol encoding. [[BpeRounds]] driver rounds, each ONE
+    * tiny action over the vocab-sized table (the kmeansIterate pattern);
+    * per-round localCheckpoint truncates the lineage chain.
+    */
+  private def bpeTrain(spark: SparkSession, dir: String): (DataFrame, Seq[BpeMerge]) = {
+    var cur = bpeWords(spark, dir).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[BpeMerge]()
+    for (r <- 1 to BpeRounds) {
+      val pairs = cur
+        .select(col("freq"), expr("split(trim(sym), '  ')").as("s"))
+        .select(col("freq"), explode(expr(
+          "CASE WHEN size(s) >= 2 THEN transform(sequence(1, size(s) - 1), " +
+          "i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b)) " +
+          "ELSE CAST(array() AS array<struct<a: string, b: string>>) END")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(1).collect()(0)
+      val (a, b) = (best.getString(0), best.getString(1))
+      merges += BpeMerge(r, a, b, a + b, best.getLong(2))
+      // symbols are [a-z0-9]+ by construction (normSpark), so literal
+      // interpolation into the replace pattern is safe
+      cur = cur.withColumn("sym", expr(s"replace(sym, ' $a  $b ', ' $a$b ')"))
+        .localCheckpoint(true)
+    }
+    (cur, merges.toSeq)
+  }
+
+  /** `t_bpe_merges`: the trained merge table — round, pair, merged token,
+    * weighted pair count. [[BpeRounds]] rows; the tokenizer artifact a
+    * vocab build ships. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    spark.createDataFrame(bpeTrain(spark, dir)._2)
+
+  private def bpeRoundCteSql(r: Int): String =
+    s"""p$r AS MATERIALIZED (
+       |  SELECT s[i] AS a, s[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT freq, s, UNNEST(generate_series(1, len(s) - 1)) AS i
+       |        FROM (SELECT freq, string_split(trim(sym), '  ') AS s FROM w${r - 1}))
+       |  GROUP BY 1, 2
+       |), b$r AS MATERIALIZED (
+       |  SELECT CAST($r AS INT) AS round, a, b, cnt FROM p$r ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+       |), w$r AS MATERIALIZED (
+       |  SELECT w, freq,
+       |         replace(sym, ' ' || (SELECT a FROM b$r) || '  ' || (SELECT b FROM b$r) || ' ',
+       |                      ' ' || (SELECT a FROM b$r) || (SELECT b FROM b$r) || ' ') AS sym
+       |  FROM w${r - 1}
+       |)""".stripMargin
+
+  /** Shared oracle prefix: w0 (word freqs + symbol encoding) and the
+    * unrolled merge rounds — every round CTE MATERIALIZED so DuckDB's
+    * inliner can't re-derive a round (the kmeans unroll lesson). */
+  private def bpeCtePrefixSql: String =
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+       |         '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS sym
+       |  FROM ($tokenOccsSql)
+       |  GROUP BY w
+       |), ${(1 to BpeRounds).map(bpeRoundCteSql).mkString(", ")}""".stripMargin
+
+  def bpeMergesSql: String =
+    s"""$bpeCtePrefixSql
+       |SELECT round, a AS left_sym, b AS right_sym, a || b AS merged, cnt AS pair_count
+       |FROM (${(1 to BpeRounds).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")})
+       |""".stripMargin
+
+  /** `t_bpe_vocab`: the apply direction — segment the corpus with the
+    * learned merges and report every resulting token's weighted
+    * occurrence count (the vocab+counts table a tokenizer build inspects
+    * before committing; single chars that every merge consumed drop out
+    * of high-frequency ranks, merged units climb). */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(spark, dir)._1
+      .select(col("freq"), explode(expr("split(trim(sym), '  ')")).as("token"))
+      .groupBy(col("token")).agg(sum(col("freq")).as("n_occ"))
+
+  def bpeVocabSql: String =
+    s"""$bpeCtePrefixSql
+       |SELECT t AS token, CAST(SUM(freq) AS BIGINT) AS n_occ
+       |FROM (SELECT freq, UNNEST(string_split(trim(sym), '  ')) AS t FROM w$BpeRounds)
+       |GROUP BY t
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> (tokenStats _),
     "t_lang_id" -> (langId _),
@@ -2622,6 +2887,10 @@ object TextPipeline extends QueryModule {
     "t_lsh_recall" -> (lshRecall _),
     "t_cdc_chunks" -> (cdcChunks _),
     "t_gopher_rules" -> (gopherRules _),
+    "t_lm_perplexity" -> (lmPerplexity _),
+    "t_dsir_select" -> (dsirSelect _),
+    "t_bpe_merges" -> (bpeMerges _),
+    "t_bpe_vocab" -> (bpeVocab _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2667,5 +2936,9 @@ object TextPipeline extends QueryModule {
     "t_lsh_recall" -> lshRecallSql,
     "t_cdc_chunks" -> cdcChunksSql,
     "t_gopher_rules" -> gopherRulesSql,
+    "t_lm_perplexity" -> lmPerplexitySql,
+    "t_dsir_select" -> dsirSelectSql,
+    "t_bpe_merges" -> bpeMergesSql,
+    "t_bpe_vocab" -> bpeVocabSql,
   )
 }

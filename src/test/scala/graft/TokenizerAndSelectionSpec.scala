@@ -1,0 +1,96 @@
+package graft
+
+import graft.nexmark.SparkSpec
+import graft.queries.{Similarity, TextPipeline}
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the round-9 tokenizer/selection/quantization
+  * operators, beyond their tri-scale oracle gates:
+  *
+  *   - BPE training genuinely iterates (later merges consume earlier
+  *     rounds' output) and conserves mass: every merge removes exactly
+  *     pair_count symbol occurrences, so the segmented corpus size equals
+  *     initial char count minus the summed pair counts — an EXACT
+  *     cross-check between the merge table and the applied vocab.
+  *   - Binary (sign-bit) search: the Hamming prefilter genuinely prunes
+  *     (recall@5 vs the brute oracle is imperfect) but the exact rerank
+  *     keeps it useful (recall well above random). Both bounds pinned.
+  *   - DSIR selection enriches the curated target sources above their
+  *     base rate — the operator's entire point.
+  *   - LM perplexity terciles are balanced per language (ntile contract).
+  */
+class TokenizerAndSelectionSpec extends SparkSpec {
+
+  private val Sf001 = "/root/testdata/sf0.001"
+  private val Sf01 = "/root/testdata/sf0.01"
+
+  test("BPE merges iterate and conserve symbol mass against the applied vocab") {
+    for (dir <- Seq(Sf001, Sf01)) {
+      val merges = TextPipeline.bpeMerges(spark, dir).collect().sortBy(_.getInt(0))
+      assert(merges.length == 8, s"$dir: expected 8 merge rounds")
+      // iteration proof: some merge's operand is itself a merged (multi-
+      // char) token from an earlier round
+      assert(merges.exists(r => r.getString(1).length > 1 || r.getString(2).length > 1),
+        s"$dir: no merge consumed an earlier round's output — loop not iterating")
+      // each round's merged token is the concatenation of its operands
+      merges.foreach { r =>
+        assert(r.getString(3) == r.getString(1) + r.getString(2))
+        assert(r.getLong(4) > 0)
+      }
+      val sumPairs = merges.map(_.getLong(4)).sum
+      val vocabTotal = TextPipeline.bpeVocab(spark, dir)
+        .agg(sum(col("n_occ"))).collect()(0).getLong(0)
+      // initial symbol mass = total normalized non-space chars (weighted
+      // by occurrence); every merge round removes exactly pair_count
+      // occurrences, so the applied segmentation must land exactly here
+      val vocabTopk = TextPipeline.queries("t_vocab_topk")(spark, dir)
+      assert(vocabTopk.count() < 100, "fixture vocab hit t_vocab_topk's limit — " +
+        "initial-char derivation below would undercount")
+      val initialChars = vocabTopk
+        .agg(sum(expr("cnt * length(word)"))).collect()(0).getLong(0)
+      assert(vocabTotal == initialChars - sumPairs,
+        s"$dir: vocab mass $vocabTotal != initial $initialChars - merged $sumPairs")
+    }
+  }
+
+  test("binary sign-bit search: Hamming prefilter prunes, exact rerank recovers") {
+    for (dir <- Seq(Sf001, Sf01)) {
+      val brute = Similarity.knnBrute(spark, dir)
+        .select(col("query_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bin = Similarity.knnBinary(spark, dir)
+        .select(col("query_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = bin.intersect(brute).size.toDouble / brute.size
+      // 1-bit signatures at 64 dims: far better than random (top-5 of
+      // ~500 candidates ≈ 1% random overlap), below exact (it prunes)
+      assert(recall >= 0.40, s"$dir: binary recall@5 $recall < 0.40 — prefilter too lossy")
+      assert(recall < 1.0, s"$dir: binary recall@5 == 1.0 — pool not actually pruning " +
+        "(did BinPool grow past the candidate count?)")
+    }
+  }
+
+  test("DSIR selection enriches the target sources above base rate") {
+    for (dir <- Seq(Sf001, Sf01)) {
+      val sel = TextPipeline.dsirSelect(spark, dir)
+      val trainFrac = sel.agg(
+        avg(col("source").isin("src0", "src1", "src2", "src3").cast("double")))
+        .collect()(0).getDouble(0)
+      // 4 of 20 sources are the target → base rate 0.2; importance
+      // weights must pull the selection toward them
+      assert(trainFrac > 0.2, s"$dir: selected train fraction $trainFrac not above base 0.2")
+    }
+  }
+
+  test("LM perplexity terciles are balanced within each language") {
+    val counts = TextPipeline.lmPerplexity(spark, Sf01)
+      .groupBy(col("lang"), col("ppl_bucket")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val langs = counts.keySet.map(_._1)
+    for (l <- langs) {
+      val sizes = (1 to 3).map(b => counts.getOrElse((l, b), 0L))
+      assert(sizes.max - sizes.min <= 1, s"$l: tercile sizes $sizes not ntile-balanced")
+      assert(sizes.min > 0, s"$l: empty tercile")
+    }
+  }
+}
