@@ -2686,20 +2686,32 @@ object TextPipeline extends QueryModule {
     * products (< 2⁵³), so both engines divide identical doubles.
     */
   def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
-    val hb = tokenOccs(spark, dir)
-      .select(col("doc_id"), col("source"),
-        pmod(element_at(call_function("md5_words", col("w")), 1), lit(DsirBuckets.toLong)).as("bkt"))
-    val rb = hb.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
-    val tb = hb.filter(col("source").isin(LmTrainSources: _*))
-      .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
-    val st = rb.agg(sum(col("cr")).as("totr")).crossJoin(tb.agg(sum(col("ct")).as("tott")))
-    val lr = rb.join(tb, Seq("bkt"), "left").crossJoin(broadcast(st))
+    // reduce to per-(doc, word) occurrence counts BEFORE hashing: the
+    // md5 runs once per distinct doc-word (≈30× fewer rows than raw
+    // occurrences on this data), and the three consumers below share the
+    // aggregated exchange instead of re-hashing the corpus per branch
+    val dw = tokenOccs(spark, dir)
+      .groupBy(col("doc_id"), col("source"), col("w")).agg(count(lit(1)).as("occ"))
+      .withColumn("bkt",
+        pmod(element_at(call_function("md5_words", col("w")), 1), lit(DsirBuckets.toLong)))
+    // BOTH distributions in one pivoted aggregate (target ⊂ raw, so ct
+    // rides a conditional sum), and the totals as unpartitioned window
+    // sums over the DsirBuckets-row aggregate — no branch ever re-derives
+    // the corpus, and the d-side join below shares dw's exchange
+    // (ReuseExchange): one corpus scan for the whole entry
+    val isT = col("source").isin(LmTrainSources: _*)
+    val g = dw.groupBy(col("bkt")).agg(
+      sum(col("occ")).as("cr"),
+      sum(when(isT, col("occ")).otherwise(0L)).as("ct"))
+    val w0 = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val lr = g.withColumn("totr", sum(col("cr")).over(w0))
+      .withColumn("tott", sum(col("ct")).over(w0))
       .withColumn("qlr", expr(
-        s"CAST(ROUND(CAST(10000 AS DOUBLE) * ln((CAST(coalesce(ct, CAST(0 AS BIGINT)) + 1 AS DOUBLE) * CAST(totr + $DsirBuckets AS DOUBLE)) / " +
+        s"CAST(ROUND(CAST(10000 AS DOUBLE) * ln((CAST(ct + 1 AS DOUBLE) * CAST(totr + $DsirBuckets AS DOUBLE)) / " +
         s"(CAST(cr + 1 AS DOUBLE) * CAST(tott + $DsirBuckets AS DOUBLE)))) AS BIGINT)"))
       .select(col("bkt"), col("qlr"))
-    val d = hb.join(broadcast(lr), Seq("bkt"))
-      .groupBy(col("doc_id"), col("source")).agg(sum(col("qlr")).as("sw"))
+    val d = dw.join(broadcast(lr), Seq("bkt"))
+      .groupBy(col("doc_id"), col("source")).agg(sum(col("occ") * col("qlr")).as("sw"))
     // global top-N first (TakeOrderedAndProject — only DsirKeep rows
     // survive), THEN the rank window over those DsirKeep rows: the
     // single-partition window never sees more than DsirKeep rows.
