@@ -154,6 +154,46 @@ object NexmarkQueries {
               col("bidCount"), col("maxBid"), col("lastBidTimestamp"))
   }
 
+  /** Declarative stream-stream INTERVAL join — the Flink
+    * `intervalJoin`/`between` shape (the reference builds the equivalent
+    * by hand inside its QX state machine, NexmarkQueryX.java:613-763;
+    * this is the built-in-operator flavor Spark offers): each bid joined
+    * to the auction EVENTS of its auction id whose event time lies within
+    * [bid − 5 s, bid], i.e. `bidTime BETWEEN auctionTime AND
+    * auctionTime + 5 s`. Both sides watermarked; Spark derives each
+    * side's state horizon FROM the range condition (an auction is evicted
+    * once the watermark passes its time + 5 s, a bid once the watermark
+    * passes its time), so state is bounded by the interval width — the
+    * whole point of an interval join vs an unconstrained stream join.
+    *
+    * Oracle model: a plain batch join with the same range condition and
+    * NO watermark cutoff. Inner stream-stream joins emit matches
+    * immediately (nothing is withheld for finalization), and with the
+    * generator's globally non-decreasing event times an evicted row can
+    * never be missed by a future match: a row is evicted only when the
+    * watermark (= max ts − 2 s) passes its last useful instant, and every
+    * later-arriving row carries ts ≥ max ts, putting the pair outside the
+    * interval by at least the 2 s delay margin — so boundary semantics
+    * can't flip the result either.
+    */
+  def qIntervalJoin(bids: Dataset[Bid], auctions: Dataset[Auction],
+                    wm: String = "2 seconds"): DataFrame = {
+    val a = watermarked(auctions.toDF, wm)
+      .select(col("auctionId").as("aAuctionId"), col("eventTime").as("aTime"),
+              col("timestamp").as("auctionCreation"))
+    val b = watermarked(bids.toDF, wm)
+      .select(col("auctionId"), col("eventTime").as("bTime"),
+              col("personId").as("bidderId"), col("bid"),
+              col("timestamp").as("bidTimestamp"))
+    b.join(a,
+        col("auctionId") === col("aAuctionId") &&
+        col("bTime") >= col("aTime") &&
+        col("bTime") <= col("aTime") + expr("INTERVAL 5 SECONDS"))
+      .select(col("auctionId"), col("bidderId"), col("bid"),
+              col("bidTimestamp"), col("auctionCreation"),
+              (col("bidTimestamp") - col("auctionCreation")).as("bidDelayMs"))
+  }
+
   /** QX/Q4 winning bid (J4/J5, NexmarkQueryX.java:613-763): bids matched to
     * their auction's open interval [start, end], the highest-priced bid per
     * auction wins (ties: latest timestamp, then lowest bidder id).

@@ -740,6 +740,35 @@ object StreamingBench extends QueryModule {
       |WHERE p.s_ms + 5000 < (SELECT w FROM wm)
       |""".stripMargin
 
+  /** Declarative stream-stream INTERVAL join (bid ⋈ auction events within
+    * [auction, auction + 5 s]) — the built-in watermark-bounded range-join
+    * operator next to the hand-built QX state machine: same qx sources and
+    * volumes (the differential control for what the built-in costs vs
+    * arbitrary state), state horizon derived from the range condition.
+    * sf0.1 → 100k auctions + 400k bids.
+    */
+  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (bids, auctions, batches) = qxSources(spark, dir, "stream_interval_join")
+    runToParquet(spark, NexmarkQueries.qIntervalJoin(bids, auctions), "intjoin", batches)
+  }
+
+  /** qIntervalJoin over the dumped streams: a plain range join, NO
+    * watermark cutoff — inner-join matches are emitted immediately, and
+    * eviction can never drop a future match under globally non-decreasing
+    * event time (argument in qIntervalJoin's scaladoc; 1-batch == N-batch
+    * pinned by StreamingMultiBatchSpec).
+    */
+  private val streamIntervalJoinSql: String =
+    s"""WITH a AS (SELECT * FROM ${inPath("stream_interval_join", "auctions")}),
+      |b AS (SELECT * FROM ${inPath("stream_interval_join", "bids")})
+      |SELECT b.auctionId, b.personId AS bidderId, b.bid,
+      |       b.timestamp AS bidTimestamp, a.timestamp AS auctionCreation,
+      |       b.timestamp - a.timestamp AS bidDelayMs
+      |FROM b JOIN a ON b.auctionId = a.auctionId
+      |              AND b.timestamp >= a.timestamp
+      |              AND b.timestamp <= a.timestamp + 5000
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_q5_hot" -> (streamQ5Hot _),
     "stream_q8_join" -> (streamQ8Join _),
@@ -751,6 +780,7 @@ object StreamingBench extends QueryModule {
     "stream_dedup" -> (streamDedup _),
     "stream_incremental_dedup" -> (streamIncrementalDedup _),
     "stream_funnel" -> (streamFunnel _),
+    "stream_interval_join" -> (streamIntervalJoin _),
   )
 
   /** DuckDB oracles over each entry's dumped input events (see the class
@@ -767,5 +797,6 @@ object StreamingBench extends QueryModule {
     "stream_dedup" -> streamDedupSql,
     "stream_incremental_dedup" -> streamIncrementalDedupSql,
     "stream_funnel" -> streamFunnelSql,
+    "stream_interval_join" -> streamIntervalJoinSql,
   )
 }

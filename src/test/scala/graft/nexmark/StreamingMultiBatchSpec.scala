@@ -330,4 +330,19 @@ class StreamingMultiBatchSpec extends SparkSpec {
     assert(one.nonEmpty, "degenerate: no joined windows at this volume")
     assert(four == one)
   }
+
+  test("stream-stream interval join: 1-batch output == 4-batch output") {
+    // pins the stream_interval_join oracle's no-cutoff model: inner-join
+    // matches must be independent of where batch boundaries fall (state
+    // eviction between batches never drops a future in-range match under
+    // non-decreasing event time — qIntervalJoin scaladoc)
+    def ij(batches: Int) =
+      runTwo(batches, "ij", aRows = 1500L, aEps = 100L, bRows = 6000L, bEps = 400L)(
+        (a, b) => NexmarkQueries.qIntervalJoin(b, a))
+    val (one, _) = ij(1)
+    val (four, committed) = ij(4)
+    assert(committed >= 4, s"expected >= 4 committed batches, got $committed")
+    assert(one.nonEmpty, "degenerate: no in-range matches at this volume")
+    assert(four == one)
+  }
 }
