@@ -2856,6 +2856,88 @@ object TextPipeline extends QueryModule {
        |GROUP BY t
        |""".stripMargin
 
+  /** Exact duplicated-span detection (the substring-dedup regime of Lee
+    * et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better" — repeated ≥[[SpanMinTokens]]-token runs, not whole-doc
+    * dups): K-gram window size, boilerplate df cap (a K-gram present in
+    * more than this many docs is template noise, the same bound —
+    * and the same measured pair-blowup rationale — as winnowPairs'),
+    * and the minimum reported span length. */
+  private val SpanK = 8
+  private val SpanDfCap = 50
+  private val SpanMinTokens = 12
+
+  /** `t_dup_spans`: for every doc pair sharing K-token runs, the MAXIMAL
+    * shared spans — exact K-gram matches coalesced along match diagonals
+    * (pos_a − pos_b) by gaps-and-islands, so a 93-token copied paragraph
+    * reports as ONE (doc_a, doc_b, a_start, b_start, 93) row instead of
+    * 86 K-gram hits. The exact-substring complement of the hash-sketch
+    * near-dup entries (minhash/simhash/winnow): this is what a
+    * train-data pipeline runs to EXCISE repeated passages rather than
+    * drop whole documents.
+    *
+    * Scale shape: shingles are hashed to md5 (32-char keys, identical in
+    * both engines) so the self-join never carries K-gram text; the df
+    * cap bounds every hash bucket's pair fan-out (≤ C(cap,2)) exactly as
+    * in winnowPairs; the islands window partitions by (pair, diagonal) —
+    * sets bounded by the shorter doc's length. Everything is exact
+    * integer arithmetic; there is no float anywhere.
+    */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsNorm(spark, dir).select(col("doc_id"), col("words"))
+      .filter(size(col("words")) >= SpanK)
+    val t = d.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(words) - ${SpanK - 1}), " +
+        s"i -> md5(array_join(slice(words, i, $SpanK), ' ')))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("sh"))
+    val dfc = t.groupBy(col("sh")).agg(countDistinct(col("doc_id")).as("n"))
+      .filter(col("n").between(2, SpanDfCap)).select(col("sh"))
+    // the capped table holds ONLY cross-doc-duplicated shingles — a tiny
+    // fraction of the corpus — so materializing it once keeps the
+    // self-join below from re-running the md5 shingle explode per side
+    val tt = t.join(dfc, Seq("sh"), "left_semi").localCheckpoint(true)
+    val pr = tt.as("a").join(tt.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    pr.withColumn("grp", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("pos_a")).as("a_start"), min(col("pos_b")).as("b_start"),
+           (count(lit(1)) + SpanK - 1).as("span_tokens"))
+      .filter(col("span_tokens") >= SpanMinTokens)
+      .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"), col("span_tokens"))
+  }
+
+  def dupSpansSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM documents
+       |), t AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |         md5(list_aggregate(list_slice(ws, i, i + ${SpanK - 1}), 'string_agg', ' ')) AS sh
+       |  FROM (SELECT doc_id, ws, UNNEST(generate_series(1, len(ws) - ${SpanK - 1})) AS i
+       |        FROM d WHERE len(ws) >= $SpanK)
+       |), df AS (
+       |  SELECT sh FROM (SELECT sh, COUNT(DISTINCT doc_id) AS n FROM t GROUP BY sh)
+       |  WHERE n BETWEEN 2 AND $SpanDfCap
+       |), tt AS (
+       |  SELECT t.* FROM t SEMI JOIN df ON t.sh = df.sh
+       |), pr AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+       |  FROM tt a JOIN tt b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |), isl AS (
+       |  SELECT doc_a, doc_b, pos_a - pos_b AS diag, pos_a, pos_b,
+       |         pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
+       |  FROM pr
+       |)
+       |SELECT doc_a, doc_b, MIN(pos_a) AS a_start, MIN(pos_b) AS b_start,
+       |       CAST(COUNT(*) + $SpanK - 1 AS BIGINT) AS span_tokens
+       |FROM isl GROUP BY doc_a, doc_b, diag, grp
+       |HAVING COUNT(*) + $SpanK - 1 >= $SpanMinTokens
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> (tokenStats _),
     "t_lang_id" -> (langId _),
@@ -2903,6 +2985,7 @@ object TextPipeline extends QueryModule {
     "t_dsir_select" -> (dsirSelect _),
     "t_bpe_merges" -> (bpeMerges _),
     "t_bpe_vocab" -> (bpeVocab _),
+    "t_dup_spans" -> (dupSpans _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2952,5 +3035,6 @@ object TextPipeline extends QueryModule {
     "t_dsir_select" -> dsirSelectSql,
     "t_bpe_merges" -> bpeMergesSql,
     "t_bpe_vocab" -> bpeVocabSql,
+    "t_dup_spans" -> dupSpansSql,
   )
 }

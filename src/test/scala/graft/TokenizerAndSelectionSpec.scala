@@ -82,6 +82,33 @@ class TokenizerAndSelectionSpec extends SparkSpec {
     }
   }
 
+  test("dup spans: every reported span is a genuine exact token match") {
+    val spans = TextPipeline.dupSpans(spark, Sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(spans.nonEmpty, "degenerate: no duplicated spans in the fixture")
+    val ids = spans.flatMap(s => Seq(s._1, s._2)).distinct
+    val words = graft.Tables.documents(spark, Sf01)
+      .filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), split(
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")),
+        " ").as("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    for ((a, b, as, bs, len) <- spans) {
+      val sa = words(a).slice(as.toInt - 1, as.toInt - 1 + len.toInt)
+      val sb = words(b).slice(bs.toInt - 1, bs.toInt - 1 + len.toInt)
+      assert(sa.length == len && sa == sb,
+        s"span ($a,$b,$as,$bs,$len): token slices differ or run off the doc")
+    }
+    // islands are maximal runs per (pair, diagonal): two spans on the
+    // same diagonal can never touch or overlap
+    for (Seq(x, y) <- spans.groupBy(s => (s._1, s._2, s._3 - s._4)).values
+                           .map(_.sortBy(_._3).toSeq).filter(_.size > 1)
+                           .flatMap(_.sliding(2))) {
+      assert(x._3 + x._5 < y._3,
+        s"spans $x and $y overlap/touch on one diagonal — islands not maximal")
+    }
+  }
+
   test("LM perplexity terciles are balanced within each language") {
     val counts = TextPipeline.lmPerplexity(spark, Sf01)
       .groupBy(col("lang"), col("ppl_bucket")).agg(count(lit(1)).as("n"))
