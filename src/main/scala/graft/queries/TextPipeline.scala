@@ -2856,6 +2856,108 @@ object TextPipeline extends QueryModule {
        |GROUP BY t
        |""".stripMargin
 
+  /** BM25 retrieval queries (term sets over the fixture vocabulary — all
+    * present at every SF), result depth, and the standard k1/b parameters
+    * written as exact shared-text rationals so both engines parse the
+    * identical doubles (Spark would otherwise read `1.2` as DECIMAL). */
+  private val Bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "hash_join" -> Seq("hash", "join"),
+    "stream_window" -> Seq("stream", "window", "agg"),
+    "sort_merge" -> Seq("sort", "merge", "table"))
+  private val Bm25TopK = 10
+  private val Bm25K1 = "(CAST(12 AS DOUBLE) / CAST(10 AS DOUBLE))" // 1.2
+  private val Bm25B = "(CAST(3 AS DOUBLE) / CAST(4 AS DOUBLE))"    // 0.75
+  private val Half = "(CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE))"
+
+  /** Per-(query,term,doc) BM25 contribution in 1e-4 integer units:
+    * idf4 (already quantized) × the tf saturation part — every input to
+    * the double arithmetic is an exact integer or the shared-text
+    * rationals above, so both engines evaluate identical doubles and the
+    * final ROUND is the only (finite-value-set) quantization point. */
+  private def bm25ContribSql: String =
+    s"CAST(ROUND(CAST(idf4 AS DOUBLE) * (CAST(tf AS DOUBLE) * ($Bm25K1 + 1)) / " +
+    s"(CAST(tf AS DOUBLE) + $Bm25K1 * (1 - $Bm25B + $Bm25B * CAST(dl AS DOUBLE) / (CAST(totdl AS DOUBLE) / nd)))) AS BIGINT)"
+
+  /** The idf quantization: ln(1 + (N − df + ½)/(df + ½)) — the BM25+
+    * always-positive form — rounded to 1e-4 BIGINT per TERM (a handful of
+    * values; the [[lmPerplexity]] determinism contract). */
+  private def bm25IdfSql: String =
+    s"CAST(ROUND(CAST(10000 AS DOUBLE) * ln(CAST(1 AS DOUBLE) + " +
+    s"(CAST(nd - df AS DOUBLE) + $Half) / (CAST(df AS DOUBLE) + $Half))) AS BIGINT)"
+
+  /** `t_bm25_topk`: BM25 ranked retrieval — the relevance scorer a
+    * training-data pipeline runs for query-driven selection and
+    * benchmark-similarity audits (and the classic lexical baseline next
+    * to the `s_knn_*` dense retrievers). Per query: top-[[Bm25TopK]]
+    * documents by Σ_terms idf·tf-saturation with document-length
+    * normalization.
+    *
+    * Scale shape: ONE corpus pass builds doc lengths, ONE builds the
+    * (query,term,doc) tf table via a broadcast join against the tiny term
+    * list (df per term derives from the tf table, not a third pass);
+    * corpus-wide scalars (N, Σdl) ride a broadcast 1-row aggregate; the
+    * rank filter plans as WindowGroupLimit so no query's full posting
+    * list is ever sorted in one task. Per-term contributions are
+    * quantized to 1e-4 BIGINTs and summed exactly — float addition order
+    * never matters.
+    */
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokenOccs(spark, dir)
+    // dl and tf are doc-count / postings-sized — materialize each once so
+    // their multiple consumers (stats/join, dft/join) never re-run the
+    // corpus token explode: exactly two corpus passes for the whole entry
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint(true)
+    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("totdl"))
+    val qt = spark.createDataFrame(
+        Bm25Queries.flatMap { case (q, ts) => ts.map(t => (q, t)) })
+      .toDF("query_id", "term")
+    val tf = toks.join(broadcast(qt), col("w") === col("term"))
+      .groupBy(col("query_id"), col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dft = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf
+      .join(broadcast(dft), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf4", expr(bm25IdfSql))
+      .withColumn("c4", expr(bm25ContribSql))
+      .groupBy(col("query_id"), col("doc_id")).agg(sum(col("c4")).as("s4"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("s4").desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= Bm25TopK)
+      .select(col("query_id"), col("doc_id"),
+        expr("CAST(s4 AS DOUBLE) / 10000.0").as("score4"), col("rk"))
+  }
+
+  def bm25TopkSql: String = {
+    val vals = Bm25Queries.flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
+      .mkString(", ")
+    s"""WITH ww AS (
+       |  $tokenOccsSql
+       |), dl AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM ww GROUP BY doc_id
+       |), st AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS totdl FROM dl
+       |), qt AS (
+       |  SELECT * FROM (VALUES $vals) AS v(query_id, term)
+       |), tf AS (
+       |  SELECT query_id, term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM ww JOIN qt ON ww.w = qt.term GROUP BY 1, 2, 3
+       |), dft AS (
+       |  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY term
+       |), sc AS (
+       |  SELECT query_id, doc_id, CAST(SUM($bm25ContribSql) AS BIGINT) AS s4
+       |  FROM (SELECT tf.*, df, dl, nd, totdl, $bm25IdfSql AS idf4
+       |        FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, doc_id, CAST(s4 AS DOUBLE) / 10000.0 AS score4,
+       |       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s4 DESC, doc_id ASC) AS rk
+       |FROM sc QUALIFY rk <= $Bm25TopK
+       |""".stripMargin
+  }
+
   /** Exact duplicated-span detection (the substring-dedup regime of Lee
     * et al. 2021, "Deduplicating Training Data Makes Language Models
     * Better" — repeated ≥[[SpanMinTokens]]-token runs, not whole-doc
@@ -2986,6 +3088,7 @@ object TextPipeline extends QueryModule {
     "t_bpe_merges" -> (bpeMerges _),
     "t_bpe_vocab" -> (bpeVocab _),
     "t_dup_spans" -> (dupSpans _),
+    "t_bm25_topk" -> (bm25Topk _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3036,5 +3139,6 @@ object TextPipeline extends QueryModule {
     "t_bpe_merges" -> bpeMergesSql,
     "t_bpe_vocab" -> bpeVocabSql,
     "t_dup_spans" -> dupSpansSql,
+    "t_bm25_topk" -> bm25TopkSql,
   )
 }

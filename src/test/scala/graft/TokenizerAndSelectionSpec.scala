@@ -109,6 +109,35 @@ class TokenizerAndSelectionSpec extends SparkSpec {
     }
   }
 
+  test("BM25 top-k: every hit contains a query term, ranks dense, scores positive") {
+    val hits = TextPipeline.bm25Topk(spark, Sf01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(hits.nonEmpty)
+    val terms = Map(
+      "hash_join" -> Seq("hash", "join"),
+      "stream_window" -> Seq("stream", "window", "agg"),
+      "sort_merge" -> Seq("sort", "merge", "table"))
+    val docWords = graft.Tables.documents(spark, Sf01)
+      .filter(col("doc_id").isin(hits.map(_._2).distinct: _*))
+      .select(col("doc_id"), split(
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")),
+        " ").as("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    for ((q, d, s, _) <- hits) {
+      assert(s > 0, s"$q/$d: non-positive BM25 score $s")
+      assert(terms(q).exists(docWords(d).contains),
+        s"$q/$d: returned doc contains none of the query terms")
+    }
+    for ((q, g) <- hits.groupBy(_._1)) {
+      assert(g.map(_._4).sorted.toSeq == (1 to g.length),
+        s"$q: ranks not dense 1..${g.length}")
+      // rank order must agree with score order (ties broken by doc_id)
+      val byRank = g.sortBy(_._4).map(h => (h._3, h._2)).toSeq
+      assert(byRank.zip(byRank.drop(1)).forall { case ((s1, d1), (s2, d2)) =>
+        s1 > s2 || (s1 == s2 && d1 < d2) }, s"$q: rank order disagrees with scores")
+    }
+  }
+
   test("LM perplexity terciles are balanced within each language") {
     val counts = TextPipeline.lmPerplexity(spark, Sf01)
       .groupBy(col("lang"), col("ppl_bucket")).agg(count(lit(1)).as("n"))
