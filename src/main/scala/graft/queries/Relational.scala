@@ -528,6 +528,86 @@ object Relational extends QueryModule {
 
   def aboveAvgSpendersSql: String = aboveAvgSql(identity)
 
+  /** `r_upsert_apply`: CDC change-sequence application (the MERGE /
+    * snapshot-maintenance shape a training-data pipeline runs to keep an
+    * incrementally-updated corpus snapshot — the state-side complement of
+    * `t_incremental_dedup`'s ingest-side dedup): a derived change stream
+    * of sequenced upserts, deletes and inserts is reduced to
+    * LAST-WRITE-WINS per key (row_number over the change sequence — the
+    * dedup-to-latest pattern), then applied to the base snapshot with one
+    * full-outer join. Deterministic change derivation from the base table
+    * itself: keys ≡1 (mod 50) get a seq-1 update, keys ≡1 (mod 100) a
+    * CONFLICTING seq-2 update (proving last-write-wins), keys ≡2 (mod 50)
+    * a delete, keys ≡3 (mod 50) an insert under the negated key. Output
+    * is restricted to the change-domain keys, so applied updates, insert
+    * twins and the ABSENCE of deleted keys are all directly asserted by
+    * the oracle compare.
+    *
+    * Scale shape: the change stream reduces BEFORE touching the snapshot
+    * (the latest-wins window runs over changes only); the apply is one
+    * key-partitioned full-outer join — at 100 TB both sides bucket by key
+    * and the join goes exchange-free, the same co-located plan
+    * ScalePlanSpec pins. Prices stay exact: +5/+7/+11 integer additions
+    * on the 2-decimal doubles are identically rounded IEEE ops in both
+    * engines.
+    */
+  def upsertApply(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    def ch(cond: Column, key: Column, seq: Int, op: String, st: String, pr: Column) =
+      o.filter(cond).select(key.as("k"), lit(seq).as("seq"), lit(op).as("op"),
+        lit(st).as("st"), pr.as("pr"), col("o_custkey").as("ck"))
+    val changes =
+      ch(col("o_orderkey") % 50 === 1, col("o_orderkey"), 1, "U", "X", col("o_totalprice") + 5)
+        .unionByName(ch(col("o_orderkey") % 100 === 1, col("o_orderkey"), 2, "U", "Y", col("o_totalprice") + 7))
+        .unionByName(ch(col("o_orderkey") % 50 === 2, col("o_orderkey"), 2, "D", null, lit(null).cast("double")))
+        .unionByName(ch(col("o_orderkey") % 50 === 3, -col("o_orderkey"), 1, "I", "N", col("o_totalprice") + 11))
+    val wl = Window.partitionBy(col("k")).orderBy(col("seq").desc)
+    val latest = changes.withColumn("rn", row_number().over(wl))
+      .filter(col("rn") === 1).drop("rn", "seq")
+    o.as("b").join(latest.as("c"), col("b.o_orderkey") === col("c.k"), "full_outer")
+      .filter(coalesce(col("c.op"), lit("")) =!= "D")
+      .select(
+        coalesce(col("b.o_orderkey"), col("c.k")).as("o_orderkey"),
+        coalesce(col("c.ck"), col("b.o_custkey")).as("o_custkey"),
+        when(col("c.op").isNull, col("b.o_orderstatus")).otherwise(col("c.st")).as("status"),
+        when(col("c.op").isNull, col("b.o_totalprice")).otherwise(col("c.pr")).as("price"),
+        when(col("c.op").isNull, lit("base"))
+          .when(col("b.o_orderkey").isNull, lit("ins")).otherwise(lit("upd")).as("src"))
+      .filter(abs(col("o_orderkey")) % 50 === 1 ||
+              abs(col("o_orderkey")) % 50 === 2 ||
+              abs(col("o_orderkey")) % 50 === 3)
+  }
+
+  def upsertApplySql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+       |), ch AS (
+       |  SELECT o_orderkey AS k, 1 AS seq, 'U' AS op, 'X' AS st, o_totalprice + 5 AS pr, o_custkey AS ck
+       |  FROM o WHERE o_orderkey % 50 = 1
+       |  UNION ALL
+       |  SELECT o_orderkey, 2, 'U', 'Y', o_totalprice + 7, o_custkey FROM o WHERE o_orderkey % 100 = 1
+       |  UNION ALL
+       |  SELECT o_orderkey, 2, 'D', NULL, CAST(NULL AS DOUBLE), o_custkey FROM o WHERE o_orderkey % 50 = 2
+       |  UNION ALL
+       |  SELECT -o_orderkey, 1, 'I', 'N', o_totalprice + 11, o_custkey FROM o WHERE o_orderkey % 50 = 3
+       |), latest AS (
+       |  SELECT k, op, st, pr, ck FROM (
+       |    SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM ch
+       |  ) WHERE rn = 1
+       |), m AS (
+       |  SELECT COALESCE(b.o_orderkey, c.k) AS o_orderkey,
+       |         COALESCE(c.ck, b.o_custkey) AS o_custkey,
+       |         CASE WHEN c.op IS NULL THEN b.o_orderstatus ELSE c.st END AS status,
+       |         CASE WHEN c.op IS NULL THEN b.o_totalprice ELSE c.pr END AS price,
+       |         CASE WHEN c.op IS NULL THEN 'base'
+       |              WHEN b.o_orderkey IS NULL THEN 'ins' ELSE 'upd' END AS src
+       |  FROM o b FULL OUTER JOIN latest c ON b.o_orderkey = c.k
+       |  WHERE COALESCE(c.op, '') <> 'D'
+       |)
+       |SELECT * FROM m WHERE abs(o_orderkey) % 50 IN (1, 2, 3)
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r_pricing_summary" -> (pricingSummary _),
     "r_top_customers" -> (topCustomers _),
@@ -546,6 +626,7 @@ object Relational extends QueryModule {
     "r_percentiles" -> (percentiles _),
     "r_interval_ship" -> (intervalShip _),
     "r_above_avg_spenders" -> (aboveAvgSpenders _),
+    "r_upsert_apply" -> (upsertApply _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -566,5 +647,6 @@ object Relational extends QueryModule {
     "r_percentiles" -> percentilesSql,
     "r_interval_ship" -> intervalShipSql,
     "r_above_avg_spenders" -> aboveAvgSpendersSql,
+    "r_upsert_apply" -> upsertApplySql,
   )
 }

@@ -1755,6 +1755,82 @@ object Similarity extends QueryModule {
        |FROM r QUALIFY rk <= $TopK
        |""".stripMargin
 
+  /** Neighbors per node in the [[knnGraph]] output. */
+  private val GraphK = 5
+
+  /** `s_knn_graph`: the full k-NN GRAPH build — every vector's
+    * [[GraphK]] nearest neighbors, candidates bounded by IVF cells (each
+    * vector probes its NProbe nearest coarse cells; candidates are the
+    * vectors ASSIGNED there). The precursor artifact of graph-based dedup
+    * and clustering (SemDeDup's neighbor graph, connected-components
+    * seeding, kNN-graph diffusion): [[knnIvf]] serves a QUERY BATCH
+    * against the corpus — this builds corpus × corpus, which is exactly
+    * where unbounded all-pairs would explode and cell bounding is
+    * non-negotiable.
+    *
+    * Scale shape: both the probe and assignment sides are shuffle-free
+    * map work against broadcast centroids; the candidate pair table is
+    * bounded per cell by (assigned × probing) — never N² — and deduped
+    * before scoring; the scoring joins are plain key shuffles (the "query"
+    * side is the corpus, so nothing here broadcasts — unlike knnIvf, and
+    * deliberately so); the final cut is the salted two-phase top-k. At
+    * 1 B vectors every stage is a bounded shuffle; the knob is cell count
+    * (the fixture grows cells with SF, so the measured exponent is an
+    * upper bound on production's fixed-cell curve, as with s_knn_ivfpq).
+    */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = pivotCentroids(e)
+    val sims = e.select(col("vec_id"), col("emb"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cos", cosine(col("emb"), col("cemb")))
+      .select(col("vec_id"), col("cid"), col("cos"))
+    val assign = sims.groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cos"), negate(col("cid")))).as("cid"))
+    val probes = sims.groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(struct(negate(col("cos")).as("ncos"), col("cid")))),
+                 1, NProbe).as("top"))
+      .select(col("vec_id").as("query_id"), explode(col("top.cid")).as("cid"))
+    val pairs = probes.join(assign, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct() // a pair sharing several probed cells scores once
+    val scored = pairs
+      .join(e.select(col("vec_id"), col("emb").as("cemb")), "vec_id")
+      .join(e.select(col("vec_id").as("query_id"), col("emb").as("qemb")), "query_id")
+      .withColumn("cos", cosine(col("qemb"), col("cemb")))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    saltedTopN(scored, GraphK, col("cos").desc_nulls_last, col("vec_id").asc)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos6"), col("rk"))
+  }
+
+  def knnGraphSql: String =
+    s"""WITH e AS (
+       |  $VecsCteSql
+       |), cent AS (
+       |  SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % $CentroidMod = 0
+       |), sims AS (
+       |  SELECT e.vec_id, cid, list_cosine_similarity(cemb, emb) AS cos,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY list_cosine_similarity(cemb, emb) DESC NULLS LAST, cid ASC) AS crk
+       |  FROM e, cent
+       |), assign AS (
+       |  SELECT vec_id, cid FROM sims WHERE crk = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cid FROM sims WHERE crk <= $NProbe
+       |), cands AS (
+       |  SELECT DISTINCT query_id, a.vec_id FROM probes p JOIN assign a ON p.cid = a.cid
+       |  WHERE a.vec_id <> query_id
+       |), scored AS (
+       |  SELECT query_id, c.vec_id,
+       |         list_cosine_similarity(qe.emb, ce.emb) AS cos
+       |  FROM cands c JOIN e qe ON qe.vec_id = query_id JOIN e ce ON ce.vec_id = c.vec_id
+       |)
+       |SELECT query_id, vec_id, ROUND(cos, 6) AS cos6,
+       |       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC NULLS LAST, vec_id ASC) AS rk
+       |FROM scored QUALIFY rk <= $GraphK
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_knn_brute" -> (knnBrute _),
     "s_knn_ivf" -> (knnIvf _),
@@ -1778,6 +1854,7 @@ object Similarity extends QueryModule {
     "s_mmr_rerank" -> (mmrRerank _),
     "s_mmr_ann" -> (mmrAnn _),
     "s_knn_binary" -> (knnBinary _),
+    "s_knn_graph" -> (knnGraph _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1803,5 +1880,6 @@ object Similarity extends QueryModule {
     "s_mmr_rerank" -> mmrRerankSql,
     "s_mmr_ann" -> mmrAnnSql,
     "s_knn_binary" -> knnBinarySql,
+    "s_knn_graph" -> knnGraphSql,
   )
 }
