@@ -177,7 +177,7 @@ object NexmarkQueries {
     * can't flip the result either.
     */
   def qIntervalJoin(bids: Dataset[Bid], auctions: Dataset[Auction],
-                    wm: String = "2 seconds"): DataFrame = {
+                    wm: String = "2 seconds", joinType: String = "inner"): DataFrame = {
     val a = watermarked(auctions.toDF, wm)
       .select(col("auctionId").as("aAuctionId"), col("eventTime").as("aTime"),
               col("timestamp").as("auctionCreation"))
@@ -188,7 +188,8 @@ object NexmarkQueries {
     b.join(a,
         col("auctionId") === col("aAuctionId") &&
         col("bTime") >= col("aTime") &&
-        col("bTime") <= col("aTime") + expr("INTERVAL 5 SECONDS"))
+        col("bTime") <= col("aTime") + expr("INTERVAL 5 SECONDS"),
+        joinType)
       .select(col("auctionId"), col("bidderId"), col("bid"),
               col("bidTimestamp"), col("auctionCreation"),
               (col("bidTimestamp") - col("auctionCreation")).as("bidDelayMs"))

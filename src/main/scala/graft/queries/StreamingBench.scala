@@ -769,6 +769,46 @@ object StreamingBench extends QueryModule {
       |              AND b.timestamp <= a.timestamp + 5000
       |""".stripMargin
 
+  /** LEFT OUTER interval join — the semantics the inner entry can't
+    * exercise: an unmatched bid's null row is withheld until the
+    * WATERMARK proves no in-range auction can still arrive (Spark emits
+    * it when the global watermark passes the bid's last possible match
+    * instant; the final no-data micro-batch flushes the last horizon).
+    * Same sources/volumes as the inner entry.
+    */
+  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (bids, auctions, batches) = qxSources(spark, dir, "stream_outer_join")
+    runToParquet(spark,
+      NexmarkQueries.qIntervalJoin(bids, auctions, joinType = "left_outer"),
+      "intouter", batches)
+  }
+
+  /** Matched rows as in the inner oracle; null rows for bids with NO
+    * in-range auction whose event time is STRICTLY below the final global
+    * watermark = LEAST(per-source MAX ts) − 2000 (multipleWatermarkPolicy
+    * = min; strict `<` pinned empirically at all three SFs — a bid AT the
+    * watermark still has its state retained).
+    */
+  private val streamOuterJoinSql: String =
+    s"""WITH a AS (SELECT * FROM ${inPath("stream_outer_join", "auctions")}),
+      |b AS (SELECT * FROM ${inPath("stream_outer_join", "bids")}),
+      |wm AS (SELECT LEAST((SELECT MAX(timestamp) FROM a), (SELECT MAX(timestamp) FROM b)) - 2000 AS w)
+      |SELECT b.auctionId, b.personId AS bidderId, b.bid,
+      |       b.timestamp AS bidTimestamp, a.timestamp AS auctionCreation,
+      |       b.timestamp - a.timestamp AS bidDelayMs
+      |FROM b JOIN a ON b.auctionId = a.auctionId
+      |              AND b.timestamp >= a.timestamp
+      |              AND b.timestamp <= a.timestamp + 5000
+      |UNION ALL
+      |SELECT b.auctionId, b.personId, b.bid, b.timestamp,
+      |       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      |FROM b
+      |WHERE NOT EXISTS (SELECT 1 FROM a WHERE b.auctionId = a.auctionId
+      |                    AND b.timestamp >= a.timestamp
+      |                    AND b.timestamp <= a.timestamp + 5000)
+      |  AND b.timestamp < (SELECT w FROM wm)
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_q5_hot" -> (streamQ5Hot _),
     "stream_q8_join" -> (streamQ8Join _),
@@ -781,6 +821,7 @@ object StreamingBench extends QueryModule {
     "stream_incremental_dedup" -> (streamIncrementalDedup _),
     "stream_funnel" -> (streamFunnel _),
     "stream_interval_join" -> (streamIntervalJoin _),
+    "stream_outer_join" -> (streamOuterJoin _),
   )
 
   /** DuckDB oracles over each entry's dumped input events (see the class
@@ -798,5 +839,6 @@ object StreamingBench extends QueryModule {
     "stream_incremental_dedup" -> streamIncrementalDedupSql,
     "stream_funnel" -> streamFunnelSql,
     "stream_interval_join" -> streamIntervalJoinSql,
+    "stream_outer_join" -> streamOuterJoinSql,
   )
 }

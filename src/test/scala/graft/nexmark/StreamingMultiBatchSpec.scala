@@ -345,4 +345,19 @@ class StreamingMultiBatchSpec extends SparkSpec {
     assert(one.nonEmpty, "degenerate: no in-range matches at this volume")
     assert(four == one)
   }
+
+  test("left-outer interval join: 1-batch output == 4-batch output, nulls emitted") {
+    // null-row SET must be batch-boundary-invariant: a null row's
+    // membership depends only on the FINAL watermark crossing its match
+    // horizon (intermediate watermarks change when it emits, not whether)
+    def oj(batches: Int) =
+      runTwo(batches, "oj", aRows = 1500L, aEps = 100L, bRows = 6000L, bEps = 400L)(
+        (a, b) => NexmarkQueries.qIntervalJoin(b, a, joinType = "left_outer"))
+    val (one, _) = oj(1)
+    val (four, committed) = oj(4)
+    assert(committed >= 4, s"expected >= 4 committed batches, got $committed")
+    assert(one.exists(_.contains("null")), "degenerate: no null rows at this volume " +
+      "— the outer semantics were not exercised")
+    assert(four == one)
+  }
 }
