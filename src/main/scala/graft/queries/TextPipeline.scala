@@ -2856,6 +2856,97 @@ object TextPipeline extends QueryModule {
        |GROUP BY t
        |""".stripMargin
 
+  /** Gradient-descent rounds for [[qualityClassifier]] and the shared
+    * expression fragments — one text interpolated into BOTH dialects so
+    * the double arithmetic is structurally identical. */
+  private val ClfRounds = 3
+  private val ClfEta = "(CAST(1 AS DOUBLE) / 4)"
+  private val ClfZ = "(w0*x0 + w1*x1 + w2*x2 + w3*x3)"
+  private val ClfSigmoid = s"(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-$ClfZ)))"
+
+  /** `t_quality_classifier`: a TRAINED quality-classifier filter — the
+    * fastText/LLaMA-style "does this look like curated text" model — as
+    * logistic regression fitted by [[ClfRounds]] full-batch
+    * gradient-descent steps (labels: doc is from a curated
+    * [[LmTrainSources]] source) and then applied to every doc.
+    * Distributed training the scale-correct way: each step is ONE
+    * aggregate over the checkpointed feature table producing a 4-number
+    * gradient; the weight vector lives in 1-row broadcast frames chained
+    * through the plan (no driver-side float arithmetic to keep in sync).
+    *
+    * Cross-engine determinism: the per-doc gradient contribution — the
+    * only place sigmoid's `exp` ulps could enter an order-dependent sum —
+    * is quantized to 1e-8 BIGINT per (doc, feature) and summed exactly;
+    * the weight update divides exact integers, so every round's weights
+    * are bit-identical across engines, and the oracle unrolls the rounds
+    * as MATERIALIZED CTEs around the same shared fragments.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val sw = Stopwords.map(s => s"w = '$s'").mkString(" or ")
+    val f = docsNorm(spark, dir)
+      .filter(size(col("words")) >= 1 && length(element_at(col("words"), 1)) > 0)
+      .select(col("doc_id"),
+        when(col("source").isin(LmTrainSources: _*), lit(1.0)).otherwise(lit(0.0)).as("y"),
+        lit(1.0).as("x0"),
+        expr("CAST(size(words) AS DOUBLE) / 100").as("x1"),
+        expr("CAST(size(array_distinct(words)) AS DOUBLE) / CAST(size(words) AS DOUBLE)").as("x2"),
+        expr(s"CAST(size(filter(words, w -> $sw)) AS DOUBLE) / CAST(size(words) AS DOUBLE)").as("x3"))
+      .localCheckpoint(true)
+    val n = f.agg(count(lit(1)).as("nd"))
+    var w = spark.range(1).select(
+      lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"), lit(0.0).as("w3"))
+    for (_ <- 1 to ClfRounds) {
+      val gs = (0 to 3).map(j => expr(
+        s"CAST(SUM(CAST(ROUND(100000000 * ($ClfSigmoid - y) * x$j) AS BIGINT)) AS BIGINT)")
+        .as(s"s$j"))
+      val g = f.crossJoin(broadcast(w)).agg(gs.head, gs.tail: _*)
+      w = w.as("pw").crossJoin(broadcast(g)).crossJoin(broadcast(n)).select(
+        (0 to 3).map(j => expr(
+          s"pw.w$j - $ClfEta * ((CAST(s$j AS DOUBLE) / 100000000) / nd)").as(s"w$j")): _*)
+        .localCheckpoint(true)
+    }
+    f.crossJoin(broadcast(w)).select(
+      col("doc_id"), col("y").cast("long").as("label"),
+      expr(s"CAST(ROUND(10000 * $ClfSigmoid) AS BIGINT)").as("p4"))
+  }
+
+  def qualityClassifierSql: String = {
+    val sw = Stopwords.map(s => s"w = '$s'").mkString(" or ")
+    def roundCte(r: Int): String = {
+      val prev = s"w${r - 1}"
+      val sums = (0 to 3).map(j =>
+        s"CAST(SUM(CAST(ROUND(100000000 * ($ClfSigmoid - y) * x$j) AS BIGINT)) AS BIGINT) AS s$j")
+        .mkString(",\n         ")
+      val upds = (0 to 3).map(j =>
+        s"pw.w$j - $ClfEta * ((CAST(s$j AS DOUBLE) / 100000000) / nd) AS w$j")
+        .mkString(",\n         ")
+      s"""g$r AS MATERIALIZED (
+         |  SELECT $sums
+         |  FROM f CROSS JOIN $prev
+         |), w$r AS MATERIALIZED (
+         |  SELECT $upds
+         |  FROM $prev pw CROSS JOIN g$r CROSS JOIN n
+         |)""".stripMargin
+    }
+    s"""WITH f AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CASE WHEN source IN $lmTrainSql THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y,
+       |         CAST(1 AS DOUBLE) AS x0,
+       |         CAST(LEN(ws) AS DOUBLE) / 100 AS x1,
+       |         CAST(LEN(list_distinct(ws)) AS DOUBLE) / CAST(LEN(ws) AS DOUBLE) AS x2,
+       |         CAST(LEN(list_filter(ws, w -> $sw)) AS DOUBLE) / CAST(LEN(ws) AS DOUBLE) AS x3
+       |  FROM (SELECT doc_id, source, string_split(${normSql("text")}, ' ') AS ws FROM documents)
+       |  WHERE LEN(ws) >= 1 AND LENGTH(ws[1]) > 0
+       |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM f),
+       |w0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+       |              CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3),
+       |${(1 to ClfRounds).map(roundCte).mkString(", ")}
+       |SELECT doc_id, CAST(y AS BIGINT) AS label,
+       |       CAST(ROUND(10000 * $ClfSigmoid) AS BIGINT) AS p4
+       |FROM f CROSS JOIN w$ClfRounds
+       |""".stripMargin
+  }
+
   /** BM25 retrieval queries (term sets over the fixture vocabulary — all
     * present at every SF), result depth, and the standard k1/b parameters
     * written as exact shared-text rationals so both engines parse the
@@ -3089,6 +3180,7 @@ object TextPipeline extends QueryModule {
     "t_bpe_vocab" -> (bpeVocab _),
     "t_dup_spans" -> (dupSpans _),
     "t_bm25_topk" -> (bm25Topk _),
+    "t_quality_classifier" -> (qualityClassifier _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3140,5 +3232,6 @@ object TextPipeline extends QueryModule {
     "t_bpe_vocab" -> bpeVocabSql,
     "t_dup_spans" -> dupSpansSql,
     "t_bm25_topk" -> bm25TopkSql,
+    "t_quality_classifier" -> qualityClassifierSql,
   )
 }

@@ -138,6 +138,21 @@ class TokenizerAndSelectionSpec extends SparkSpec {
     }
   }
 
+  test("quality classifier: gradient descent moved probabilities off the 0.5 init") {
+    for (dir <- Seq(Sf001, Sf01)) {
+      val p = TextPipeline.qualityClassifier(spark, dir)
+        .agg(avg(col("p4")).as("m"), min(col("p4")).as("lo"), max(col("p4")).as("hi"))
+        .collect()(0)
+      val (m, lo, hi) = (p.getDouble(0), p.getLong(1), p.getLong(2))
+      // with zero-initialized weights every doc starts at sigmoid(0)=0.5;
+      // three full-batch steps toward the 0.2 class prior must pull the
+      // mean decisively below 0.5 while staying a proper probability
+      assert(m < 4900 && m > 1500, s"$dir: mean p4 $m — training did not move off init")
+      assert(lo < hi, s"$dir: constant probability $lo — features carry no signal")
+      assert(lo >= 0 && hi <= 10000, s"$dir: p4 out of probability range [$lo, $hi]")
+    }
+  }
+
   test("LM perplexity terciles are balanced within each language") {
     val counts = TextPipeline.lmPerplexity(spark, Sf01)
       .groupBy(col("lang"), col("ppl_bucket")).agg(count(lit(1)).as("n"))
