@@ -3131,6 +3131,48 @@ object TextPipeline extends QueryModule {
        |HAVING COUNT(*) + $SpanK - 1 >= $SpanMinTokens
        |""".stripMargin
 
+  /** Classifier keep threshold for [[selectionE2e]] (p ≥ 0.42 in 1e-4
+    * units — a production pipeline calibrates τ on held-out data; this
+    * value is the fixture's calibrated cut, binding at every SF:
+    * keeps 65-74% of docs across the three gates). */
+  private val ClfKeepP4 = 4200L
+
+  /** `t_selection_e2e`: the CCNet/Gopher-style SELECTION pipeline as one
+    * oracle-gated composition — document-shape rules ([[gopherRules]]) ∧
+    * LM-perplexity head/middle tercile ([[lmPerplexity]]) ∧ trained
+    * classifier score ≥ τ ([[qualityClassifier]]) → per-doc keep verdict,
+    * with each stage's signal carried in the output (the audit columns a
+    * curation run logs). Every stage is its own tri-scale-gated entry;
+    * the composition adds only doc_id equi-joins — at 100 TB each stage
+    * is the one-corpus-pass shape its own entry proves, and the joins
+    * co-locate on the id (bucketed at write in production, like
+    * t_curation_e2e). Empty documents never reach the scorers (both
+    * exclude them) so the join is inner by construction: the verdict
+    * surface is "scored docs", matching what a selection run writes.
+    */
+  def selectionE2e(spark: SparkSession, dir: String): DataFrame = {
+    val gr = gopherRules(spark, dir).select(col("doc_id"), col("pass"))
+    val lm = lmPerplexity(spark, dir).select(col("doc_id"), col("ppl_bucket"))
+    val clf = qualityClassifier(spark, dir).select(col("doc_id"), col("p4"))
+    gr.join(lm, "doc_id").join(clf, "doc_id")
+      .select(col("doc_id"), col("pass"), col("ppl_bucket"), col("p4"),
+        expr(s"CAST(pass = 1 AND ppl_bucket <= 2 AND p4 >= $ClfKeepP4 AS INT)").as("keep"))
+  }
+
+  def selectionE2eSql: String =
+    s"""WITH gr AS (
+       |$gopherRulesSql
+       |), lm AS (
+       |$lmPerplexitySql
+       |), clf AS (
+       |$qualityClassifierSql
+       |)
+       |SELECT doc_id, pass, ppl_bucket, p4,
+       |       CAST(CASE WHEN pass = 1 AND ppl_bucket <= 2 AND p4 >= $ClfKeepP4
+       |            THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM gr JOIN lm USING (doc_id) JOIN clf USING (doc_id)
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> (tokenStats _),
     "t_lang_id" -> (langId _),
@@ -3181,6 +3223,7 @@ object TextPipeline extends QueryModule {
     "t_dup_spans" -> (dupSpans _),
     "t_bm25_topk" -> (bm25Topk _),
     "t_quality_classifier" -> (qualityClassifier _),
+    "t_selection_e2e" -> (selectionE2e _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3233,5 +3276,6 @@ object TextPipeline extends QueryModule {
     "t_dup_spans" -> dupSpansSql,
     "t_bm25_topk" -> bm25TopkSql,
     "t_quality_classifier" -> qualityClassifierSql,
+    "t_selection_e2e" -> selectionE2eSql,
   )
 }
