@@ -1831,6 +1831,53 @@ object Similarity extends QueryModule {
        |FROM scored QUALIFY rk <= $GraphK
        |""".stripMargin
 
+  /** `s_ood_outliers`: embedding outlier detection — the data-cleaning
+    * pass that flags vectors far from their cluster's center (mislabeled
+    * / corrupted / out-of-distribution rows that poison contrastive and
+    * retrieval training). Built ON the oracle-gated [[kmeans]]
+    * assignment: quantize each vector's squared distance to 1e-6 BIGINT,
+    * aggregate per-cluster count and distance mass, and flag
+    * `20 · qd · n_cluster > 23 · Σqd` — "more than 1.15× the cluster's
+    * mean distance" as an exact integer CROSS-MULTIPLICATION, so no
+    * division ever enters the verdict and both engines agree bit-for-bit.
+    * 1.15 is deliberate: high-dimensional random vectors CONCENTRATE
+    * their distances (the fixture's 99th-percentile ratio is ~1.14 at
+    * every SF, max ~1.16-1.18), so the cut sits in the true tail and
+    * flags 0.3-0.8% of vectors; data with genuine corruption separates
+    * much further and would use a larger multiple.
+    *
+    * Scale shape: the assignment is the kmeans entry's own (broadcast
+    * centroids, one shuffle); the per-cluster stats are a K-row
+    * aggregate broadcast back; the flag is a map-side projection. The
+    * per-cluster mean adapts to each cluster's own spread — a tight
+    * cluster flags closer outliers than a diffuse one (the same
+    * per-group-adaptive design as t_quality_cut).
+    */
+  def oodOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val a = kmeans(spark, dir)
+      .withColumn("qd", expr("CAST(ROUND(d6 * 1000000) AS BIGINT)"))
+    val stats = a.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_cluster"), sum(col("qd")).as("sum_qd"))
+    a.join(broadcast(stats), "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("d6"),
+        expr("CAST(20 * qd * n_cluster > 23 * sum_qd AS INT)").as("is_outlier"))
+  }
+
+  def oodOutliersSql: String =
+    s"""WITH km AS (
+       |$kmeansSql
+       |), q AS (
+       |  SELECT vec_id, cluster_id, d6, CAST(ROUND(d6 * 1000000) AS BIGINT) AS qd FROM km
+       |), st AS (
+       |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_cluster,
+       |         CAST(SUM(qd) AS BIGINT) AS sum_qd
+       |  FROM q GROUP BY cluster_id
+       |)
+       |SELECT vec_id, cluster_id, d6,
+       |       CAST(CASE WHEN 20 * qd * n_cluster > 23 * sum_qd THEN 1 ELSE 0 END AS INT) AS is_outlier
+       |FROM q JOIN st USING (cluster_id)
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_knn_brute" -> (knnBrute _),
     "s_knn_ivf" -> (knnIvf _),
@@ -1855,6 +1902,7 @@ object Similarity extends QueryModule {
     "s_mmr_ann" -> (mmrAnn _),
     "s_knn_binary" -> (knnBinary _),
     "s_knn_graph" -> (knnGraph _),
+    "s_ood_outliers" -> (oodOutliers _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1881,5 +1929,6 @@ object Similarity extends QueryModule {
     "s_mmr_ann" -> mmrAnnSql,
     "s_knn_binary" -> knnBinarySql,
     "s_knn_graph" -> knnGraphSql,
+    "s_ood_outliers" -> oodOutliersSql,
   )
 }

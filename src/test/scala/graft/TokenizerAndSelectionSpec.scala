@@ -153,6 +153,15 @@ class TokenizerAndSelectionSpec extends SparkSpec {
     }
   }
 
+  test("OOD outliers: the adaptive cut flags a real but small tail") {
+    for (dir <- Seq(Sf001, Sf01)) {
+      val r = Similarity.queries("s_ood_outliers")(spark, dir)
+        .agg(sum(col("is_outlier")).cast("double") / count(lit(1))).collect()(0).getDouble(0)
+      assert(r > 0, s"$dir: zero outliers — the threshold is vacuous on this data")
+      assert(r < 0.05, s"$dir: $r flagged — the 'tail' is a quarter of the corpus")
+    }
+  }
+
   test("LM perplexity terciles are balanced within each language") {
     val counts = TextPipeline.lmPerplexity(spark, Sf01)
       .groupBy(col("lang"), col("ppl_bucket")).agg(count(lit(1)).as("n"))
