@@ -608,6 +608,73 @@ object Relational extends QueryModule {
        |SELECT * FROM m WHERE abs(o_orderkey) % 50 IN (1, 2, 3)
        |""".stripMargin
 
+  /** `r_scd2_history`: slowly-changing-dimension TYPE 2 — the versioned
+    * complement of [[upsertApply]]'s type-1 overwrite: every key's full
+    * change timeline materialized as effective-dated rows
+    * (valid_from_seq, valid_to_seq, is_current), deletes closing the
+    * last interval without opening a new one. Same deterministic change
+    * derivation as the upsert entry (seq-0 base row, sequenced updates —
+    * including the conflicting second update on ≡1 (mod 100) keys —
+    * deletes, inserts under negated keys), so both CDC entries describe
+    * one change stream two ways: final state vs full history.
+    *
+    * Scale shape: versioning is ONE window pass (lead over each key's
+    * ≤3-event timeline — per-key sets bounded by the change count, never
+    * by table size) after a union of filtered projections; no join
+    * against the snapshot at all, because the base row rides the union
+    * as seq 0.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    def ev(cond: Column, key: Column, seq: Int, op: String, st: Column, pr: Column) =
+      o.filter(cond).select(key.as("k"), lit(seq).as("seq"), lit(op).as("op"),
+        st.as("st"), pr.as("pr"))
+    val dom = abs(col("o_orderkey")) % 50
+    val events =
+      ev(dom === 1 || dom === 2 || dom === 3, col("o_orderkey"), 0, "B",
+         col("o_orderstatus"), col("o_totalprice"))
+        .unionByName(ev(col("o_orderkey") % 50 === 1, col("o_orderkey"), 1, "U",
+                        lit("X"), col("o_totalprice") + 5))
+        .unionByName(ev(col("o_orderkey") % 100 === 1, col("o_orderkey"), 2, "U",
+                        lit("Y"), col("o_totalprice") + 7))
+        .unionByName(ev(col("o_orderkey") % 50 === 2, col("o_orderkey"), 2, "D",
+                        lit(null).cast("string"), lit(null).cast("double")))
+        .unionByName(ev(col("o_orderkey") % 50 === 3, -col("o_orderkey"), 1, "I",
+                        lit("N"), col("o_totalprice") + 11))
+    val w = Window.partitionBy(col("k")).orderBy(col("seq").asc)
+    events.withColumn("valid_to_seq", lead(col("seq"), 1).over(w))
+      .filter(col("op") =!= "D")
+      .select(col("k").as("o_orderkey"), col("seq").as("valid_from_seq"),
+        col("op"), col("st").as("status"), col("pr").as("price"),
+        col("valid_to_seq"),
+        expr("CAST(valid_to_seq IS NULL AS INT)").as("is_current"))
+  }
+
+  def scd2HistorySql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |), ev AS (
+       |  SELECT o_orderkey AS k, 0 AS seq, 'B' AS op, o_orderstatus AS st, o_totalprice AS pr
+       |  FROM o WHERE abs(o_orderkey) % 50 IN (1, 2, 3)
+       |  UNION ALL
+       |  SELECT o_orderkey, 1, 'U', 'X', o_totalprice + 5 FROM o WHERE o_orderkey % 50 = 1
+       |  UNION ALL
+       |  SELECT o_orderkey, 2, 'U', 'Y', o_totalprice + 7 FROM o WHERE o_orderkey % 100 = 1
+       |  UNION ALL
+       |  SELECT o_orderkey, 2, 'D', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE) FROM o WHERE o_orderkey % 50 = 2
+       |  UNION ALL
+       |  SELECT -o_orderkey, 1, 'I', 'N', o_totalprice + 11 FROM o WHERE o_orderkey % 50 = 3
+       |), v AS (
+       |  SELECT k, seq, op, st, pr,
+       |         LEAD(seq, 1) OVER (PARTITION BY k ORDER BY seq ASC) AS valid_to_seq
+       |  FROM ev
+       |)
+       |SELECT k AS o_orderkey, seq AS valid_from_seq, op, st AS status, pr AS price,
+       |       valid_to_seq, CAST(CASE WHEN valid_to_seq IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+       |FROM v WHERE op <> 'D'
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r_pricing_summary" -> (pricingSummary _),
     "r_top_customers" -> (topCustomers _),
@@ -627,6 +694,7 @@ object Relational extends QueryModule {
     "r_interval_ship" -> (intervalShip _),
     "r_above_avg_spenders" -> (aboveAvgSpenders _),
     "r_upsert_apply" -> (upsertApply _),
+    "r_scd2_history" -> (scd2History _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -648,5 +716,6 @@ object Relational extends QueryModule {
     "r_interval_ship" -> intervalShipSql,
     "r_above_avg_spenders" -> aboveAvgSpendersSql,
     "r_upsert_apply" -> upsertApplySql,
+    "r_scd2_history" -> scd2HistorySql,
   )
 }
