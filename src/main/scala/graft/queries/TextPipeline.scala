@@ -1279,6 +1279,67 @@ object TextPipeline extends QueryModule {
       |FROM f WHERE frame_idx % 4 = 0
       |""".stripMargin
 
+  /** `t_media_bytestats`: REAL byte-level computation over the opaque
+    * binary payload — unlike the [[multimodalMeta]] decode stub, every
+    * output here is derived from the payload's actual bytes, in-plan:
+    * exact byte sum, distinct-byte count, and a genuine **Adler-32
+    * checksum** (A = 1 + Σb mod 65521; B = n + Σ(n−i+1)·bᵢ mod 65521;
+    * adler32 = B·65536 + A) — the content-integrity fingerprint a media
+    * pipeline stores next to each blob to detect corruption between
+    * ingest and training. Spec-validated against the JDK's
+    * `java.util.zip.Adler32` on real payloads, so the in-plan arithmetic
+    * is pinned to the reference implementation, not to itself.
+    *
+    * Cross-engine route: both engines hex-encode the blob identically
+    * and fold the digit pairs with HOFs — all exact integer arithmetic,
+    * no floats anywhere. Scale shape: one narrow shuffle-free projection
+    * per payload (the map-only pass of SURVEY §9.1); cost is linear in
+    * payload bytes, the floor for any content-derived feature.
+    */
+  def mediaByteStats(spark: SparkSession, dir: String): DataFrame = {
+    val digit = "(instr('0123456789ABCDEF', substr(hx, %s, 1)) - 1)"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"))
+      // Spark's sequence(1, 0) DESCENDS instead of being empty — guard
+      // the empty-payload doc explicitly (DuckDB's generate_series(1, 0)
+      // is already empty)
+      .withColumn("bs", expr(
+        s"CASE WHEN length(hx) >= 2 THEN transform(sequence(1, length(hx) DIV 2), i -> " +
+        s"16 * CAST(${digit.format("2 * i - 1")} AS BIGINT) + CAST(${digit.format("2 * i")} AS BIGINT)) " +
+        s"ELSE CAST(array() AS array<bigint>) END"))
+      .select(col("doc_id"),
+        expr("CAST(size(bs) AS BIGINT)").as("n_bytes"),
+        expr("aggregate(bs, CAST(0 AS BIGINT), (a, b) -> a + b)").as("byte_sum"),
+        expr("CAST(size(array_distinct(bs)) AS BIGINT)").as("n_distinct_bytes"),
+        expr("aggregate(transform(bs, (b, i) -> (CAST(size(bs) AS BIGINT) - i) * b), " +
+             "CAST(0 AS BIGINT), (a, x) -> a + x)").as("wsum"))
+      .select(col("doc_id"), col("n_bytes"), col("byte_sum"), col("n_distinct_bytes"),
+        expr("((n_bytes + wsum) % 65521) * 65536 + ((1 + byte_sum) % 65521)").as("adler32"))
+  }
+
+  def mediaByteStatsSql: String = {
+    val digit = "(strpos('0123456789ABCDEF', substr(hx, %s, 1)) - 1)"
+    s"""WITH h AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+       |), b AS (
+       |  SELECT doc_id, list_transform(generate_series(1, length(hx) // 2), i ->
+       |           16 * CAST(${digit.format("2 * i - 1")} AS BIGINT) + CAST(${digit.format("2 * i")} AS BIGINT)) AS bs
+       |  FROM h
+       |), s AS (
+       |  SELECT doc_id,
+       |         CAST(len(bs) AS BIGINT) AS n_bytes,
+       |         CAST(COALESCE(list_sum(bs), 0) AS BIGINT) AS byte_sum,
+       |         CAST(len(list_distinct(bs)) AS BIGINT) AS n_distinct_bytes,
+       |         CAST(COALESCE(list_sum(list_transform(generate_series(1, len(bs)), i ->
+       |           (CAST(len(bs) AS BIGINT) - i + 1) * bs[i])), 0) AS BIGINT) AS wsum
+       |  FROM b
+       |)
+       |SELECT doc_id, n_bytes, byte_sum, n_distinct_bytes,
+       |       ((n_bytes + wsum) % 65521) * 65536 + ((1 + byte_sum) % 65521) AS adler32
+       |FROM s
+       |""".stripMargin
+  }
+
   /** Corpus vocabulary: global top-K words by frequency. Two shuffles
     * total — explode feeds a partial-aggregated count (shuffle bytes ∝
     * |vocab|, not |tokens|), then orderBy.limit plans as
@@ -3224,6 +3285,7 @@ object TextPipeline extends QueryModule {
     "t_bm25_topk" -> (bm25Topk _),
     "t_quality_classifier" -> (qualityClassifier _),
     "t_selection_e2e" -> (selectionE2e _),
+    "t_media_bytestats" -> (mediaByteStats _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3277,5 +3339,6 @@ object TextPipeline extends QueryModule {
     "t_bm25_topk" -> bm25TopkSql,
     "t_quality_classifier" -> qualityClassifierSql,
     "t_selection_e2e" -> selectionE2eSql,
+    "t_media_bytestats" -> mediaByteStatsSql,
   )
 }

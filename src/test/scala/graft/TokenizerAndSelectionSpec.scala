@@ -162,6 +162,21 @@ class TokenizerAndSelectionSpec extends SparkSpec {
     }
   }
 
+  test("media byte stats: in-plan Adler-32 matches java.util.zip.Adler32") {
+    val computed = TextPipeline.mediaByteStats(spark, Sf01).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val texts = graft.Tables.documents(spark, Sf01)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty)
+    for ((id, text) <- texts) {
+      val ref = new java.util.zip.Adler32
+      ref.update(text.getBytes("UTF-8"))
+      assert(computed(id) == ref.getValue,
+        s"doc $id: in-plan adler32 ${computed(id)} != JDK ${ref.getValue}")
+    }
+  }
+
   test("LM perplexity terciles are balanced within each language") {
     val counts = TextPipeline.lmPerplexity(spark, Sf01)
       .groupBy(col("lang"), col("ppl_bucket")).agg(count(lit(1)).as("n"))
