@@ -49,6 +49,31 @@ object NexmarkQueries {
               col("auctionId"), col("maxPrice"), col("bidCount"),
               col("lastTimestamp"), col("lastIngestionTimestamp"))
 
+  /** Chained stateful windowed TOP-K: per tumbling window, the K hottest
+    * auctions by bid count (ties → lower auctionId) with their max
+    * price — TWO stateful aggregations in one append-mode pipeline
+    * (per-(window, auction) counts, then per-window top-K), the
+    * multiple-stateful-operator support Spark added in 3.4. Stage 2
+    * collects at most the stage-1 rows of ONE window per group and
+    * sorts/slices that bounded set in the agg output — the per-window
+    * candidate count is bounded by distinct auctions per window, and
+    * only K rows per window survive to the sink.
+    */
+  def qWindowTopK(bids: Dataset[Bid], windowDur: String, k: Int = 3,
+                  wm: String = "2 seconds"): DataFrame = {
+    val stage1 = watermarked(bids.toDF, wm)
+      .groupBy(window(col("eventTime"), windowDur), col("auctionId"))
+      .agg(count(lit(1)).as("bidCount"), max(col("bid")).as("maxPrice"))
+    stage1
+      .groupBy(col("window"))
+      .agg(expr(s"slice(array_sort(collect_list(struct(-bidCount AS nc, auctionId, bidCount, maxPrice))), 1, $k)").as("top"))
+      .select(unix_millis(col("window.start")).as("windowStartMs"),
+              posexplode(col("top")))
+      .select(col("windowStartMs"), (col("pos") + 1).cast("long").as("rk"),
+              col("col.auctionId").as("auctionId"),
+              col("col.bidCount").as("bidCount"), col("col.maxPrice").as("maxPrice"))
+  }
+
   /** Q8 (J2 cogroup spec, NexmarkQuery8.java:106-153,541-568): per tumbling
     * window, new persons joined to their new auctions; one output row per
     * (window, person) carrying the latest-ingested auction's timestamps.

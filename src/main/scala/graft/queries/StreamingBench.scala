@@ -809,6 +809,39 @@ object StreamingBench extends QueryModule {
       |  AND b.timestamp < (SELECT w FROM wm)
       |""".stripMargin
 
+  /** Chained stateful windowed top-3 over the Q5 bid stream (two
+    * stateful aggs in one append pipeline — the multi-stateful-operator
+    * shape). Same volumes as stream_q5_hot.
+    */
+  def streamTopK(spark: SparkSession, dir: String): DataFrame = {
+    val rows = math.max(1L, (10000000L * sfOf(dir) / Parallelism).toLong)
+    val cfg = GenConfig(eventsPerSecond = 1000L)
+    dumpInput(spark, dir, "stream_topk", "bids", cfg, rows)
+    val bids = NexmarkSources.bidStreamDsv2(spark, cfg, Parallelism, rows, rowsPerBatchFor(rows))
+    runToParquet(spark, NexmarkQueries.qWindowTopK(bids, "5 seconds"), "topk",
+      expectedBatches(rows))
+  }
+
+  /** qWindowTopK over the dumped bids: both stages finalize under the
+    * same watermark, so the emitted windows are exactly those with
+    * window_end ≤ final wm = max(ts) − 2000 (the q5 cutoff), ranked
+    * top-3 by (bidCount DESC, auctionId ASC).
+    */
+  private val streamTopKSql: String =
+    s"""WITH b AS (SELECT * FROM ${inPath("stream_topk", "bids")}),
+      |wm AS (SELECT MAX(timestamp) - 2000 AS w FROM b),
+      |s1 AS (
+      |  SELECT (timestamp // 5000) * 5000 AS windowStartMs, auctionId,
+      |         CAST(COUNT(*) AS BIGINT) AS bidCount, MAX(bid) AS maxPrice
+      |  FROM b GROUP BY 1, 2
+      |  HAVING (timestamp // 5000) * 5000 + 5000 <= (SELECT w FROM wm)
+      |)
+      |SELECT windowStartMs,
+      |       ROW_NUMBER() OVER (PARTITION BY windowStartMs ORDER BY bidCount DESC, auctionId ASC) AS rk,
+      |       auctionId, bidCount, maxPrice
+      |FROM s1 QUALIFY rk <= 3
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_q5_hot" -> (streamQ5Hot _),
     "stream_q8_join" -> (streamQ8Join _),
@@ -822,6 +855,7 @@ object StreamingBench extends QueryModule {
     "stream_funnel" -> (streamFunnel _),
     "stream_interval_join" -> (streamIntervalJoin _),
     "stream_outer_join" -> (streamOuterJoin _),
+    "stream_topk" -> (streamTopK _),
   )
 
   /** DuckDB oracles over each entry's dumped input events (see the class
@@ -840,5 +874,6 @@ object StreamingBench extends QueryModule {
     "stream_funnel" -> streamFunnelSql,
     "stream_interval_join" -> streamIntervalJoinSql,
     "stream_outer_join" -> streamOuterJoinSql,
+    "stream_topk" -> streamTopKSql,
   )
 }

@@ -346,6 +346,17 @@ class StreamingMultiBatchSpec extends SparkSpec {
     assert(four == one)
   }
 
+  test("chained stateful windowed top-k: 1-batch output == 4-batch output") {
+    // two stateful aggs share one watermark: windows must finalize
+    // through BOTH stages identically wherever the batch boundaries fall
+    val q = (bids: Dataset[Bid]) => NexmarkQueries.qWindowTopK(bids, "5 seconds")
+    val (one, _) = run(1, q)
+    val (four, committed) = run(4, q)
+    assert(committed >= 4, s"expected >= 4 committed batches, got $committed")
+    assert(one.nonEmpty, "degenerate: no finalized top-k windows at this volume")
+    assert(four == one)
+  }
+
   test("left-outer interval join: 1-batch output == 4-batch output, nulls emitted") {
     // null-row SET must be batch-boundary-invariant: a null row's
     // membership depends only on the FINAL watermark crossing its match
