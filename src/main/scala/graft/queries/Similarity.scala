@@ -1721,13 +1721,15 @@ object Similarity extends QueryModule {
     val full = e.select(col("vec_id"), col("emb"))
     val q = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    // rank on the 1e-6-quantized cosine (vec_id tie-break), not the raw
+    // double: an exp/fma ulp between engines can flip raw-double order at
+    // a TopK boundary, but both engines agree on ROUND(cos, 6)
     val rer = pool.join(full, "vec_id").join(broadcast(q), "query_id")
-      .withColumn("cos", cosine(col("qemb"), col("emb")))
+      .withColumn("cos6", round(cosine(col("qemb"), col("emb")), 6))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc_nulls_last, col("vec_id").asc)
+      .orderBy(col("cos6").desc_nulls_last, col("vec_id").asc)
     rer.withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
-      .select(col("query_id"), col("vec_id"), col("ham"),
-        round(col("cos"), 6).as("cos6"), col("rk"))
+      .select(col("query_id"), col("vec_id"), col("ham"), col("cos6"), col("rk"))
   }
 
   def knnBinarySql: String =
@@ -1751,7 +1753,7 @@ object Similarity extends QueryModule {
        |              JOIN e ce ON ce.vec_id = p.vec_id
        |)
        |SELECT query_id, vec_id, ham, ROUND(cos, 6) AS cos6,
-       |       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC NULLS LAST, vec_id ASC) AS rk
+       |       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC NULLS LAST, vec_id ASC) AS rk
        |FROM r QUALIFY rk <= $TopK
        |""".stripMargin
 
@@ -1795,13 +1797,15 @@ object Similarity extends QueryModule {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
       .distinct() // a pair sharing several probed cells scores once
+    // same quantized-rank contract as knnBinary: order by ROUND(cos, 6)
+    // with the vec_id tie-break so rank never depends on raw-double ulps
     val scored = pairs
       .join(e.select(col("vec_id"), col("emb").as("cemb")), "vec_id")
       .join(e.select(col("vec_id").as("query_id"), col("emb").as("qemb")), "query_id")
-      .withColumn("cos", cosine(col("qemb"), col("cemb")))
-      .select(col("query_id"), col("vec_id"), col("cos"))
-    saltedTopN(scored, GraphK, col("cos").desc_nulls_last, col("vec_id").asc)
-      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos6"), col("rk"))
+      .withColumn("cos6", round(cosine(col("qemb"), col("cemb")), 6))
+      .select(col("query_id"), col("vec_id"), col("cos6"))
+    saltedTopN(scored, GraphK, col("cos6").desc_nulls_last, col("vec_id").asc)
+      .select(col("query_id"), col("vec_id"), col("cos6"), col("rk"))
   }
 
   def knnGraphSql: String =
@@ -1827,7 +1831,7 @@ object Similarity extends QueryModule {
        |  FROM cands c JOIN e qe ON qe.vec_id = query_id JOIN e ce ON ce.vec_id = c.vec_id
        |)
        |SELECT query_id, vec_id, ROUND(cos, 6) AS cos6,
-       |       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC NULLS LAST, vec_id ASC) AS rk
+       |       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC NULLS LAST, vec_id ASC) AS rk
        |FROM scored QUALIFY rk <= $GraphK
        |""".stripMargin
 

@@ -2923,7 +2923,14 @@ object TextPipeline extends QueryModule {
   private val ClfRounds = 3
   private val ClfEta = "(CAST(1 AS DOUBLE) / 4)"
   private val ClfZ = "(w0*x0 + w1*x1 + w2*x2 + w3*x3)"
-  private val ClfSigmoid = s"(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-$ClfZ)))"
+  // z is snapped to a 1e-6 grid BEFORE exp so the sigmoid input set is a
+  // finite lattice (the t_lm_perplexity determinism pattern): without the
+  // snap, the count of distinct doubles fed to each engine's exp grows
+  // with docs × features × rounds, and so does the chance that a JVM
+  // Math.exp vs libm ulp lands a downstream ROUND on a .5 boundary
+  private val ClfZq =
+    s"(CAST(CAST(ROUND(CAST(1000000 AS DOUBLE) * $ClfZ) AS BIGINT) AS DOUBLE) / 1000000)"
+  private val ClfSigmoid = s"(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-$ClfZq)))"
 
   /** `t_quality_classifier`: a TRAINED quality-classifier filter — the
     * fastText/LLaMA-style "does this look like curated text" model — as
@@ -2935,12 +2942,16 @@ object TextPipeline extends QueryModule {
     * gradient; the weight vector lives in 1-row broadcast frames chained
     * through the plan (no driver-side float arithmetic to keep in sync).
     *
-    * Cross-engine determinism: the per-doc gradient contribution — the
-    * only place sigmoid's `exp` ulps could enter an order-dependent sum —
-    * is quantized to 1e-8 BIGINT per (doc, feature) and summed exactly;
-    * the weight update divides exact integers, so every round's weights
-    * are bit-identical across engines, and the oracle unrolls the rounds
-    * as MATERIALIZED CTEs around the same shared fragments.
+    * Cross-engine determinism: the sigmoid input z is snapped to a 1e-6
+    * grid before exp (finite input lattice), the per-doc gradient
+    * contribution is quantized to 1e-8 BIGINT per (doc, feature) and
+    * summed exactly, and the weight update divides exact integers; the
+    * oracle unrolls the rounds as MATERIALIZED CTEs around the same
+    * shared fragments. exp itself is still each engine's libm, so the
+    * contract is the empirical tri-scale hash match (as for the other
+    * float-bearing entries), with the quantization points placed so an
+    * exp ulp must cross BOTH a 1e-8 grid boundary and the .5 rounding
+    * line to surface.
     */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     val sw = Stopwords.map(s => s"w = '$s'").mkString(" or ")

@@ -99,13 +99,18 @@ class TokenizerAndSelectionSpec extends SparkSpec {
       assert(sa.length == len && sa == sb,
         s"span ($a,$b,$as,$bs,$len): token slices differ or run off the doc")
     }
-    // islands are maximal runs per (pair, diagonal): two spans on the
-    // same diagonal can never touch or overlap
+    // islands are maximal runs of K-gram STARTS per (pair, diagonal): the
+    // df-cap can punch a sub-K hole inside one genuine long duplicate, in
+    // which case the two islands' TOKEN extents legitimately overlap (each
+    // still covers K-1 tokens past its last surviving shingle start) — so
+    // the invariant is on shingle-start runs, not token extents. A span of
+    // span_tokens = len covers starts [as, as + len - K], hence disjoint
+    // start runs means x.start + x.len - K < y.start (K = 8 = SpanK).
     for (Seq(x, y) <- spans.groupBy(s => (s._1, s._2, s._3 - s._4)).values
                            .map(_.sortBy(_._3).toSeq).filter(_.size > 1)
                            .flatMap(_.sliding(2))) {
-      assert(x._3 + x._5 < y._3,
-        s"spans $x and $y overlap/touch on one diagonal — islands not maximal")
+      assert(x._3 + x._5 - 8 < y._3,
+        s"spans $x and $y share/abut K-gram starts on one diagonal — islands not maximal")
     }
   }
 
