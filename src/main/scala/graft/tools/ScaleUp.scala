@@ -74,7 +74,46 @@ object ScaleUp {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
-    println(s"scaled $src x$k -> $dst (docs ${nD}x$k, vecs base $nV x$k)")
+    // TPC-H family (r10 VERDICT Next #1 — the one operator family with no
+    // measured exponent): replica-keyed ×k so every join stays
+    // replica-local and cardinalities grow linearly, never quadratically.
+    //   - key shifts are multiples of 100: the CDC entries derive their
+    //     change stream from o_orderkey % 50 / % 100, so a non-multiple
+    //     shift would change each replica's change-key FRACTION and the
+    //     measured curve would be a data artifact, not engine scaling
+    //   - lineitem shifts l_orderkey by the SAME stride as orders, and
+    //     orders shifts o_custkey by customer's stride, so l⋈o and o⋈c
+    //     fan-outs per key are exactly the original's
+    //   - dimension tables (region/nation/part/supplier) copy unscaled:
+    //     production holds dims fixed while facts grow
+    val ords = spark.read.parquet(s"$src/orders.parquet")
+    val nO = ((ords.agg(max(col("o_orderkey"))).head.getLong(0) + 1 + 99) / 100) * 100
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    val nC = ((cust.agg(max(col("c_custkey"))).head.getLong(0) + 1 + 99) / 100) * 100
+    cust.crossJoin(broadcast(reps))
+      .select((col("c_custkey") + col("rep") * nC).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/customer.parquet")
+    ords.crossJoin(broadcast(reps))
+      .select((col("o_orderkey") + col("rep") * nO).as("o_orderkey"),
+        (col("o_custkey") + col("rep") * nC).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    spark.read.parquet(s"$src/lineitem.parquet").crossJoin(broadcast(reps))
+      .select((col("l_orderkey") + col("rep") * nO).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    for (t <- Seq("region", "nation", "part", "supplier"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    println(s"scaled $src x$k -> $dst (docs ${nD}x$k, vecs base $nV x$k, " +
+      s"orders base $nO x$k, cust base $nC x$k)")
     spark.stop()
   }
 }

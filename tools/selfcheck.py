@@ -7,7 +7,7 @@ Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [query ...]
 Run Verify first:
   sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
 """
-import sys, json, glob, math
+import sys, os, json, glob, math
 import duckdb
 import pandas as pd
 
@@ -15,7 +15,13 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def load_oracle(con, sfdir, sql):
     for t in TABLES:
-        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # driver testdata ships single-file parquet; locally generated
+        # fixtures (graft.tools.ScaleUp) are Spark directory-parquet —
+        # glob the parts in that case so sf1 spot-gates can run too
+        path = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'")
     return con.sql(sql).df()
 
 def canon(df):
