@@ -1882,6 +1882,147 @@ object Similarity extends QueryModule {
        |FROM q JOIN st USING (cluster_id)
        |""".stripMargin
 
+  /** Delta-ingest split for [[incrementalIndex]]: vec_id ≡ [[DeltaRem]]
+    * (mod [[DeltaMod]]) marks the 5% "today's ingest" slice. The residue
+    * is chosen so the delta CONTAINS a quarter of the would-be pivot
+    * centroids (vec_id ≡ 75 mod 100): the pre-existing index was built
+    * before those vectors arrived, so its coarse cells are the BASE
+    * pivots only — exactly the situation where incremental assignment
+    * (no retrain) serves from a staler, coarser cell structure than a
+    * rebuild would, which is what the recall audit is for. Queries
+    * (vec_id % 50 = 0) and base centroids never fall in the delta.
+    */
+  private val DeltaMod = 20
+  private val DeltaRem = 15
+
+  /** `s_incremental_index`: incremental ANN index maintenance — the
+    * daily-ingest operator that keeps an IVF index serving without a
+    * retrain, and the audit that decides when the retrain is due. Delta
+    * vectors ([[DeltaMod]]/[[DeltaRem]]) are assigned to the EXISTING
+    * base cells (broadcast centroids, the same argmax as the build);
+    * merged postings = base ∪ delta; queries are then served from the
+    * merged index (probe [[NProbe]] base cells, rank by quantized
+    * cosine) and audited per query against brute-force ground truth
+    * over the FULL corpus ([[knnBrute]], the [[annRecall]] overlap
+    * shape), alongside the scan cost `n_cands` — recall vs cost is the
+    * retrain tradeoff. `retrain` flags queries whose recall@k fell
+    * below 0.8 as an exact integer cross-multiplication.
+    *
+    * Scale shape: both assignment branches are shuffle-free map passes
+    * against broadcast centroids (production ingests the DELTA branch
+    * only — base postings load from the stored index; they are
+    * recomputed here because entries are self-contained); the serve is
+    * the [[knnIvfWithCentroids]] machinery (bucketed candidates, salted
+    * top-k); the audit is three per-query hash aggregates. Nothing
+    * scales with corpus² and nothing but centroids broadcasts.
+    */
+  def incrementalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val isDelta = col("vec_id") % DeltaMod === DeltaRem
+    val baseCent = e.filter(col("vec_id") % CentroidMod === 0 && !isDelta)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    def assignOf(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), col("emb"))
+      .crossJoin(broadcast(baseCent))
+      .withColumn("cos", cosine(col("emb"), col("cemb")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cos"), negate(col("cid")))).as("cid"))
+    // the ingest dataflow: yesterday's postings ∪ today's delta, both
+    // keyed to the SAME (base) cell set
+    val postings = assignOf(e.filter(!isDelta))
+      .unionByName(assignOf(e.filter(isDelta)))
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val probes = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id"), col("emb"))
+      .crossJoin(broadcast(baseCent))
+      .withColumn("cos", cosine(col("emb"), col("cemb")))
+      .groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(struct(negate(col("cos")).as("ncos"), col("cid")))),
+                 1, NProbe).as("top"))
+      .select(col("vec_id").as("query_id"), explode(col("top.cid")).as("cid"))
+    val cands = probes.join(postings, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .localCheckpoint(true) // consumed twice: scan-cost agg + scoring
+    val nc = cands.groupBy(col("query_id")).agg(count(lit(1)).as("n_cands"))
+    val scored = cands
+      .join(e.select(col("vec_id"), col("emb").as("cemb")), "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos6", round(cosine(col("qemb"), col("cemb")), 6))
+      .select(col("query_id"), col("vec_id"), col("cos6"))
+    val served = saltedTopK(scored, col("cos6").desc_nulls_last, col("vec_id").asc)
+      .select(col("query_id"), col("vec_id")).localCheckpoint(true)
+    val b = knnBrute(spark, dir).select(col("query_id"), col("vec_id"))
+      .localCheckpoint(true)
+    val nb = b.groupBy(col("query_id")).agg(count(lit(1)).as("n_brute"))
+    val nm = served.groupBy(col("query_id")).agg(count(lit(1)).as("n_merged"))
+    val ov = b.join(served, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("ov"))
+    nb.join(nm, Seq("query_id"), "left").join(ov, Seq("query_id"), "left")
+      .join(nc, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_brute"),
+        coalesce(col("n_merged"), lit(0L)).as("n_merged"),
+        coalesce(col("ov"), lit(0L)).as("n_overlap"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"))
+      .withColumn("recall_bp", expr("n_overlap * 10000 div n_brute"))
+      .withColumn("retrain", expr("CAST(n_overlap * 5 < 4 * n_brute AS INT)"))
+  }
+
+  def incrementalIndexSql: String =
+    s"""WITH e AS (
+       |  $VecsCteSql
+       |), bcent AS (
+       |  SELECT vec_id AS cid, emb AS cemb FROM e
+       |  WHERE vec_id % $CentroidMod = 0 AND vec_id % $DeltaMod <> $DeltaRem
+       |), asims AS (
+       |  SELECT e.vec_id, cid, list_cosine_similarity(cemb, emb) AS cos,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY list_cosine_similarity(cemb, emb) DESC NULLS LAST, cid ASC) AS crk
+       |  FROM e, bcent
+       |), postings AS (
+       |  SELECT vec_id, cid FROM asims WHERE crk = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cid FROM asims WHERE crk <= $NProbe AND vec_id % $QueryMod = 0
+       |), cands AS (
+       |  SELECT query_id, po.vec_id FROM probes pr JOIN postings po ON pr.cid = po.cid
+       |  WHERE po.vec_id <> query_id
+       |), nc AS (
+       |  SELECT query_id, COUNT(*) AS n_cands FROM cands GROUP BY query_id
+       |), scored AS (
+       |  SELECT query_id, c.vec_id,
+       |         ROUND(list_cosine_similarity(qe.emb, ce.emb), 6) AS cos6
+       |  FROM cands c JOIN e qe ON qe.vec_id = query_id JOIN e ce ON ce.vec_id = c.vec_id
+       |), served AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos6 DESC NULLS LAST, vec_id ASC) AS rk
+       |    FROM scored
+       |  ) WHERE rk <= $TopK
+       |), b AS (
+       |  SELECT query_id, vec_id FROM (
+       |${knnBruteSql}
+       |  )
+       |), nb AS (
+       |  SELECT query_id, COUNT(*) AS n_brute FROM b GROUP BY query_id
+       |), nm AS (
+       |  SELECT query_id, COUNT(*) AS n_merged FROM served GROUP BY query_id
+       |), ov AS (
+       |  SELECT b.query_id, COUNT(*) AS ov
+       |  FROM b JOIN served s ON b.query_id = s.query_id AND b.vec_id = s.vec_id
+       |  GROUP BY b.query_id
+       |)
+       |SELECT nb.query_id, nb.n_brute,
+       |       COALESCE(nm.n_merged, 0) AS n_merged,
+       |       COALESCE(ov.ov, 0) AS n_overlap,
+       |       COALESCE(nc.n_cands, 0) AS n_cands,
+       |       COALESCE(ov.ov, 0) * 10000 // nb.n_brute AS recall_bp,
+       |       CAST(CASE WHEN COALESCE(ov.ov, 0) * 5 < 4 * nb.n_brute THEN 1 ELSE 0 END AS INT) AS retrain
+       |FROM nb LEFT JOIN nm ON nb.query_id = nm.query_id
+       |        LEFT JOIN ov ON nb.query_id = ov.query_id
+       |        LEFT JOIN nc ON nb.query_id = nc.query_id
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_knn_brute" -> (knnBrute _),
     "s_knn_ivf" -> (knnIvf _),
@@ -1907,6 +2048,7 @@ object Similarity extends QueryModule {
     "s_knn_binary" -> (knnBinary _),
     "s_knn_graph" -> (knnGraph _),
     "s_ood_outliers" -> (oodOutliers _),
+    "s_incremental_index" -> (incrementalIndex _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1934,5 +2076,6 @@ object Similarity extends QueryModule {
     "s_knn_binary" -> knnBinarySql,
     "s_knn_graph" -> knnGraphSql,
     "s_ood_outliers" -> oodOutliersSql,
+    "s_incremental_index" -> incrementalIndexSql,
   )
 }

@@ -182,7 +182,15 @@ object StreamingBench extends QueryModule {
     tmpDirs.add(base)
     val out = s"$base/out"; val ckpt = s"$base/ckpt"
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", Parallelism)
+    // GRAFT_STATE_PARTITIONS overrides the state-store instance count
+    // (shuffle partitions = stores per stateful operator) WITHOUT touching
+    // source parallelism or volume — the knob the r10 partition-count
+    // sweep turns to measure how per-instance working-set size drives
+    // RocksDB LSM amplification (BASELINE.md §Scaling), and the same
+    // lever a cluster deployment sizes (cluster.conf: 2000)
+    val statePartitions = sys.env.get("GRAFT_STATE_PARTITIONS")
+      .map(_.toInt).getOrElse(Parallelism)
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
     try {
       df.writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)

@@ -64,6 +64,33 @@ class IvfTrainingSpec extends SparkSpec {
     assert(sTrained < 3L * sPivot, "trained probe scans exploded vs pivot cells")
   }
 
+  test("incremental index: recall-delta vs the full pivot index stays bounded; retrain rule exact") {
+    // the merged (base-cells-only) index serves today's delta without a
+    // retrain; its aggregate recall must stay a working index AND the
+    // delta vs the full pivot index (annRecall, all cells) must stay
+    // inside the band a retrain decision is made on — if incremental
+    // maintenance cost more than ~25 recall points, daily ingest without
+    // retrain would be the wrong default and this entry's premise breaks
+    for (d <- Seq("/root/testdata/sf0.001", dir)) {
+      val inc = Similarity.incrementalIndex(spark, d)
+        .select("query_id", "n_brute", "n_overlap", "recall_bp", "retrain").collect()
+      assert(inc.nonEmpty)
+      val incRecall = inc.map(_.getLong(2)).sum.toDouble / inc.map(_.getLong(1)).sum
+      val full = Similarity.queries("s_ann_recall")(spark, d)
+        .select("n_brute", "n_overlap").collect()
+      val fullRecall = full.map(_.getLong(1)).sum.toDouble / full.map(_.getLong(0)).sum
+      info(f"$d: incremental recall=$incRecall%.3f vs full-index=$fullRecall%.3f")
+      assert(incRecall > 0.5, f"$d: merged index degenerate: $incRecall%.3f")
+      assert(incRecall >= fullRecall - 0.25,
+        f"$d: incremental serve lost ${fullRecall - incRecall}%.3f recall vs a rebuild — " +
+          "beyond the no-retrain band")
+      // the retrain verdict is exactly the integer 0.8 rule, per query
+      for (r <- inc)
+        assert((r.getInt(4) == 1) == (r.getLong(2) * 5 < 4 * r.getLong(1)),
+          s"retrain flag inconsistent on query ${r.getLong(0)}")
+    }
+  }
+
   test("trained centroids keep the (cid, cemb) contract and the index shape") {
     val cent = Similarity.trainedCoarseCentroids(spark, dir)
     assert(cent.columns.toSeq == Seq("cid", "cemb"))

@@ -54,7 +54,8 @@ class PlanSweepSpec extends SparkSpec {
     "s_knn_pq" -> "PQ code-assignment argmin over (d2, code)",
     "s_kmeans" -> "Lloyd's assignment argmin over (d2, cid)",
     "s_knn_graph" -> "IVF cell-assignment argmax (same ivfCandidates rationale) over the full corpus",
-    "s_ood_outliers" -> "contains the s_kmeans assignment subplan (Lloyd's argmin)")
+    "s_ood_outliers" -> "contains the s_kmeans assignment subplan (Lloyd's argmin)",
+    "s_incremental_index" -> "base/delta cell-assignment argmax over (cos, -cid) — ivfCandidates rationale")
 
   private val DefaultWidth = 8
 
