@@ -1290,32 +1290,26 @@ object TextPipeline extends QueryModule {
     * `java.util.zip.Adler32` on real payloads, so the in-plan arithmetic
     * is pinned to the reference implementation, not to itself.
     *
-    * Cross-engine route: both engines hex-encode the blob identically
-    * and fold the digit pairs with HOFs — all exact integer arithmetic,
-    * no floats anywhere. Scale shape: one narrow shuffle-free projection
-    * per payload (the map-only pass of SURVEY §9.1); cost is linear in
-    * payload bytes, the floor for any content-derived feature.
+    * Cross-engine route: Spark runs the native `payload_stats` codegen
+    * kernel (graft.spark.PayloadStats — one compiled loop per blob,
+    * inside whole-stage codegen); the DuckDB oracle independently
+    * hex-encodes and folds the digit pairs with HOFs — two disjoint
+    * implementations, identical exact integers, plus the JDK Adler-32
+    * spec pin. Scale shape: one narrow shuffle-free projection per
+    * payload (the map-only pass of SURVEY §9.1); cost is linear in
+    * payload bytes, the floor for any content-derived feature — and now
+    * compiled, not interpreted-per-hex-digit (VERDICT r9 Next #8).
     */
-  def mediaByteStats(spark: SparkSession, dir: String): DataFrame = {
-    val digit = "(instr('0123456789ABCDEF', substr(hx, %s, 1)) - 1)"
+  def mediaByteStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"))
-      // Spark's sequence(1, 0) DESCENDS instead of being empty — guard
-      // the empty-payload doc explicitly (DuckDB's generate_series(1, 0)
-      // is already empty)
-      .withColumn("bs", expr(
-        s"CASE WHEN length(hx) >= 2 THEN transform(sequence(1, length(hx) DIV 2), i -> " +
-        s"16 * CAST(${digit.format("2 * i - 1")} AS BIGINT) + CAST(${digit.format("2 * i")} AS BIGINT)) " +
-        s"ELSE CAST(array() AS array<bigint>) END"))
       .select(col("doc_id"),
-        expr("CAST(size(bs) AS BIGINT)").as("n_bytes"),
-        expr("aggregate(bs, CAST(0 AS BIGINT), (a, b) -> a + b)").as("byte_sum"),
-        expr("CAST(size(array_distinct(bs)) AS BIGINT)").as("n_distinct_bytes"),
-        expr("aggregate(transform(bs, (b, i) -> (CAST(size(bs) AS BIGINT) - i) * b), " +
-             "CAST(0 AS BIGINT), (a, x) -> a + x)").as("wsum"))
+        call_function("payload_stats", col("text").cast("binary")).as("st"))
+      .select(col("doc_id"), col("st.n_bytes").as("n_bytes"),
+        col("st.byte_sum").as("byte_sum"),
+        col("st.n_distinct_bytes").as("n_distinct_bytes"),
+        col("st.wsum").as("wsum"))
       .select(col("doc_id"), col("n_bytes"), col("byte_sum"), col("n_distinct_bytes"),
         expr("((n_bytes + wsum) % 65521) * 65536 + ((1 + byte_sum) % 65521)").as("adler32"))
-  }
 
   def mediaByteStatsSql: String = {
     val digit = "(strpos('0123456789ABCDEF', substr(hx, %s, 1)) - 1)"
@@ -1337,6 +1331,208 @@ object TextPipeline extends QueryModule {
        |SELECT doc_id, n_bytes, byte_sum, n_distinct_bytes,
        |       ((n_bytes + wsum) % 65521) * 65536 + ((1 + byte_sum) % 65521) AS adler32
        |FROM s
+       |""".stripMargin
+  }
+
+  /** Fixed-point 8×8 DCT-II basis, round(1024·cos((2x+1)uπ/16)) laid out
+    * as [u*8 + x] — the integer kernel of [[phashNearDup]]'s perceptual
+    * hash. A CONSTANT table (shared by operator and oracle via
+    * [[phashCosTabSql]]), so every DCT coefficient is exact BIGINT
+    * arithmetic: no engine ever evaluates a cosine. */
+  private val PhashCosTab: Seq[Int] = Seq(
+    1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024,
+    1004, 851, 569, 200, -200, -569, -851, -1004,
+    946, 392, -392, -946, -946, -392, 392, 946,
+    851, -200, -1004, -569, 569, 1004, 200, -851,
+    724, -724, -724, 724, 724, -724, -724, 724,
+    569, -1004, 200, 851, -851, -200, 1004, -569,
+    392, -946, 946, -392, -392, 946, -946, 392,
+    200, -569, 851, -1004, 1004, -851, 569, -200)
+  private def phashCosTabSql: String = PhashCosTab.mkString("[", ", ", "]")
+  /** Verified-pair Hamming ceiling, band-bucket hot cap (the SpanDfCap
+    * analog: a boilerplate byte pattern must never explode one bucket),
+    * and the deterministic re-encode derivation (docs ≡4 mod 5 get a
+    * twin under the negated id with every 97th byte bumped by 7 — the
+    * lossy-reencode noise model, ~1% of bytes). */
+  private val PhashHamMax = 6
+  private val PhashBandCap = 100
+  private val PhashPerturbMod = 5
+  private val PhashPerturbRem = 4
+
+  /** Payload bytes as array<bigint> via the native codegen kernel
+    * (`payload_bytes`, graft.spark.PayloadBytes) — one compiled loop per
+    * blob; the DuckDB oracles keep the hex-digit fold as the independent
+    * second route to the same unsigned byte values. */
+  private def payloadBytes(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        call_function("payload_bytes", col("text").cast("binary")).as("bs"))
+
+  /** pHash signature of `media(media_id, bs: array<bigint>)`: bytes are
+    * averaged onto a fixed 8×8 grid (bucket k sums bytes in
+    * [k·n/64, (k+1)·n/64) — exact integer bucket bounds), the grid runs
+    * through the integer 2-D DCT ([[PhashCosTab]]), and the hash is the
+    * 63 AC-coefficient SIGN bits packed into two BIGINT words (32 + 31,
+    * the [[graft.queries.Similarity]] knnBinary layout). Payloads under
+    * 64 bytes are excluded — no 8×8 structure to hash. All-integer, so
+    * both engines agree bit-for-bit by construction.
+    *
+    * Execution shape (the 100 TB point): the grid is one O(bytes) HOF
+    * pass; the DCT is NOT a nested-lambda double loop (interpreted
+    * per-element, measured 100× too slow) but a 64-row posexplode into
+    * ONE codegen'd hash aggregate — each AC coefficient is a
+    * `sum(gval · K_j[p])` over a 64-int CONSTANT array, so the whole
+    * transform is map-side-combined straight-line codegen, and the only
+    * shuffle carries one 63-column row per media item. The sign-bit
+    * packing is a plain projection over the aggregate output.
+    */
+  private[graft] def phashSig(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    def c(u: Int, x: Int): Long = PhashCosTab(u * 8 + x).toLong
+    // the flattened 2-D basis as a 63×64-row broadcast table:
+    // K(j, p) = C[j/8][p/8] · C[j%8][p%8] for the 63 AC coefficients
+    val kTab = broadcast(spark.createDataFrame(
+      for (j <- 1 to 63; p <- 0 to 63)
+        yield (j, p, c(j / 8, p / 8) * c(j % 8, p % 8)))
+      .toDF("j", "p0", "k"))
+    val grRows = media.filter(size(col("bs")) >= 64)
+      .withColumn("gr", expr(
+        "transform(sequence(0, 63), k -> aggregate(slice(bs, " +
+        "CAST(CAST(k AS BIGINT) * size(bs) DIV 64 AS INT) + 1, " +
+        "CAST(CAST(k + 1 AS BIGINT) * size(bs) DIV 64 - CAST(k AS BIGINT) * size(bs) DIV 64 AS INT)), " +
+        "CAST(0 AS BIGINT), (a, x) -> a + x))"))
+      .select(col("media_id"), posexplode(col("gr")).as(Seq("p0", "gval")))
+    grRows.join(kTab, "p0")
+      .groupBy(col("media_id"), col("j"))
+      .agg(sum(col("k") * col("gval")).as("f"))
+      .groupBy(col("media_id"))
+      .agg(
+        sum(when(col("j").between(1, 32) && col("f") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), j - 1)")).otherwise(lit(0L))).as("h1"),
+        sum(when(col("j").between(33, 63) && col("f") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), j - 33)")).otherwise(lit(0L))).as("h2"))
+  }
+
+  /** The operator's own re-encode derivation (shared rule with the
+    * oracle): docs ≡[[PhashPerturbRem]] (mod [[PhashPerturbMod]]) gain a
+    * twin under the negated id with bytes at 1-based positions ≡13
+    * (mod 97) bumped by +7 (mod 256). */
+  private[graft] def phashMedia(spark: SparkSession, dir: String): DataFrame = {
+    val b0 = payloadBytes(spark, dir)
+    // materialized: without the checkpoint, CollapseProject inlines the
+    // whole O(bytes) hex-fold expression into EVERY one of phashSig's 64
+    // bucket-sum lambdas (and the filter, and the perturb transform) —
+    // the fold would run 65× per payload (measured: turned a ~10 s entry
+    // into minutes). One pass, then everything downstream reads the
+    // array column.
+    b0.select(col("doc_id").as("media_id"), col("bs"))
+      .unionByName(b0.filter(col("doc_id") % PhashPerturbMod === PhashPerturbRem)
+        .select(negate(col("doc_id")).as("media_id"),
+          expr("transform(bs, (b, i0) -> CASE WHEN (i0 + 1) % 97 = 13 " +
+               "THEN (b + 7) % 256 ELSE b END)").as("bs")))
+      .localCheckpoint(true)
+  }
+
+  /** `t_phash_neardup`: perceptual near-duplicate detection over the
+    * multimodal payload bytes — the image/video dedup pass (pHash
+    * family) a multimodal pipeline runs where text dedup runs MinHash.
+    * A deterministic re-encode twin stands in for "the same media saved
+    * through a different encoder" ([[phashMedia]] — the CDC entries'
+    * manufactured-change pattern, since the fixture has no natural byte
+    * near-dups: measured min pairwise Hamming 13/63). Per media item:
+    * the integer-DCT sign hash ([[phashSig]]), then LSH over four
+    * 16-bit hash bands (pairs sharing any band bucket become
+    * candidates, hot buckets capped at [[PhashBandCap]]), then the
+    * exact Hamming verify keeps pairs ≤ [[PhashHamMax]].
+    *
+    * Scale shape: the signature is ONE shuffle-free projection
+    * (O(bytes + 64²) integer HOF work per payload — the codegen kernel
+    * note on [[mediaByteStats]] applies here too); banding explodes ×4;
+    * pair generation is an equi-join on (band, key) with the hot-bucket
+    * cap bounding any bucket's fan-out (never corpus²); the verify is
+    * two xor+bit_count per candidate. The knnBinary Hamming machinery
+    * on the text side, re-pointed at media bytes.
+    */
+  def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = phashSig(phashMedia(spark, dir)).localCheckpoint(true)
+    val bands = sig.select(col("media_id"), col("h1"), col("h2"),
+        explode(expr("sequence(0, 3)")).as("band_id"))
+      .withColumn("bkey", expr(
+        "CASE band_id WHEN 0 THEN h1 & 65535 WHEN 1 THEN shiftright(h1, 16) & 65535 " +
+        "WHEN 2 THEN h2 & 65535 ELSE shiftright(h2, 16) & 65535 END"))
+      .select(col("media_id"), col("band_id"), col("bkey"))
+    val capped = bands.groupBy(col("band_id"), col("bkey"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, PhashBandCap))
+      .select(col("band_id"), col("bkey"))
+    val bb = bands.join(capped, Seq("band_id", "bkey"), "left_semi")
+    val cand = bb.as("x").join(bb.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey") &&
+        col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("media_id").as("media_a"), col("h1").as("a1"), col("h2").as("a2")),
+        Seq("media_a"))
+      .join(sig.select(col("media_id").as("media_b"), col("h1").as("b1"), col("h2").as("b2")),
+        Seq("media_b"))
+      .withColumn("ham", expr("CAST(bit_count(a1 ^ b1) + bit_count(a2 ^ b2) AS BIGINT)"))
+      .filter(col("ham") <= PhashHamMax)
+      .select(col("media_a"), col("media_b"), col("ham"))
+  }
+
+  def phashNearDupSql: String = {
+    val digit = "(strpos('0123456789ABCDEF', substr(hx, %s, 1)) - 1)"
+    s"""WITH h0 AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+       |), b0 AS (
+       |  SELECT doc_id, list_transform(generate_series(1, length(hx) // 2), i ->
+       |     16 * CAST(${digit.format("2 * i - 1")} AS BIGINT) + CAST(${digit.format("2 * i")} AS BIGINT)) AS bs
+       |  FROM h0
+       |), media AS (
+       |  SELECT doc_id AS media_id, bs FROM b0
+       |  UNION ALL
+       |  SELECT -doc_id, list_transform(generate_series(1, CAST(len(bs) AS BIGINT)), i ->
+       |    CASE WHEN i % 97 = 13 THEN (bs[i] + 7) % 256 ELSE bs[i] END)
+       |  FROM b0 WHERE doc_id % $PhashPerturbMod = $PhashPerturbRem
+       |), ct0 AS (
+       |  SELECT ${phashCosTabSql} AS ct
+       |), g AS (
+       |  SELECT media_id, ct, list_transform(generate_series(0, 63), k ->
+       |           CAST(COALESCE(list_sum(list_slice(bs, CAST(k * len(bs) // 64 AS BIGINT) + 1,
+       |                                                 CAST((k + 1) * len(bs) // 64 AS BIGINT))), 0) AS BIGINT)) AS gr
+       |  FROM media, ct0 WHERE len(bs) >= 64
+       |), f AS (
+       |  SELECT media_id, list_transform(generate_series(0, 63), j ->
+       |    CAST(list_sum(list_transform(generate_series(0, 63), p ->
+       |      ct[(j // 8) * 8 + (p // 8) + 1] * ct[(j % 8) * 8 + (p % 8) + 1] * gr[p + 1]
+       |    )) AS BIGINT)) AS fc
+       |  FROM g
+       |), sig AS (
+       |  SELECT media_id,
+       |    CAST(COALESCE(list_sum(list_transform(generate_series(1, 32), j ->
+       |      CASE WHEN fc[j + 1] > 0 THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS h1,
+       |    CAST(COALESCE(list_sum(list_transform(generate_series(33, 63), j ->
+       |      CASE WHEN fc[j + 1] > 0 THEN (CAST(1 AS BIGINT) << (j - 33)) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS h2
+       |  FROM f
+       |), bands AS (
+       |  SELECT media_id, h1, h2, b.band_id,
+       |    CASE b.band_id WHEN 0 THEN h1 & 65535 WHEN 1 THEN (h1 >> 16) & 65535
+       |                   WHEN 2 THEN h2 & 65535 ELSE (h2 >> 16) & 65535 END AS bkey
+       |  FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS band_id) b
+       |), capped AS (
+       |  SELECT band_id, bkey FROM bands GROUP BY band_id, bkey
+       |  HAVING COUNT(*) BETWEEN 2 AND $PhashBandCap
+       |), cand AS (
+       |  SELECT DISTINCT a.media_id AS media_a, c.media_id AS media_b
+       |  FROM bands a JOIN capped USING (band_id, bkey)
+       |       JOIN bands c USING (band_id, bkey)
+       |  WHERE a.media_id < c.media_id
+       |)
+       |SELECT media_a, media_b,
+       |       CAST(bit_count(xor(sa.h1, sb.h1)) + bit_count(xor(sa.h2, sb.h2)) AS BIGINT) AS ham
+       |FROM cand JOIN sig sa ON sa.media_id = media_a JOIN sig sb ON sb.media_id = media_b
+       |WHERE bit_count(xor(sa.h1, sb.h1)) + bit_count(xor(sa.h2, sb.h2)) <= $PhashHamMax
        |""".stripMargin
   }
 
@@ -3297,6 +3493,7 @@ object TextPipeline extends QueryModule {
     "t_quality_classifier" -> (qualityClassifier _),
     "t_selection_e2e" -> (selectionE2e _),
     "t_media_bytestats" -> (mediaByteStats _),
+    "t_phash_neardup" -> (phashNearDup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3351,5 +3548,6 @@ object TextPipeline extends QueryModule {
     "t_quality_classifier" -> qualityClassifierSql,
     "t_selection_e2e" -> selectionE2eSql,
     "t_media_bytestats" -> mediaByteStatsSql,
+    "t_phash_neardup" -> phashNearDupSql,
   )
 }

@@ -73,6 +73,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "simhash32 takes exactly 1 argument")
         SimHash32(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("payload_bytes"),
+      PayloadBytes.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "payload_bytes takes exactly 1 argument")
+        PayloadBytes(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("payload_stats"),
+      PayloadStats.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "payload_stats takes exactly 1 argument")
+        PayloadStats(children.head)
+      }))
     // Spark's internal bloom-filter machinery (the expressions behind
     // runtime row-group filtering), exposed as named SQL functions for the
     // bloom-prefilter decontamination path. Spark does not register these

@@ -182,6 +182,48 @@ class TokenizerAndSelectionSpec extends SparkSpec {
     }
   }
 
+  test("pHash: a perturbed payload pairs with its original; disjoint payloads don't") {
+    import spark.implicits._
+    // three constructed payloads ≥ 256 bytes: an original, its re-encode
+    // twin (the operator's own noise model: every 97th byte bumped), and
+    // a byte-disjoint payload — the direct statement of the perceptual
+    // property the banded entry relies on
+    val orig: Array[Long] = Array.tabulate(512)(i => ((i * 31 + 17) % 251).toLong)
+    val twin = orig.zipWithIndex.map { case (b, i0) =>
+      if ((i0 + 1) % 97 == 13) (b + 7) % 256 else b }
+    val disjoint: Array[Long] = Array.tabulate(512)(i => ((i * i * 13 + 7 * i + 101) % 256).toLong)
+    val media = Seq((1L, orig.toSeq), (2L, twin.toSeq), (3L, disjoint.toSeq))
+      .toDF("media_id", "bs")
+    val sigs = TextPipeline.phashSig(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val hTwin = ham(sigs(1L), sigs(2L))
+    val hDisj = ham(sigs(1L), sigs(3L))
+    info(s"twin hamming=$hTwin disjoint hamming=$hDisj")
+    assert(hTwin <= 6, s"re-encode twin drifted to hamming $hTwin — hash not perceptual")
+    assert(hDisj > 6, s"disjoint payload at hamming $hDisj — hash not discriminating")
+
+    // and through the ENTRY: every derived twin that survives the ≥64-byte
+    // cut must pair with its original (banding may drop a rare twin whose
+    // few flipped bits straddle all four bands — allow ≤ 5% slack), and no
+    // reported pair may exceed the Hamming ceiling
+    for (dir <- Seq(Sf001, Sf01)) {
+      val pairs = TextPipeline.phashNearDup(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(pairs.nonEmpty, s"$dir: no near-dup pairs — twin derivation broken")
+      assert(pairs.forall(_._3 <= 6), s"$dir: pair above the Hamming ceiling")
+      val twinIds = graft.Tables.documents(spark, dir)
+        .filter(col("doc_id") % 5 === 4)
+        .filter(octet_length(col("text").cast("binary")) >= 64)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val found = pairs.collect { case (a, b, _) if a == -b => b }.toSet
+      val recall = found.intersect(twinIds).size.toDouble / twinIds.size
+      info(s"$dir: banded twin recall = $recall (${found.size}/${twinIds.size})")
+      assert(recall >= 0.95, s"$dir: banded recall $recall below 0.95")
+    }
+  }
+
   test("LM perplexity terciles are balanced within each language") {
     val counts = TextPipeline.lmPerplexity(spark, Sf01)
       .groupBy(col("lang"), col("ppl_bucket")).agg(count(lit(1)).as("n"))
