@@ -1882,6 +1882,88 @@ object Similarity extends QueryModule {
        |FROM q JOIN st USING (cluster_id)
        |""".stripMargin
 
+  /** Power-iteration rounds and the 1e-12 fixed-point scale for
+    * [[knnPagerank]]. Five rounds, fixed (not convergence-tested): the
+    * centrality RANKING stabilizes long before the values do, and a
+    * fixed unroll keeps the oracle a finite CTE chain. */
+  private val PrRounds = 5
+  private val PrScale = 1000000000000L
+
+  /** `s_knn_pagerank`: PageRank over the [[knnGraph]] neighbor graph —
+    * graph centrality as a CURATION signal (central documents are
+    * representative of dense semantic regions; isolated ones are
+    * outliers or noise — the graph-diffusion complement of
+    * [[oodOutliers]]' distance cut, and the weighted-propagation
+    * fixed point next to the CC family's min-propagation). Standard
+    * 0.85-damped PageRank, all arithmetic exact integers: ranks live
+    * in [[PrScale]] units, every division is integer DIV with
+    * positive operands (identical truncation in both engines), the
+    * teleport term rides a broadcast 1-row count frame (no driver
+    * arithmetic), and the oracle unrolls the [[PrRounds]] rounds as
+    * MATERIALIZED CTEs — the kmeans/BPE iterative-oracle pattern.
+    * Floor losses mean total mass shrinks slightly per round;
+    * determinism, not conservation, is the contract (spec bounds the
+    * retained mass).
+    *
+    * Scale shape: edges (GraphK·N rows, cell-bounded by the knnGraph
+    * build) checkpoint once; each round is one edge-keyed shuffle join
+    * + one dst-keyed hash aggregate + a node-spine left join — linear
+    * per round, 5 rounds, lineage chained lazily (no per-round driver
+    * action: the round count is fixed, nothing to test). Nothing
+    * broadcasts but the 1-row count.
+    */
+  def knnPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = vecs(spark, dir).select(col("vec_id")).localCheckpoint(true)
+    val nFrame = nodes.agg(count(lit(1)).as("nn"))
+    val ed = knnGraph(spark, dir)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"))
+      .localCheckpoint(true)
+    val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val edges = ed.join(deg, "src").localCheckpoint(true)
+    var ranks = nodes.crossJoin(broadcast(nFrame))
+      .select(col("vec_id").as("rid"), expr(s"${PrScale}L DIV nn").as("r"))
+    for (_ <- 1 to PrRounds) {
+      val contrib = edges.join(ranks, col("src") === col("rid"))
+        .select(col("dst"), expr("r DIV d").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contrib, col("vec_id") === col("dst"), "left")
+        .crossJoin(broadcast(nFrame))
+        .select(col("vec_id").as("rid"),
+          expr(s"(15 * (${PrScale}L DIV nn)) DIV 100 + " +
+               s"(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100").as("r"))
+    }
+    ranks.select(col("rid").as("vec_id"), col("r").as("pr"))
+  }
+
+  def knnPagerankSql: String = {
+    def roundCte(t: Int): String =
+      s"""pr$t AS MATERIALIZED (
+         |  SELECT e.vec_id,
+         |         CAST((15 * (${PrScale} // nn)) // 100
+         |              + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM e CROSS JOIN nn
+         |  LEFT JOIN (SELECT dst, CAST(SUM(r // d) AS BIGINT) AS s
+         |             FROM edges JOIN deg USING (src)
+         |                        JOIN pr${t - 1} p ON p.vec_id = edges.src
+         |             GROUP BY dst) s ON s.dst = e.vec_id
+         |)""".stripMargin
+    s"""WITH e AS (
+       |  $VecsCteSql
+       |), edges AS MATERIALIZED (
+       |  SELECT query_id AS src, vec_id AS dst FROM (
+       |${knnGraphSql}
+       |  )
+       |), deg AS MATERIALIZED (
+       |  SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src
+       |), nn AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM e
+       |), pr0 AS MATERIALIZED (
+       |  SELECT vec_id, CAST(${PrScale} // nn AS BIGINT) AS r FROM e, nn
+       |), ${(1 to PrRounds).map(roundCte).mkString(", ")}
+       |SELECT vec_id, r AS pr FROM pr$PrRounds
+       |""".stripMargin
+  }
+
   /** Delta-ingest split for [[incrementalIndex]]: vec_id ≡ [[DeltaRem]]
     * (mod [[DeltaMod]]) marks the 5% "today's ingest" slice. The residue
     * is chosen so the delta CONTAINS a quarter of the would-be pivot
@@ -2049,6 +2131,7 @@ object Similarity extends QueryModule {
     "s_knn_graph" -> (knnGraph _),
     "s_ood_outliers" -> (oodOutliers _),
     "s_incremental_index" -> (incrementalIndex _),
+    "s_knn_pagerank" -> (knnPagerank _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2077,5 +2160,6 @@ object Similarity extends QueryModule {
     "s_knn_graph" -> knnGraphSql,
     "s_ood_outliers" -> oodOutliersSql,
     "s_incremental_index" -> incrementalIndexSql,
+    "s_knn_pagerank" -> knnPagerankSql,
   )
 }

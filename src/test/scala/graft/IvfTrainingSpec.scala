@@ -2,6 +2,7 @@ package graft
 
 import graft.nexmark.SparkSpec
 import graft.queries.Similarity
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** IVF coarse-centroid training (Similarity.trainedCoarseCentroids): a
   * real vector pipeline retrains its coarse quantizer with k-means and
@@ -88,6 +89,35 @@ class IvfTrainingSpec extends SparkSpec {
       for (r <- inc)
         assert((r.getInt(4) == 1) == (r.getLong(2) * 5 < 4 * r.getLong(1)),
           s"retrain flag inconsistent on query ${r.getLong(0)}")
+    }
+  }
+
+  test("kNN-graph PageRank: mass bounded, teleport floor exact, centrality tracks in-degree") {
+    for (d <- Seq("/root/testdata/sf0.001", dir)) {
+      val pr = Similarity.queries("s_knn_pagerank")(spark, d).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val n = pr.size
+      assert(n > 0 && pr.values.forall(_ > 0), s"$d: non-positive ranks")
+      // floor losses only shrink mass; the damped loop keeps ≥ ~80%
+      val total = pr.values.sum.toDouble
+      assert(total <= 1.000001e12, s"$d: rank mass grew: $total")
+      assert(total >= 0.8e12, s"$d: rank mass collapsed: $total")
+      val indeg = Similarity.queries("s_knn_graph")(spark, d)
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("ind")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // a node nobody links to gets EXACTLY the teleport floor
+      val floorVal = (15L * (1000000000000L / n)) / 100L
+      val sinks = pr.keySet -- indeg.keySet
+      for (v <- sinks) assert(pr(v) == floorVal,
+        s"$d: zero-in-degree node $v at ${pr(v)} != teleport floor $floorVal")
+      assert(sinks.isEmpty || pr.values.max > floorVal,
+        s"$d: nobody above the teleport floor — propagation vacuous")
+      // centrality must track the graph: the max-rank node's in-degree
+      // is above the mean in-degree
+      val top = pr.maxBy(_._2)._1
+      val meanInd = indeg.values.sum.toDouble / n
+      assert(indeg.getOrElse(top, 0L).toDouble >= meanInd,
+        s"$d: top-ranked node has below-average in-degree")
     }
   }
 
