@@ -92,9 +92,12 @@ object Similarity extends QueryModule {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qemb"), col("cemb")))
-      .select(col("query_id"), col("vec_id"), col("cos"))
-    saltedTopK(scored, col("cos").desc_nulls_last, col("vec_id").asc)
-      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos6"), col("rk"))
+      // quantized-rank contract (same as knnBinary/knnGraph): rank on
+      // ROUND(cos, 6) so cross-engine exp/fma ulps can never flip a
+      // TopK-boundary order — r10 ADVICE applied uniformly.
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos6"))
+    saltedTopK(scored, col("cos6").desc_nulls_last, col("vec_id").asc)
+      .select(col("query_id"), col("vec_id"), col("cos6"), col("rk"))
   }
 
   def knnBruteSql: String =
@@ -107,7 +110,7 @@ object Similarity extends QueryModule {
        |  FROM q, e WHERE vec_id <> query_id
        |)
        |SELECT query_id, vec_id, ROUND(cos, 6) AS cos6,
-       |       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC NULLS LAST, vec_id ASC) AS rk
+       |       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC NULLS LAST, vec_id ASC) AS rk
        |FROM s QUALIFY rk <= $TopK
        |""".stripMargin
 
@@ -189,9 +192,9 @@ object Similarity extends QueryModule {
     val scored = ivfCandidates(e, cent)
       .join(all, "vec_id")
       .join(broadcast(q), "query_id")
-      .withColumn("cos", cosine(col("qemb"), col("cemb")))
-    saltedTopK(scored, col("cos").desc_nulls_last, col("vec_id").asc)
-      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos6"), col("rk"))
+      .withColumn("cos6", round(cosine(col("qemb"), col("cemb")), 6))
+    saltedTopK(scored, col("cos6").desc_nulls_last, col("vec_id").asc)
+      .select(col("query_id"), col("vec_id"), col("cos6"), col("rk"))
   }
 
   /** Convergence trace of the production k-means (round 1 = the
@@ -250,7 +253,7 @@ object Similarity extends QueryModule {
        |  FROM cands c JOIN e qe ON qe.vec_id = query_id JOIN e ce ON ce.vec_id = c.vec_id
        |)
        |SELECT query_id, vec_id, ROUND(cos, 6) AS cos6,
-       |       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC NULLS LAST, vec_id ASC) AS rk
+       |       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC NULLS LAST, vec_id ASC) AS rk
        |FROM scored QUALIFY rk <= $TopK
        |""".stripMargin
 
@@ -505,9 +508,9 @@ object Similarity extends QueryModule {
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
     val c = e.select(col("vec_id"), col("emb").as("cemb"))
     val scored = cands.join(c, "vec_id").join(broadcast(q), "query_id")
-      .withColumn("cos", cosine(col("qemb"), col("cemb")))
-    saltedTopK(scored, col("cos").desc_nulls_last, col("vec_id").asc)
-      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos6"), col("rk"))
+      .withColumn("cos6", round(cosine(col("qemb"), col("cemb")), 6))
+    saltedTopK(scored, col("cos6").desc_nulls_last, col("vec_id").asc)
+      .select(col("query_id"), col("vec_id"), col("cos6"), col("rk"))
   }
 
   def knnLshSql: String = {
@@ -525,7 +528,7 @@ object Similarity extends QueryModule {
        |  FROM cands c JOIN e qe ON qe.vec_id = query_id JOIN e ce ON ce.vec_id = c.vec_id
        |)
        |SELECT query_id, vec_id, ROUND(cos, 6) AS cos6,
-       |       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC NULLS LAST, vec_id ASC) AS rk
+       |       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC NULLS LAST, vec_id ASC) AS rk
        |FROM scored QUALIFY rk <= $TopK
        |""".stripMargin
   }
@@ -1105,9 +1108,9 @@ object Similarity extends QueryModule {
     val scored = e.select(col("vec_id"), col("temb").as("cemb"))
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qemb"), col("cemb")))
-      .select(col("query_id"), col("vec_id"), col("cos"))
-    saltedTopK(scored, col("cos").desc_nulls_last, col("vec_id").asc)
+      .withColumn("cos6", round(cosine(col("qemb"), col("cemb")), 6))
+      .select(col("query_id"), col("vec_id"), col("cos6"))
+    saltedTopK(scored, col("cos6").desc_nulls_last, col("vec_id").asc)
       .select(col("query_id"), col("vec_id"))
   }
 
@@ -1142,7 +1145,7 @@ object Similarity extends QueryModule {
        |), t AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
-       |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC NULLS LAST, vec_id ASC) AS rk
+       |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC NULLS LAST, vec_id ASC) AS rk
        |    FROM ts) WHERE rk <= $TopK
        |), nb AS (
        |  SELECT query_id, COUNT(*) AS n_full FROM b GROUP BY query_id
@@ -1564,7 +1567,11 @@ object Similarity extends QueryModule {
     * (query_id, vec_id, rel, emb) — shared by [[mmrRerank]] (brute) and
     * [[mmrAnn]] (IVF-pruned). */
   private def mmrFromScored(scored: DataFrame): DataFrame = {
-    val pool = saltedTopN(scored, MmrPool, col("rel").desc_nulls_last, col("vec_id").asc)
+    // quantized-rank contract (r10 ADVICE): the pool cut ranks on
+    // ROUND(rel, 6) and every greedy pick ranks on ROUND(mmr, 6), so a
+    // cross-engine cosine ulp can never flip pool membership or a pick.
+    val pool = saltedTopN(scored, MmrPool,
+        round(col("rel"), 6).desc_nulls_last, col("vec_id").asc)
       .select(col("query_id"), col("vec_id"), col("rel"), col("emb"))
       .localCheckpoint(true)
     val pairs = pool.select(col("query_id"), col("vec_id").as("cand"), col("emb").as("cemb"))
@@ -1577,7 +1584,7 @@ object Similarity extends QueryModule {
     val slim = pool.select(col("query_id"), col("vec_id"), col("rel"))
 
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("mmr").desc_nulls_last, col("vec_id").asc)
+      .orderBy(round(col("mmr"), 6).desc_nulls_last, col("vec_id").asc)
     var sel = slim
       .withColumn("mmr", expr(mmrSql("rel", "CAST(0 AS DOUBLE)")))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -1611,7 +1618,7 @@ object Similarity extends QueryModule {
       s"""sel$r AS MATERIALIZED (
          |  SELECT query_id, vec_id, rel, mmr, $r AS sel_rank FROM (
          |    SELECT query_id, vec_id, rel, mmr,
-         |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC NULLS LAST, vec_id) AS rn
+         |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(mmr, 6) DESC NULLS LAST, vec_id) AS rn
          |    FROM (
          |      SELECT p.query_id, p.vec_id, p.rel, ${mmrSql("p.rel", "pen.pen")} AS mmr
          |      FROM pool p
@@ -1630,15 +1637,17 @@ object Similarity extends QueryModule {
     }.mkString("\n")
     s"""WITH $sourceCtes, pool AS MATERIALIZED (
        |  SELECT query_id, vec_id, rel, emb,
-       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC NULLS LAST, vec_id) AS rn
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(rel, 6) DESC NULLS LAST, vec_id) AS rn
        |  FROM s QUALIFY rn <= $MmrPool
        |), pairs AS MATERIALIZED (
        |  SELECT a.query_id, a.vec_id AS cand, b.vec_id AS other,
        |         list_cosine_similarity(a.emb, b.emb) AS sim
        |  FROM pool a JOIN pool b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
        |), sel1 AS (
-       |  SELECT query_id, vec_id, rel, ${mmrSql("rel", "CAST(0 AS DOUBLE)")} AS mmr, 1 AS sel_rank
-       |  FROM pool WHERE rn = 1
+       |  SELECT query_id, vec_id, rel, mmr, 1 AS sel_rank FROM (
+       |    SELECT query_id, vec_id, rel, ${mmrSql("rel", "CAST(0 AS DOUBLE)")} AS mmr,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(${mmrSql("rel", "CAST(0 AS DOUBLE)")}, 6) DESC NULLS LAST, vec_id) AS rn1
+       |    FROM pool) WHERE rn1 = 1
        |), cum1 AS (SELECT * FROM sel1),
        |$rounds
        |outp AS (SELECT * FROM cum$MmrK)

@@ -3324,7 +3324,7 @@ object TextPipeline extends QueryModule {
     * more than this many docs is template noise, the same bound —
     * and the same measured pair-blowup rationale — as winnowPairs'),
     * and the minimum reported span length. */
-  private val SpanK = 8
+  private[graft] val SpanK = 8
   private val SpanDfCap = 50
   private val SpanMinTokens = 12
 

@@ -20,12 +20,12 @@ import org.apache.spark.sql.functions._
   *     consistent with the perturbed text.
   *   - embeddings: replica k > 0 adds deterministic per-(row, dim) noise
   *     of amplitude ≤ 5e-3, breaking exact-duplicate geometry while
-  *     preserving the label/cluster structure. vec_id shifts by a multiple
-  *     of 100 = lcm(QueryMod, CentroidMod)·2, so every replica contributes
-  *     the same FRACTION of queries (id%50=0) and pivot centroids (id%25=0)
-  *     as the original — the entry definitions scale both the corpus and
-  *     the query/cell sets with SF, by fixture construction (the scaling
-  *     table in BASELINE.md names which exponents that inflates).
+  *     preserving the label/cluster structure. Replica vec_ids are remapped
+  *     to skip every multiple of 25, so replicas contribute CORPUS ONLY —
+  *     the query batch (id%50=0) and pivot-centroid set (id%25=0) stay
+  *     pinned to replica 0's production-representative constants at every
+  *     scale factor (r10 VERDICT Next #2; the pre-r11 scheme scaled both
+  *     with SF and the decade table measured a Q×N benchmark quadratic).
   *
   * Usage: runMain graft.tools.ScaleUp <srcSfDir> <dstDir> [factor=10]
   * (name <dstDir> ending in /sf1 — StreamingBench.sfOf parses the SF from
@@ -59,12 +59,23 @@ object ScaleUp {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
+    // Replica k > 0 remaps vec_id through f(v) = v + 1 + v div 24, which
+    // enumerates exactly the non-multiples of 25 (v = 24m + j, 0 <= j < 24
+    // maps to 25m + j + 1, residue 1..24 mod 25) — so replicas contribute
+    // CORPUS ONLY: no new queries (vec_id % 50 == 0) and no new pivot
+    // centroids (vec_id % 25 == 0). This pins the query batch and the
+    // coarse-cell count to replica 0's production-representative constants
+    // independent of the scale factor (r10 VERDICT Next #2: the previous
+    // scheme scaled Q and K with SF, so the decade table measured the
+    // benchmark's QxN quadratic instead of the operator's per-query cost).
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val nVraw = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
-    val nV = ((nVraw + 99) / 100) * 100
+    val nV = ((nVraw + nVraw / 24 + 2 + 99) / 100) * 100
     emb.crossJoin(broadcast(reps))
       .select(
-        (col("vec_id") + col("rep") * nV).as("vec_id"),
+        when(col("rep") === 0, col("vec_id"))
+          .otherwise(col("rep") * nV + col("vec_id") + 1 +
+            expr("vec_id div 24")).as("vec_id"),
         when(col("rep") === 0, col("embedding"))
           .otherwise(expr(
             "transform(embedding, (x, i) -> cast(x + " +
@@ -108,6 +119,30 @@ object ScaleUp {
         col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    // events scales like the facts (r10 ADVICE: selfcheck.py eagerly
+    // creates a DuckDB view for EVERY table, so a fixture dir without
+    // events.parquet breaks the documented ScaleUp+selfcheck workflow).
+    // user_id/event_id shift by replica strides rounded to multiples of
+    // 100 (same convention as orders/customer), ts/type/value/props copy
+    // unchanged — every (window, user) group and session stays
+    // replica-local, so the per-key distributions are exactly the
+    // original's and volume grows linearly. Read through Tables.events so
+    // a nanos-as-long source layout is normalized to TIMESTAMP micros in
+    // the scaled fixture — Spark and DuckDB then agree on the dtype
+    // without the legacy-nanos shim.
+    val ev = graft.Tables.events(spark, src)
+    val evCols = ev.columns
+    val nE = ((ev.agg(max(col("event_id"))).head.getLong(0) + 1 + 99) / 100) * 100
+    val nU = ((ev.agg(max(col("user_id"))).head.getLong(0) + 1 + 99) / 100) * 100
+    ev.crossJoin(broadcast(reps))
+      .select(evCols.map {
+        case "event_id" => (col("event_id") + col("rep") * nE).as("event_id")
+        case "user_id"  => (col("user_id") + col("rep") * nU).as("user_id")
+        case c          => col(c)
+      }: _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
     for (t <- Seq("region", "nation", "part", "supplier"))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")

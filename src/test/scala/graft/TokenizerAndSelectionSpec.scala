@@ -104,12 +104,15 @@ class TokenizerAndSelectionSpec extends SparkSpec {
     // which case the two islands' TOKEN extents legitimately overlap (each
     // still covers K-1 tokens past its last surviving shingle start) — so
     // the invariant is on shingle-start runs, not token extents. A span of
-    // span_tokens = len covers starts [as, as + len - K], hence disjoint
-    // start runs means x.start + x.len - K < y.start (K = 8 = SpanK).
+    // span_tokens = len covers starts [as, as + len - K]; MAXIMAL runs must
+    // be separated by at least one dropped start, i.e.
+    // y.start >= x.start + x.len - K + 2 (r10 ADVICE: the earlier
+    // `- K < y` form admitted abutting runs that maximality forbids).
+    val k = graft.queries.TextPipeline.SpanK
     for (Seq(x, y) <- spans.groupBy(s => (s._1, s._2, s._3 - s._4)).values
                            .map(_.sortBy(_._3).toSeq).filter(_.size > 1)
                            .flatMap(_.sliding(2))) {
-      assert(x._3 + x._5 - 8 < y._3,
+      assert(x._3 + x._5 - k + 1 < y._3,
         s"spans $x and $y share/abut K-gram starts on one diagonal — islands not maximal")
     }
   }
