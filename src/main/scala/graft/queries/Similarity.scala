@@ -2114,6 +2114,99 @@ object Similarity extends QueryModule {
        |        LEFT JOIN nc ON nb.query_id = nc.query_id
        |""".stripMargin
 
+  /** Catalog table names for the persisted IVF index of fixture `dir` —
+    * one index per fixture so multi-SF runs in one session never serve
+    * stale postings. */
+  private def ivfIndexTables(dir: String): (String, String) = {
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    (s"graft_ivf_cent_$key", s"graft_ivf_post_$key")
+  }
+
+  /** Persisted-index BUILD (the reindex job production runs once per
+    * corpus version, NOT per query batch): materializes the pivot-cell
+    * IVF index as two tables — centroids (cid, cemb) and IVF-Flat
+    * postings (cid, vec_id, emb) bucketed AND sorted by cell — under
+    * target/graft_index. The postings write pays its one shuffle here so
+    * every subsequent serve (and any postings-side merge, e.g. the
+    * incremental-ingest union) joins on cid without reshuffling the
+    * corpus: the "pay one shuffle at write time" lever ScalePlanSpec
+    * proves for the relational tables, applied to the ANN index.
+    * Assignment is the same broadcast-centroid argmax as
+    * [[ivfCandidates]] (its SortAggregate lives in the build job, which
+    * is OUTSIDE every serve plan — the point of the split).
+    */
+  private[graft] def buildIvfIndex(spark: SparkSession, dir: String): Unit = {
+    val (centT, postT) = ivfIndexTables(dir)
+    val e = vecs(spark, dir)
+    val cent = pivotCentroids(e)
+    val assign = e.select(col("vec_id"), col("emb"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cos", cosine(col("emb"), col("cemb")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cos"), negate(col("cid")))).as("cid"))
+    cent.write.mode("overwrite")
+      .option("path", s"target/graft_index/${dir.replaceAll("[^A-Za-z0-9]", "_")}/centroids")
+      .saveAsTable(centT)
+    assign.join(e.select(col("vec_id"), col("emb")), "vec_id")
+      .select(col("cid"), col("vec_id"), col("emb"))
+      .write.bucketBy(8, "cid").sortBy("cid", "vec_id")
+      .mode("overwrite")
+      .option("path", s"target/graft_index/${dir.replaceAll("[^A-Za-z0-9]", "_")}/postings")
+      .saveAsTable(postT)
+  }
+
+  /** The SERVE-side scored candidates (query_id, vec_id, cos6), reading
+    * ONLY the persisted index tables plus the query batch: broadcast the
+    * centroid table, rank a query's NProbe cells (per-BATCH work, Q×K
+    * rows), then probe the bucketed postings with a broadcast join — the
+    * corpus-sized branch is a single bucketed scan with NO Exchange and
+    * no assignment aggregate (ServeIndexSpec pins exactly that).
+    * Split out from [[knnServe]] so the spec can inspect the pre-top-k
+    * plan without the salted-rank windows above it.
+    */
+  private[graft] def knnServeScored(spark: SparkSession, dir: String): DataFrame = {
+    val (centT, postT) = ivfIndexTables(dir)
+    val cent = spark.table(centT)
+    val q = vecs(spark, dir).filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("cos", cosine(col("qemb"), col("cemb")))
+      .groupBy(col("query_id"))
+      .agg(slice(array_sort(collect_list(struct(negate(col("cos")).as("ncos"), col("cid")))),
+                 1, NProbe).as("top"))
+      .select(col("query_id"), explode(col("top.cid")).as("cid"))
+    spark.table(postT)
+      .join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(q), "query_id")
+      .withColumn("cos6", round(cosine(col("qemb"), col("emb")), 6))
+      .select(col("query_id"), col("vec_id"), col("cos6"))
+  }
+
+  /** `s_knn_serve`: the persisted-index serving split (r10 VERDICT Next
+    * #4). Every other s_knn_* entry rebuilds its index in-query because
+    * entries are self-contained; production builds ONCE and serves many
+    * batches. This entry separates the phases: [[buildIvfIndex]] runs as
+    * a side-effect reindex job, then the returned dataframe is pure
+    * serving over the stored tables. The index is exactly [[knnIvf]]'s
+    * pivot-cell structure, so the oracle is knnIvfSql verbatim — serving
+    * from the persisted index must be indistinguishable from the
+    * in-query build, which is the correctness contract an index swap
+    * needs.
+    *
+    * At 1 B vectors: the build amortizes over every batch served from
+    * it; a serve touches the centroid table (K rows, broadcast), the
+    * query batch (Q rows), and ~NProbe/K' of the postings by bucket —
+    * never the corpus-wide assignment, which is the part whose cost
+    * forced every earlier entry to bound its fixture.
+    */
+  def knnServe(spark: SparkSession, dir: String): DataFrame = {
+    buildIvfIndex(spark, dir)
+    saltedTopK(knnServeScored(spark, dir),
+        col("cos6").desc_nulls_last, col("vec_id").asc)
+      .select(col("query_id"), col("vec_id"), col("cos6"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_knn_brute" -> (knnBrute _),
     "s_knn_ivf" -> (knnIvf _),
@@ -2141,6 +2234,7 @@ object Similarity extends QueryModule {
     "s_ood_outliers" -> (oodOutliers _),
     "s_incremental_index" -> (incrementalIndex _),
     "s_knn_pagerank" -> (knnPagerank _),
+    "s_knn_serve" -> (knnServe _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2170,5 +2264,8 @@ object Similarity extends QueryModule {
     "s_ood_outliers" -> oodOutliersSql,
     "s_incremental_index" -> incrementalIndexSql,
     "s_knn_pagerank" -> knnPagerankSql,
+    // the serving contract: reading the persisted index must equal the
+    // in-query build bit-for-bit, so the oracle IS knnIvf's
+    "s_knn_serve" -> knnIvfSql,
   )
 }
