@@ -1536,6 +1536,131 @@ object TextPipeline extends QueryModule {
        |""".stripMargin
   }
 
+  /** Verified-pair total-Hamming ceiling across channel signatures and
+    * the per-(band) hot cap for [[channelNearDup]] — same dials as the
+    * pHash family, sized for ≤3 channels × 32 bits. */
+  private val ChanHamMax = 6
+  private val ChanBandCap = 100
+
+  /** `t_channel_neardup`: container-aware near-duplicate detection over
+    * the multimodal payloads — the second real media kernel next to
+    * [[phashNearDup]] (r10 VERDICT Next #7). Where pHash treats the blob
+    * as one luminance plane, this entry PARSES the container first
+    * (length-prefixed header, channel-interleaved body — the
+    * [[graft.spark.ChannelSigs]] codegen kernel, one compiled loop per
+    * blob) and signs each channel independently, which is the shape real
+    * image/audio dedup needs: a re-encode perturbs samples inside each
+    * channel but never moves samples BETWEEN channels, so per-channel
+    * signatures survive exactly the noise a cross-channel hash smears.
+    *
+    * Same re-encode twin derivation as [[phashMedia]], then the banding
+    * + exact-Hamming-verify machinery re-keyed per channel: LSH bands =
+    * the FOUR 8-bit bytes of each channel signature (keyed by channel
+    * count so only like-layout media pair up) — four bands per channel
+    * guarantee any twin with ≤3 per-channel bit flips shares an intact
+    * band (measured twin noise is ≤2 bits total; the 16-bit-half scheme
+    * measurably dropped 2-flip singles whose flips straddled both
+    * halves). Hot buckets capped at [[ChanBandCap]]; the verify sums
+    * bit_count over the channel-aligned signature pairs, keeping pairs
+    * ≤ [[ChanHamMax]].
+    *
+    * Scale shape: signature = one shuffle-free codegen projection per
+    * blob; banding explodes ×(2·C); pair generation is the capped
+    * equi-join on (nch, ch, half, bkey); the verify is C xor+bit_counts
+    * per candidate — never corpus². */
+  def channelNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = phashMedia(spark, dir)
+      .select(col("media_id"), call_function("channel_sigs", col("bs")).as("sigs"))
+      .filter(size(col("sigs")) > 0)
+      .select(col("media_id"), size(col("sigs")).cast("bigint").as("nch"),
+        posexplode(col("sigs")).as(Seq("ch", "sig")))
+      .localCheckpoint(true)
+    val bands = sig.select(col("media_id"), col("nch"), col("ch"), col("sig"),
+        explode(expr("sequence(0, 3)")).as("half"))
+      .withColumn("bkey", expr("shiftright(sig, half * 8) & 255"))
+      .select(col("media_id"), col("nch"), col("ch"), col("half"), col("bkey"))
+    val capped = bands.groupBy(col("nch"), col("ch"), col("half"), col("bkey"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, ChanBandCap))
+      .select(col("nch"), col("ch"), col("half"), col("bkey"))
+    val bb = bands.join(capped, Seq("nch", "ch", "half", "bkey"), "left_semi")
+    val cand = bb.as("x").join(bb.as("y"),
+        col("x.nch") === col("y.nch") && col("x.ch") === col("y.ch") &&
+        col("x.half") === col("y.half") && col("x.bkey") === col("y.bkey") &&
+        col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("media_id").as("media_a"), col("ch"), col("sig").as("siga")),
+        Seq("media_a"))
+      .join(sig.select(col("media_id").as("media_b"), col("ch"), col("sig").as("sigb")),
+        Seq("media_b", "ch"))
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(sum(expr("CAST(bit_count(siga ^ sigb) AS BIGINT)")).as("ham"))
+      .filter(col("ham") <= ChanHamMax)
+      .select(col("media_a"), col("media_b"), col("ham"))
+  }
+
+  def channelNearDupSql: String = {
+    val digit = "(strpos('0123456789ABCDEF', substr(hx, %s, 1)) - 1)"
+    s"""WITH h0 AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+       |), b0 AS (
+       |  SELECT doc_id, list_transform(generate_series(1, length(hx) // 2), i ->
+       |     16 * CAST(${digit.format("2 * i - 1")} AS BIGINT) + CAST(${digit.format("2 * i")} AS BIGINT)) AS bs
+       |  FROM h0
+       |), media AS (
+       |  SELECT doc_id AS media_id, bs FROM b0
+       |  UNION ALL
+       |  SELECT -doc_id, list_transform(generate_series(1, CAST(len(bs) AS BIGINT)), i ->
+       |    CASE WHEN i % 97 = 13 THEN (bs[i] + 7) % 256 ELSE bs[i] END)
+       |  FROM b0 WHERE doc_id % $PhashPerturbMod = $PhashPerturbRem
+       |), hdr AS (
+       |  SELECT media_id, bs, 4 + (bs[1] % 4) AS h, (bs[2] % 3) + 1 AS nch
+       |  FROM media WHERE len(bs) >= 2
+       |), ok AS (
+       |  SELECT media_id, bs, h, nch FROM hdr
+       |  WHERE CAST(len(bs) AS BIGINT) - h >= 64 * nch
+       |), perch AS (
+       |  SELECT media_id, nch, c.ch AS ch,
+       |         list_transform(generate_series(0,
+       |             (CAST(len(bs) AS BIGINT) - h - c.ch + nch - 1) // nch - 1),
+       |           j -> bs[h + j * nch + c.ch + 1]) AS samples
+       |  FROM ok, (SELECT UNNEST(generate_series(0, 2)) AS ch) c
+       |  WHERE c.ch < nch
+       |), sig AS (
+       |  SELECT media_id, nch, ch,
+       |    CAST(COALESCE(list_sum(list_transform(generate_series(0, 31), k ->
+       |      CASE WHEN
+       |        CAST(COALESCE(list_sum(list_slice(samples,
+       |               k * len(samples) // 32 + 1, (k + 1) * len(samples) // 32)), 0) AS BIGINT)
+       |          * CAST(len(samples) AS BIGINT)
+       |        > CAST(COALESCE(list_sum(samples), 0) AS BIGINT)
+       |          * ((k + 1) * len(samples) // 32 - k * len(samples) // 32)
+       |      THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS sig
+       |  FROM perch
+       |), bands AS (
+       |  SELECT media_id, nch, ch, sig, b.half,
+       |    (sig >> (b.half * 8)) & 255 AS bkey
+       |  FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS half) b
+       |), capped AS (
+       |  SELECT nch, ch, half, bkey FROM bands GROUP BY nch, ch, half, bkey
+       |  HAVING COUNT(*) BETWEEN 2 AND $ChanBandCap
+       |), cand AS (
+       |  SELECT DISTINCT a.media_id AS media_a, c.media_id AS media_b
+       |  FROM bands a JOIN capped USING (nch, ch, half, bkey)
+       |       JOIN bands c USING (nch, ch, half, bkey)
+       |  WHERE a.media_id < c.media_id
+       |)
+       |SELECT media_a, media_b,
+       |       CAST(SUM(bit_count(xor(sa.sig, sb.sig))) AS BIGINT) AS ham
+       |FROM cand JOIN sig sa ON sa.media_id = media_a
+       |          JOIN sig sb ON sb.media_id = media_b AND sb.ch = sa.ch
+       |GROUP BY media_a, media_b
+       |HAVING CAST(SUM(bit_count(xor(sa.sig, sb.sig))) AS BIGINT) <= $ChanHamMax
+       |""".stripMargin
+  }
+
   /** Corpus vocabulary: global top-K words by frequency. Two shuffles
     * total — explode feeds a partial-aggregated count (shuffle bytes ∝
     * |vocab|, not |tokens|), then orderBy.limit plans as
@@ -3494,6 +3619,7 @@ object TextPipeline extends QueryModule {
     "t_selection_e2e" -> (selectionE2e _),
     "t_media_bytestats" -> (mediaByteStats _),
     "t_phash_neardup" -> (phashNearDup _),
+    "t_channel_neardup" -> (channelNearDup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3549,5 +3675,6 @@ object TextPipeline extends QueryModule {
     "t_selection_e2e" -> selectionE2eSql,
     "t_media_bytestats" -> mediaByteStatsSql,
     "t_phash_neardup" -> phashNearDupSql,
+    "t_channel_neardup" -> channelNearDupSql,
   )
 }

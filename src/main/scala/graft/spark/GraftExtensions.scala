@@ -87,6 +87,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "payload_stats takes exactly 1 argument")
         PayloadStats(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("channel_sigs"),
+      ChannelSigs.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "channel_sigs takes exactly 1 argument")
+        ChannelSigs(children.head)
+      }))
     // Spark's internal bloom-filter machinery (the expressions behind
     // runtime row-group filtering), exposed as named SQL functions for the
     // bloom-prefilter decontamination path. Spark does not register these

@@ -94,3 +94,87 @@ object PayloadStats {
     InternalRow(n.toLong, sum, distinct, wsum)
   }
 }
+
+/** `channel_sigs(array<bigint>)` → array<bigint> — container-style parse
+  * + strided per-channel signature, the shape real image/audio near-dup
+  * needs (r10 VERDICT Next #7): a length-prefixed header declares the
+  * layout, the body is channel-interleaved samples, and each channel gets
+  * an independent 32-bit above-mean signature over a 32-bucket grid.
+  *
+  * Container contract (deterministic integers, shared verbatim with the
+  * DuckDB oracle): header length H = 4 + (b₀ mod 4), channel count
+  * C = (b₁ mod 3) + 1 (mono/stereo/RGB-ish), body = bytes[H..), channel
+  * c = body positions ≡ c (mod C). Per channel: bucket k sums samples in
+  * [k·m/32, (k+1)·m/32) (the exact integer bucket bounds of the pHash
+  * grid); signature bit k is set iff the bucket's mean exceeds the
+  * channel mean — compared as bucketSum·m > total·bucketLen, so no
+  * engine ever divides. Payloads too short for the structure (fewer than
+  * 2 header bytes, or body < 64·C) return an empty array — no channel
+  * grid to hash, the pHash < 64-byte rule generalized.
+  *
+  * One compiled loop per blob (the per-channel bucket loops partition
+  * the body, so total work is one pass), inside whole-stage codegen —
+  * the DuckDB oracle recomputes the same integers through the hex-fold
+  * + list-HOF route as the independent second implementation.
+  */
+case class ChannelSigs(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"channel_sigs requires array<bigint> (payload_bytes output), got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "channel_sigs"
+  override def nullSafeEval(input: Any): Any =
+    ChannelSigs.compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.ChannelSigs$$.MODULE$$.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): ChannelSigs =
+    copy(child = newChild)
+}
+
+object ChannelSigs {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[ChannelSigs].getName, null, "channel_sigs",
+    "_FUNC_(bytes) - per-channel 32-bit above-mean signatures of a " +
+      "header-prefixed channel-interleaved payload.", "")
+  private val Empty = new GenericArrayData(Array.empty[Long])
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return Empty
+    val h = 4 + (arr.getLong(0) % 4).toInt
+    val c = (arr.getLong(1) % 3).toInt + 1
+    val bodyLen = n - h
+    if (bodyLen < 64L * c) return Empty
+    val sigs = new Array[Long](c)
+    var ch = 0
+    while (ch < c) {
+      // samples of channel ch: body[j*C + ch], j = 0 .. m-1
+      val m = (bodyLen - ch + c - 1) / c
+      var total = 0L
+      val bsum = new Array[Long](32)
+      var k = 0
+      while (k < 32) {
+        val start = k.toLong * m / 32
+        val end = (k + 1).toLong * m / 32
+        var j = start
+        while (j < end) {
+          bsum(k) += arr.getLong(h + (j * c).toInt + ch)
+          j += 1
+        }
+        total += bsum(k)
+        k += 1
+      }
+      var sig = 0L
+      k = 0
+      while (k < 32) {
+        val blen = (k + 1).toLong * m / 32 - k.toLong * m / 32
+        if (bsum(k) * m > total * blen) sig |= 1L << k
+        k += 1
+      }
+      sigs(ch) = sig
+      ch += 1
+    }
+    new GenericArrayData(sigs)
+  }
+}

@@ -227,6 +227,33 @@ class TokenizerAndSelectionSpec extends SparkSpec {
     }
   }
 
+  test("channel near-dup: every structured twin pairs with its original") {
+    // the per-channel analog of the pHash twin pin: the re-encode twin
+    // derivation never touches the header bytes (positions 1-2; the bump
+    // hits positions ≡13 mod 97), so a twin parses to the same layout as
+    // its original and must pair with it — 4 bands of 8 bits per channel
+    // guarantee any ≤3-bit-per-channel twin shares an intact band
+    // (measured twin noise: ≤2 bits total), so recall is structural, not
+    // probabilistic; only the hot-bucket cap may drop one.
+    for (dir <- Seq(Sf001, Sf01)) {
+      val pairs = TextPipeline.channelNearDup(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(pairs.nonEmpty, s"$dir: no channel near-dup pairs — twin derivation broken")
+      assert(pairs.forall(_._3 <= 6), s"$dir: pair above the Hamming ceiling")
+      // twins surviving the structure cut: same gate as the operator,
+      // evaluated through the kernel itself on the ORIGINAL bytes (the
+      // twin's layout is identical by construction)
+      val twinIds = graft.Tables.documents(spark, dir)
+        .filter(col("doc_id") % 5 === 4)
+        .filter(expr("size(channel_sigs(payload_bytes(cast(text as binary)))) > 0"))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val found = pairs.collect { case (a, b, _) if a == -b => b }.toSet
+      val recall = found.intersect(twinIds).size.toDouble / twinIds.size
+      info(s"$dir: per-channel twin recall = $recall (${found.size}/${twinIds.size})")
+      assert(recall >= 0.95, s"$dir: per-channel recall $recall below 0.95")
+    }
+  }
+
   test("LM perplexity terciles are balanced within each language") {
     val counts = TextPipeline.lmPerplexity(spark, Sf01)
       .groupBy(col("lang"), col("ppl_bucket")).agg(count(lit(1)).as("n"))
