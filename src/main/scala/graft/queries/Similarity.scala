@@ -2207,6 +2207,217 @@ object Similarity extends QueryModule {
       .select(col("query_id"), col("vec_id"), col("cos6"), col("rk"))
   }
 
+  /** Beam width and fixed expansion-round count for [[knnBeam]]. Fixed
+    * rounds (not convergence-tested) for the same reason as [[PrRounds]]:
+    * a fixed unroll keeps the oracle a finite CTE chain. Eight because
+    * hop count is the recall lever on a flat GraphK-sparse graph — the
+    * BeamProbe reachability table shows the true top-k sits ~5 hops from
+    * the seed pivots at sf0.01 and ~6-7 at sf0.1 (diameter grows ~log N,
+    * which is why production graph-ANN either scales rounds with log N
+    * or adds hierarchy for O(log N) entry descent). */
+  private val BeamRounds = 8
+  private val BeamWidth = 8
+
+  /** `s_knn_beam`: best-first beam search over the SYMMETRIZED
+    * [[knnGraph]] neighbor graph — the graph-navigation ANN serving
+    * path (the DiskANN/HNSW family's query-time shape, minus the
+    * hierarchy): seed at the query's NProbe best pivot vertices, then
+    * each round expand the [[BeamWidth]] best visited-but-unexpanded
+    * vertices' neighbors and score them against the query; after
+    * [[BeamRounds]] rounds, emit the TopK of everything visited plus
+    * `n_visited`, the per-query scan cost the recall-vs-cost tradeoff
+    * is priced in. Two design points BeamProbe measured as
+    * load-bearing: the directed kNN edge list is symmetrized and
+    * re-cut to GraphK per vertex (greedy walks on the raw directed
+    * graph stall in the entry cell — recall 0.18), and the frontier is
+    * visited∖expanded, not the visited top (re-expanding already-
+    * scored neighborhoods wastes every round after the first — recall
+    * 0.30 vs 0.88 at sf0.01). Complements [[knnServe]]: that entry
+    * serves from persisted IVF cells (scan a probed bucket), this one
+    * navigates a persisted edge list (touch ~BeamWidth·GraphK vertices
+    * per hop) — the two production index layouts.
+    *
+    * Determinism contract: every rank (entry-point election, beam cut,
+    * final TopK) orders by the quantized `ROUND(cos, 6)` with the
+    * vec_id tie-break; the visited set is deduped by (query_id,
+    * vec_id) with MAX(cos6) (a no-op on values — both engines score a
+    * pair identically every time it reappears); the query vertex
+    * itself is never admitted. The oracle unrolls the rounds as
+    * MATERIALIZED CTEs over the [[knnGraphSql]] edge list — the
+    * kmeans/PageRank iterative-oracle pattern.
+    *
+    * Scale shape: the edge list (GraphK·N rows) and the vector table
+    * materialize once ([[org.apache.spark.sql.Dataset#localCheckpoint]],
+    * same as [[knnPagerank]]); each round joins a broadcast
+    * Q×BeamWidth beam against them — bounded probe sides, no
+    * corpus-sized shuffle anywhere (the only aggregations run on the
+    * Q-proportional visited set). Per-query work is
+    * O(BeamRounds · BeamWidth · GraphK) vertex scores — independent
+    * of N, the property that makes graph ANN the 1 B-vector serving
+    * choice; at that scale the edge and vector tables come from the
+    * [[buildIvfIndex]]-style persisted bucketed layout so a beam's
+    * neighbor lookups prune to matched buckets instead of streaming
+    * the full edge list per hop.
+    */
+  def knnBeam(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir).select(col("vec_id"), col("emb")).localCheckpoint(true)
+    // DiskANN-style symmetrized navigation graph: the kNN edge list is
+    // directed (out-degree GraphK), and greedy navigation on it stalls in
+    // whatever cell the entry point lands in; adding each edge's reverse
+    // and re-cutting to the GraphK best per vertex (quantized-cos order)
+    // restores the bounded fan-out while letting the walk escape upstream.
+    val ed0 = knnGraph(spark, dir)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"), col("cos6"))
+    val wSym = Window.partitionBy(col("src"))
+      .orderBy(col("cos6").desc_nulls_last, col("dst").asc)
+    val edges = ed0
+      .unionByName(ed0.select(col("dst").as("src"), col("src").as("dst"), col("cos6")))
+      .groupBy(col("src"), col("dst")).agg(max(col("cos6")).as("cos6"))
+      .withColumn("erk", row_number().over(wSym)).filter(col("erk") <= GraphK)
+      .select(col("src"), col("dst"))
+      .localCheckpoint(true)
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val cent = pivotCentroids(e)
+    val seedScored = q.crossJoin(broadcast(cent))
+      .filter(col("cid") =!= col("query_id"))
+      .select(col("query_id"), col("cid").as("vec_id"),
+        round(cosine(col("qemb"), col("cemb")), 6).as("cos6"))
+    var visited = saltedTopN(seedScored, NProbe, col("cos6").desc_nulls_last, col("vec_id").asc)
+      .select(col("query_id"), col("vec_id"), col("cos6"))
+    // best-first bookkeeping: a vertex is EXPANDED once its neighbors have
+    // been scored; each round's frontier is the BeamWidth best visited-but-
+    // unexpanded vertices, so no round re-pays a neighborhood it already
+    // scored (re-expanding the top of `visited` stalls after one hop).
+    var frontier = visited
+    var expanded = visited.select(col("query_id"), col("vec_id"))
+    for (t <- 1 to BeamRounds) {
+      val cand = edges
+        .join(broadcast(frontier.select(col("query_id"), col("vec_id").as("bsrc"))),
+          col("src") === col("bsrc"))
+        .filter(col("dst") =!= col("query_id"))
+        .select(col("query_id"), col("dst").as("vec_id"))
+        .distinct()
+      val scored = e.join(broadcast(cand), "vec_id")
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          round(cosine(col("qemb"), col("emb")), 6).as("cos6"))
+      // Checkpoint per round, NOT lazy chaining: `visited` feeds both the
+      // next round's union and its frontier cut, so an unmaterialized
+      // chain doubles the subplan per round — 2^rounds planning/execution
+      // blowup (measured: the 8-round lazy chain ran minutes at sf0.1; the
+      // checkpointed one runs the same rounds in seconds). The per-round
+      // materialization is Q-proportional (the visited set), never corpus
+      // work, and the round's two checkpoints (visited + expanded) share
+      // ONE fused driver action — the kmeansIterate trade.
+      visited = visited.unionByName(scored)
+        .groupBy(col("query_id"), col("vec_id")).agg(max(col("cos6")).as("cos6"))
+        .localCheckpoint(false)
+      if (t < BeamRounds) {
+        frontier = saltedTopN(
+            visited.join(expanded, Seq("query_id", "vec_id"), "left_anti"),
+            BeamWidth, col("cos6").desc_nulls_last, col("vec_id").asc)
+          .select(col("query_id"), col("vec_id"), col("cos6"))
+        expanded = expanded
+          .unionByName(frontier.select(col("query_id"), col("vec_id")))
+          .localCheckpoint(false)
+        // one action materializes both lazy checkpoints
+        visited.select(col("query_id"), col("vec_id"))
+          .unionByName(expanded).count()
+      } else {
+        visited.count()
+      }
+    }
+    val nv = visited.groupBy(col("query_id")).agg(count(lit(1)).as("n_visited"))
+    saltedTopK(visited, col("cos6").desc_nulls_last, col("vec_id").asc)
+      .join(broadcast(nv), "query_id")
+      .select(col("query_id"), col("vec_id"), col("cos6"), col("rk"), col("n_visited"))
+  }
+
+  /** The [[knnBeam]] entry-point election, split out for BeamProbe: the
+    * NProbe best pivot vertices per query by quantized cosine. */
+  private[graft] def beamSeeds(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir).select(col("vec_id"), col("emb"))
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val seedScored = q.crossJoin(broadcast(pivotCentroids(e)))
+      .filter(col("cid") =!= col("query_id"))
+      .select(col("query_id"), col("cid").as("vec_id"),
+        round(cosine(col("qemb"), col("cemb")), 6).as("cos6"))
+    saltedTopN(seedScored, NProbe, col("cos6").desc_nulls_last, col("vec_id").asc)
+      .select(col("query_id"), col("vec_id"), col("cos6"))
+  }
+
+  def knnBeamSql: String = {
+    def roundCtes(t: Int): String = {
+      val expand =
+        s"""cand$t AS (
+           |  SELECT DISTINCT b.query_id, ed.dst AS vec_id
+           |  FROM beam${t - 1} b JOIN edges ed ON ed.src = b.vec_id
+           |  WHERE ed.dst <> b.query_id
+           |), scored$t AS (
+           |  SELECT c.query_id, c.vec_id,
+           |         ROUND(list_cosine_similarity(q.qemb, e.emb), 6) AS cos6
+           |  FROM cand$t c JOIN q USING (query_id) JOIN e ON e.vec_id = c.vec_id
+           |), visited$t AS MATERIALIZED (
+           |  SELECT query_id, vec_id, MAX(cos6) AS cos6
+           |  FROM (SELECT * FROM visited${t - 1} UNION ALL SELECT * FROM scored$t)
+           |  GROUP BY query_id, vec_id
+           |)""".stripMargin
+      if (t == BeamRounds) expand
+      else expand +
+        s""", beam$t AS (
+           |  SELECT query_id, vec_id, cos6 FROM visited$t v
+           |  WHERE NOT EXISTS (SELECT 1 FROM exp${t - 1} x
+           |          WHERE x.query_id = v.query_id AND x.vec_id = v.vec_id)
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+           |            ORDER BY cos6 DESC NULLS LAST, vec_id ASC) <= $BeamWidth
+           |), exp$t AS (
+           |  SELECT query_id, vec_id FROM exp${t - 1}
+           |  UNION SELECT query_id, vec_id FROM beam$t
+           |)""".stripMargin
+    }
+    s"""WITH e AS (
+       |  $VecsCteSql
+       |), ed0 AS MATERIALIZED (
+       |  SELECT query_id AS src, vec_id AS dst, cos6 FROM (
+       |${knnGraphSql}
+       |  )
+       |), edsym AS (
+       |  SELECT src, dst, MAX(cos6) AS cos6 FROM (
+       |    SELECT src, dst, cos6 FROM ed0
+       |    UNION ALL SELECT dst AS src, src AS dst, cos6 FROM ed0)
+       |  GROUP BY src, dst
+       |), edges AS MATERIALIZED (
+       |  SELECT src, dst FROM edsym
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src
+       |            ORDER BY cos6 DESC NULLS LAST, dst ASC) <= $GraphK
+       |), q AS (
+       |  SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id % $QueryMod = 0
+       |), cent AS (
+       |  SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % $CentroidMod = 0
+       |), visited0 AS MATERIALIZED (
+       |  SELECT query_id, cid AS vec_id,
+       |         ROUND(list_cosine_similarity(qemb, cemb), 6) AS cos6
+       |  FROM q, cent WHERE cid <> query_id
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY ROUND(list_cosine_similarity(qemb, cemb), 6) DESC NULLS LAST, cid ASC) <= $NProbe
+       |), beam0 AS (SELECT * FROM visited0),
+       |exp0 AS (SELECT query_id, vec_id FROM visited0),
+       |${(1 to BeamRounds).map(roundCtes).mkString(",\n")},
+       |nv AS (
+       |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_visited
+       |  FROM visited$BeamRounds GROUP BY query_id
+       |)
+       |SELECT query_id, vec_id, cos6,
+       |       ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY cos6 DESC NULLS LAST, vec_id ASC) AS rk,
+       |       n_visited
+       |FROM visited$BeamRounds JOIN nv USING (query_id)
+       |QUALIFY rk <= $TopK
+       |""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_knn_brute" -> (knnBrute _),
     "s_knn_ivf" -> (knnIvf _),
@@ -2235,6 +2446,7 @@ object Similarity extends QueryModule {
     "s_incremental_index" -> (incrementalIndex _),
     "s_knn_pagerank" -> (knnPagerank _),
     "s_knn_serve" -> (knnServe _),
+    "s_knn_beam" -> (knnBeam _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2267,5 +2479,6 @@ object Similarity extends QueryModule {
     // the serving contract: reading the persisted index must equal the
     // in-query build bit-for-bit, so the oracle IS knnIvf's
     "s_knn_serve" -> knnIvfSql,
+    "s_knn_beam" -> knnBeamSql,
   )
 }

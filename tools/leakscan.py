@@ -63,6 +63,8 @@ def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("root", nargs="?", default="/root/repo")
     parser.add_argument("--out", dest="out_file", default=None)
+    parser.add_argument("--round", dest="round_no", type=int, default=None,
+                        help="round number to stamp into the report")
     opts = parser.parse_args()
     root = opts.root
     out_file = opts.out_file
@@ -97,6 +99,7 @@ def main() -> int:
         rev = None
 
     report = {
+        **({"round": opts.round_no} if opts.round_no is not None else {}),
         "tool": "tools/leakscan.py",
         "tool_version": TOOL_VERSION,
         "scanned_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
