@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends QueryModule {
 
-  private val QueryMod = 50    // vec_id % QueryMod == 0 → query vector
+  private[graft] val QueryMod = 50 // vec_id % QueryMod == 0 → query vector
   private val CentroidMod = 25 // vec_id % CentroidMod == 0 → IVF centroid
   private val NProbe = 3
   private val TopK = 5
@@ -2418,6 +2418,124 @@ object Similarity extends QueryModule {
        |""".stripMargin
   }
 
+  /** Hard-negative mining for contrastive training: per anchor (the query
+    * subset), the TopK most-similar vectors with a DIFFERENT label — the
+    * negatives a contrastive loss learns most from. Candidate generation
+    * is the IVF probe (cell-bounded, the scale path), so the label filter
+    * runs over ~NProbe cells per anchor, not the corpus; ranking is the
+    * standard salted two-phase top-k on the quantized cosine.
+    *
+    * At 100 TB this is the exact shape of a training-pair build over a
+    * labeled corpus: broadcast anchors, one narrow pass over bounded
+    * candidate cells, per-anchor bounded output.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val all = e.select(col("vec_id"), col("emb").as("cemb"),
+                       col("label").as("neg_label"))
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+              col("label").as("anchor_label"))
+    val scored = ivfCandidates(e)
+      .join(all, "vec_id")
+      .join(broadcast(q), "query_id")
+      .filter(col("neg_label") =!= col("anchor_label"))
+      .withColumn("cos6", round(cosine(col("qemb"), col("cemb")), 6))
+    saltedTopK(scored, col("cos6").desc_nulls_last, col("vec_id").asc)
+      .select(col("query_id"), col("anchor_label"), col("vec_id"),
+              col("neg_label"), col("cos6"), col("rk"))
+  }
+
+  def hardNegativesSql: String =
+    s"""WITH e AS (
+       |  $VecsCteSql
+       |), $ivfCandsCtesSql, lab AS (
+       |  SELECT vec_id, label FROM embeddings
+       |), scored AS (
+       |  SELECT c.query_id, ql.label AS anchor_label, c.vec_id,
+       |         cl.label AS neg_label,
+       |         list_cosine_similarity(qe.emb, ce.emb) AS cos
+       |  FROM cands c
+       |  JOIN e qe ON qe.vec_id = c.query_id JOIN e ce ON ce.vec_id = c.vec_id
+       |  JOIN lab ql ON ql.vec_id = c.query_id JOIN lab cl ON cl.vec_id = c.vec_id
+       |  WHERE cl.label <> ql.label
+       |)
+       |SELECT query_id, anchor_label, vec_id, neg_label,
+       |       ROUND(cos, 6) AS cos6,
+       |       ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY ROUND(cos, 6) DESC NULLS LAST, vec_id ASC) AS rk
+       |FROM scored QUALIFY rk <= $TopK
+       |""".stripMargin
+
+  /** Semi-hard triplet mining (anchor, positive, negative) over the IVF
+    * candidate set: per anchor, the hardest POSITIVE is the most-similar
+    * same-label candidate; the SEMI-HARD negative is the most-similar
+    * different-label candidate that is still farther than the positive
+    * (neg_cos < pos_cos) — inside-the-margin negatives are skipped, the
+    * selection rule that keeps triplet training stable (anchors lacking
+    * either side drop out). Both selections are per-anchor argmaxes, so
+    * they plan as hash aggregates with map-side partials; the positives
+    * table is anchor-sized and broadcast back at the negatives.
+    */
+  def tripletMine(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val all = e.select(col("vec_id"), col("emb").as("cemb"),
+                       col("label").as("cand_label"))
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+              col("label").as("anchor_label"))
+    val scored = ivfCandidates(e)
+      .join(all, "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos6", round(cosine(col("qemb"), col("cemb")), 6))
+      .select(col("query_id"), col("anchor_label"), col("vec_id"),
+              col("cand_label"), col("cos6"))
+    // hardest positive per anchor: argmax cos6 (ties → lowest vec_id)
+    // over same-label candidates — a hash agg, anchor-sized output
+    val pos = scored.filter(col("cand_label") === col("anchor_label"))
+      .groupBy(col("query_id"))
+      .agg(max_by(struct(col("vec_id").as("pos_id"), col("cos6").as("pos_cos6")),
+                  struct(col("cos6"), negate(col("vec_id")))).as("p"))
+      .select(col("query_id"), col("p.pos_id"), col("p.pos_cos6"))
+    scored.filter(col("cand_label") =!= col("anchor_label"))
+      .join(broadcast(pos), "query_id")
+      .filter(col("cos6") < col("pos_cos6"))
+      .groupBy(col("query_id"), col("anchor_label"),
+               col("pos_id"), col("pos_cos6"))
+      .agg(max_by(struct(col("vec_id").as("neg_id"), col("cos6").as("neg_cos6")),
+                  struct(col("cos6"), negate(col("vec_id")))).as("n"))
+      .select(col("query_id"), col("anchor_label"), col("pos_id"),
+              col("pos_cos6"), col("n.neg_id"), col("n.neg_cos6"),
+              (col("pos_cos6") - col("n.neg_cos6")).as("margin"))
+  }
+
+  def tripletMineSql: String =
+    s"""WITH e AS (
+       |  $VecsCteSql
+       |), $ivfCandsCtesSql, lab AS (
+       |  SELECT vec_id, label FROM embeddings
+       |), scored AS (
+       |  SELECT c.query_id, ql.label AS anchor_label, c.vec_id,
+       |         cl.label AS cand_label,
+       |         ROUND(list_cosine_similarity(qe.emb, ce.emb), 6) AS cos6
+       |  FROM cands c
+       |  JOIN e qe ON qe.vec_id = c.query_id JOIN e ce ON ce.vec_id = c.vec_id
+       |  JOIN lab ql ON ql.vec_id = c.query_id JOIN lab cl ON cl.vec_id = c.vec_id
+       |), pos AS (
+       |  SELECT query_id, vec_id AS pos_id, cos6 AS pos_cos6
+       |  FROM scored WHERE cand_label = anchor_label
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY cos6 DESC NULLS LAST, vec_id ASC) = 1
+       |)
+       |SELECT s.query_id, s.anchor_label, p.pos_id, p.pos_cos6,
+       |       s.vec_id AS neg_id, s.cos6 AS neg_cos6,
+       |       p.pos_cos6 - s.cos6 AS margin
+       |FROM scored s JOIN pos p ON s.query_id = p.query_id
+       |WHERE s.cand_label <> s.anchor_label AND s.cos6 < p.pos_cos6
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |          ORDER BY s.cos6 DESC NULLS LAST, s.vec_id ASC) = 1
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_knn_brute" -> (knnBrute _),
     "s_knn_ivf" -> (knnIvf _),
@@ -2447,6 +2565,8 @@ object Similarity extends QueryModule {
     "s_knn_pagerank" -> (knnPagerank _),
     "s_knn_serve" -> (knnServe _),
     "s_knn_beam" -> (knnBeam _),
+    "s_hard_negatives" -> (hardNegatives _),
+    "s_triplet_mine" -> (tripletMine _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2480,5 +2600,7 @@ object Similarity extends QueryModule {
     // in-query build bit-for-bit, so the oracle IS knnIvf's
     "s_knn_serve" -> knnIvfSql,
     "s_knn_beam" -> knnBeamSql,
+    "s_hard_negatives" -> hardNegativesSql,
+    "s_triplet_mine" -> tripletMineSql,
   )
 }

@@ -191,12 +191,24 @@ object StreamingBench extends QueryModule {
     val statePartitions = sys.env.get("GRAFT_STATE_PARTITIONS")
       .map(_.toInt).getOrElse(Parallelism)
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
-    try {
+    // GRAFT_STATE_PROVIDER=rocksdb switches every entry to the disk-backed
+    // provider (the companion lever to GRAFT_STATE_PARTITIONS). The default
+    // HDFSBackedStateStoreProvider holds each store's versioned maps ON
+    // HEAP — at decade-up volumes a local[32] single JVM hosts ALL state
+    // store instances, so heap usage is ∝ TOTAL retained state regardless
+    // of partition count (the sf10 stream_q8_join OOM that motivated this
+    // knob). RocksDB bounds heap at the block-cache size; on a cluster the
+    // same setting is what cluster.conf ships.
+    def run(): Unit =
       df.writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow())
         .start()
         .awaitTermination()
+    try {
+      if (sys.env.get("GRAFT_STATE_PROVIDER").contains("rocksdb"))
+        withRocksDB(spark)(run())
+      else run()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     // multi-batch invariant: the admission plan ([[rowsPerBatchFor]]) must
     // actually have executed — an entry that silently collapsed to one

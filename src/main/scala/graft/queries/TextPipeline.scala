@@ -3442,6 +3442,216 @@ object TextPipeline extends QueryModule {
        |""".stripMargin
   }
 
+  /** Reciprocal-rank-fusion constant (the standard k=60 of Cormack et
+    * al. 2009) and the fused result depth. Contributions are exact
+    * integers — 10000 div (k + rank) — so fusion arithmetic is
+    * cross-engine exact with no float anywhere. */
+  private val RrfK = 60
+  private val RrfTopK = 10
+
+  /** `t_hybrid_rrf`: hybrid more-like-this retrieval — the
+    * sparse+dense fusion shape production RAG/selection stacks run.
+    * Query docs are the `doc_id % ${"QueryMod"}` anchor subset (aligned
+    * with the dense retrievers' `vec_id` anchors — doc_id = vec_id):
+    *
+    *   - SPARSE: each query doc's top-[[TfidfK]] TF-IDF terms (the exact
+    *     `t_tfidf_topk` scoring) become a more-like-this BM25 query,
+    *     scored with the exact `t_bm25_topk` integer-quantized formula →
+    *     per-query top-[[Bm25TopK]] list;
+    *   - DENSE: the `s_knn_brute` cosine top-k list, doc_id = vec_id;
+    *   - FUSION: reciprocal-rank fusion, rrf_bp = Σ 10000 div
+    *     ([[RrfK]] + rank) over the lists containing the doc (0-filled
+    *     ranks mark list absence) → top-[[RrfTopK]] per query.
+    *
+    * Scale shape: the sparse side is the bm25Topk topology (two corpus
+    * passes, broadcast term list, WindowGroupLimit rank); the dense side
+    * is the salted two-phase knnBrute; fusion joins two query-bounded
+    * lists (≤ Bm25TopK + TopK rows per query) — nothing downstream of
+    * the per-system rankers touches corpus-sized data.
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokenOccs(spark, dir)
+    // (doc, word) term frequencies feed BOTH the query-term selection and
+    // the postings probe — materialize the corpus pass once
+    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val qterms = tf.filter(col("doc_id") % Similarity.QueryMod === 0)
+      .join(dfT, "w")
+      .withColumn("score_bp", expr("tf * 10000 div df"))
+      .withColumn("trk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_bp").desc, col("w").asc)))
+      .filter(col("trk") <= TfidfK)
+      .select(col("doc_id").as("query_id"), col("w").as("term"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint(true)
+    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("totdl"))
+    val tfq = tf.join(broadcast(qterms), col("w") === col("term"))
+      .select(col("query_id"), col("term"), col("doc_id"), col("tf"))
+      .localCheckpoint(true)
+    val dft = tfq.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val sparse = tfq
+      .join(broadcast(dft), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf4", expr(bm25IdfSql))
+      .withColumn("c4", expr(bm25ContribSql))
+      .groupBy(col("query_id"), col("doc_id")).agg(sum(col("c4")).as("s4"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("sparse_rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("s4").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("sparse_rk") <= Bm25TopK)
+      .select(col("query_id"), col("doc_id"), col("sparse_rk"))
+    val dense = Similarity.knnBrute(spark, dir)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+              col("rk").cast("long").as("dense_rk"))
+    sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_bp",
+        coalesce(expr(s"10000 div ($RrfK + sparse_rk)"), lit(0L)) +
+        coalesce(expr(s"10000 div ($RrfK + dense_rk)"), lit(0L)))
+      .withColumn("sparse_rk", coalesce(col("sparse_rk"), lit(0L)))
+      .withColumn("dense_rk", coalesce(col("dense_rk"), lit(0L)))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf_bp").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rk") <= RrfTopK)
+      .select(col("query_id"), col("doc_id"), col("sparse_rk"),
+              col("dense_rk"), col("rrf_bp"), col("rk"))
+  }
+
+  def hybridRrfSql: String =
+    s"""WITH ww AS (
+       |  $tokenOccsSql
+       |), t AS (
+       |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM ww GROUP BY 1, 2
+       |), f AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM t GROUP BY w
+       |), qt AS (
+       |  SELECT doc_id AS query_id, w AS term FROM (
+       |    SELECT t.doc_id, t.w,
+       |           ROW_NUMBER() OVER (PARTITION BY t.doc_id
+       |             ORDER BY t.tf * 10000 // f.df DESC, t.w ASC) AS trk
+       |    FROM t JOIN f USING (w) WHERE t.doc_id % ${Similarity.QueryMod} = 0
+       |  ) WHERE trk <= $TfidfK
+       |), dl AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM ww GROUP BY doc_id
+       |), st AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS totdl FROM dl
+       |), tfq AS (
+       |  SELECT qt.query_id, qt.term, t.doc_id, t.tf FROM t JOIN qt ON t.w = qt.term
+       |), dft AS (
+       |  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tfq GROUP BY term
+       |), sp AS (
+       |  SELECT query_id, doc_id,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY s4 DESC, doc_id ASC) AS BIGINT) AS sparse_rk
+       |  FROM (
+       |    SELECT query_id, doc_id, CAST(SUM($bm25ContribSql) AS BIGINT) AS s4
+       |    FROM (SELECT tfq.*, df, dl, nd, totdl, $bm25IdfSql AS idf4
+       |          FROM tfq JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+       |    GROUP BY 1, 2
+       |  ) WHERE doc_id <> query_id
+       |  QUALIFY sparse_rk <= $Bm25TopK
+       |), dn AS (
+       |  SELECT query_id, vec_id AS doc_id, CAST(rk AS BIGINT) AS dense_rk FROM (
+       |    ${Similarity.knnBruteSql}
+       |  )
+       |), un AS (
+       |  SELECT COALESCE(sp.query_id, dn.query_id) AS query_id,
+       |         COALESCE(sp.doc_id, dn.doc_id) AS doc_id,
+       |         COALESCE(sp.sparse_rk, 0) AS sparse_rk,
+       |         COALESCE(dn.dense_rk, 0) AS dense_rk,
+       |         COALESCE(10000 // ($RrfK + sp.sparse_rk), 0) +
+       |         COALESCE(10000 // ($RrfK + dn.dense_rk), 0) AS rrf_bp
+       |  FROM sp FULL OUTER JOIN dn
+       |    ON sp.query_id = dn.query_id AND sp.doc_id = dn.doc_id
+       |)
+       |SELECT query_id, doc_id, sparse_rk, dense_rk,
+       |       CAST(rrf_bp AS BIGINT) AS rrf_bp,
+       |       ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY rrf_bp DESC, doc_id ASC) AS rk
+       |FROM un QUALIFY rk <= $RrfTopK
+       |""".stripMargin
+
+  /** KMV sketch size. 64 keeps the expected relative error
+    * ~1/√(K−2) ≈ 13% — the audit column pins it empirically. */
+  private val KmvK = 64
+
+  /** `t_kmv_distinct`: K-minimum-values distinct-count sketch (Bar-Yossef
+    * et al. 2002) per source over the vocabulary — the mergeable
+    * cardinality sketch a 100 TB pipeline uses where COUNT(DISTINCT) is
+    * too expensive to run exactly per slice. Unlike HLL
+    * (`approx_count_distinct`), whose register layout is engine-private,
+    * KMV over the md5 word space is EXACTLY reproducible cross-engine:
+    * h = first md5 word (unsigned 32-bit), estimate =
+    * (K−1) · 2³² div (h₍K₎ + 1) in pure integer arithmetic.
+    *
+    * Output carries the exact count and the error in basis points next to
+    * the estimate — the sketch-quality audit row. Slices with fewer than
+    * K distinct hashes report their exact hash count (the standard KMV
+    * small-cardinality rule).
+    *
+    * Scale shape: one corpus pass to the (source, word) distinct set
+    * (hash agg); the K minima come from a rank-≤-K filter that plans as
+    * WindowGroupLimit — per-partition top-K pre-truncation, so no
+    * source's full vocabulary is ever sorted in one task; everything
+    * after is source-count-sized.
+    */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val dw = tokenOccs(spark, dir).groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .select(col("source"), col("w"),
+              element_at(call_function("md5_words", col("w")), 1).as("hw"))
+      .localCheckpoint(true) // feeds exact count, hash-distinct, and minima
+    val exact = dw.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    val hv = dw.select(col("source"), col("hw")).distinct()
+      .localCheckpoint(true)
+    val nh = hv.groupBy(col("source")).agg(count(lit(1)).as("n_hashes"))
+    val kth = hv
+      .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("hw").asc)))
+      .filter(col("rk") <= KmvK)
+      .groupBy(col("source"))
+      .agg(max(when(col("rk") === KmvK, col("hw"))).as("kth"))
+    exact.join(nh, "source").join(kth, "source")
+      .withColumn("kth_min", coalesce(col("kth"), lit(-1L)))
+      .withColumn("est", when(col("kth").isNull, col("n_hashes"))
+        .otherwise(expr(s"${KmvK - 1}L * 4294967296L div (kth + 1)")))
+      .withColumn("err_bp", expr("abs(est - n_exact) * 10000 div n_exact"))
+      .select(col("source"), col("n_exact"), col("n_hashes"),
+              col("kth_min"), col("est"), col("err_bp"))
+  }
+
+  def kmvDistinctSql: String =
+    s"""WITH ww AS (
+       |  $tokenOccsSql
+       |), dw AS (
+       |  SELECT DISTINCT source, w FROM ww
+       |), hx AS (
+       |  SELECT source, w, md5(w) AS h FROM dw
+       |), hv AS (
+       |  SELECT DISTINCT source, CAST(${sqlWord(0)} AS BIGINT) AS hw FROM hx
+       |), ex AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact FROM dw GROUP BY source
+       |), nh AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_hashes FROM hv GROUP BY source
+       |), k64 AS (
+       |  SELECT source, hw,
+       |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hw ASC) AS rk
+       |  FROM hv QUALIFY rk <= $KmvK
+       |), kt AS (
+       |  SELECT source, MAX(CASE WHEN rk = $KmvK THEN hw END) AS kth
+       |  FROM k64 GROUP BY source
+       |)
+       |SELECT source, n_exact, n_hashes, kth_min, est,
+       |       ABS(est - n_exact) * 10000 // n_exact AS err_bp
+       |FROM (
+       |  SELECT ex.source, n_exact, n_hashes,
+       |         COALESCE(kth, -1) AS kth_min,
+       |         CASE WHEN kth IS NULL THEN n_hashes
+       |              ELSE ${KmvK - 1} * 4294967296 // (kth + 1) END AS est
+       |  FROM ex JOIN nh USING (source) LEFT JOIN kt USING (source)
+       |)
+       |""".stripMargin
+
   /** Exact duplicated-span detection (the substring-dedup regime of Lee
     * et al. 2021, "Deduplicating Training Data Makes Language Models
     * Better" — repeated ≥[[SpanMinTokens]]-token runs, not whole-doc
@@ -3620,6 +3830,8 @@ object TextPipeline extends QueryModule {
     "t_media_bytestats" -> (mediaByteStats _),
     "t_phash_neardup" -> (phashNearDup _),
     "t_channel_neardup" -> (channelNearDup _),
+    "t_hybrid_rrf" -> (hybridRrf _),
+    "t_kmv_distinct" -> (kmvDistinct _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3676,5 +3888,7 @@ object TextPipeline extends QueryModule {
     "t_media_bytestats" -> mediaByteStatsSql,
     "t_phash_neardup" -> phashNearDupSql,
     "t_channel_neardup" -> channelNearDupSql,
+    "t_hybrid_rrf" -> hybridRrfSql,
+    "t_kmv_distinct" -> kmvDistinctSql,
   )
 }

@@ -56,7 +56,9 @@ class PlanSweepSpec extends SparkSpec {
     "s_knn_graph" -> "IVF cell-assignment argmax (same ivfCandidates rationale) over the full corpus",
     "s_ood_outliers" -> "contains the s_kmeans assignment subplan (Lloyd's argmin)",
     "s_incremental_index" -> "base/delta cell-assignment argmax over (cos, -cid) — ivfCandidates rationale",
-    "s_knn_pagerank" -> "contains the knnGraph subplan (cell-assignment argmax)")
+    "s_knn_pagerank" -> "contains the knnGraph subplan (cell-assignment argmax)",
+    "s_hard_negatives" -> "contains the ivfCandidates assignment argmax (same rationale)",
+    "s_triplet_mine" -> "ivfCandidates assignment + per-anchor pos/neg argmax over (cos6, -vec_id)")
 
   private val DefaultWidth = 8
 
