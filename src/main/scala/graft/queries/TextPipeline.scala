@@ -2634,6 +2634,92 @@ object TextPipeline extends QueryModule {
        |FROM delta LEFT JOIN c ON delta.fp = c.fp JOIN fw ON delta.fp = fw.fp
        |""".stripMargin
 
+  /** Incremental NEAR-dup — the delta-vs-corpus shape of
+    * [[incrementalDedup]] lifted from exact fingerprints to MinHash-LSH:
+    * a new batch is screened against an already-indexed corpus through
+    * the corpus's (band, bkey) POSTING LISTS — the index a production
+    * pipeline materializes once and maintains incrementally (the text
+    * twin of `s_incremental_index`). Candidates come ONLY from
+    * corpus-bucket probes — the delta never self-joins here
+    * (within-batch near-dups are `t_minhash_pairs`' job) — and
+    * verification is the exact integer Jaccard-≥-½ rule
+    * (3·inter ≥ la+lb, no float boundary to disagree on). Per delta doc:
+    * how many indexed corpus docs it near-duplicates, the canonical
+    * (minimum) one, and the keep verdict.
+    *
+    * Scale shape: corpus → postings is the one-time index build (in
+    * production a bucketed table, never recomputed per batch); the probe
+    * is an equi-join on (band, bkey) whose cost is bucket occupancy ×
+    * delta band count; the verify join touches candidates only. Nothing
+    * is quadratic in corpus or delta size, and the historical corpus is
+    * touched only through its index and the candidate-bounded shingle
+    * fetch.
+    */
+  def incrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsNorm(spark, dir)
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), shinglesCol.as("shingles"))
+      .localCheckpoint(true) // feeds sigs, the delta id list, and both verify sides
+    val sh = d.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), call_function("md5_words", col("sh")).as("w"))
+    val sigs = sh.groupBy(col("doc_id")).agg(sigAggCols.head, sigAggCols.tail: _*)
+    val bands = sigs.select(col("doc_id"),
+        posexplode(array(bandKeyCols: _*)).as(Seq("band", "bkey")))
+      .localCheckpoint(true) // corpus postings and delta probes share it
+    val corpusIdx = bands.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bkey"))
+    val cands = bands.filter(col("doc_id") % 3 =!= 0)
+      .join(corpusIdx, Seq("band", "bkey"))
+      .select(col("doc_id"), col("corpus_id")).distinct()
+    val sa = d.select(col("doc_id"), col("shingles").as("sha"))
+    val sb = d.select(col("doc_id").as("corpus_id"), col("shingles").as("shb"))
+    val verified = cands.join(sa, "doc_id").join(sb, "corpus_id")
+      .filter(size(array_intersect(col("sha"), col("shb"))) * 3 >=
+        size(col("sha")) + size(col("shb")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_corpus_dups"), min(col("corpus_id")).as("dup_of"))
+    d.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"))
+      .join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_corpus_dups"), lit(0L)).as("n_corpus_dups"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+      .withColumn("keep", (col("n_corpus_dups") === 0).cast("int"))
+  }
+
+  def incrementalNearDupSql: String =
+    s"""WITH d0 AS (
+       |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM documents
+       |), d AS (
+       |  SELECT doc_id, ${shinglesSqlExpr(3)} AS shingles FROM d0 WHERE LEN(ws) >= 3
+       |), sh AS (
+       |  SELECT doc_id, UNNEST(shingles) AS sh FROM d
+       |), $sqlSigStages, bands AS (
+       |  $sqlBandSelects
+       |), ci AS (
+       |  SELECT doc_id AS corpus_id, band, bkey FROM bands WHERE doc_id % 3 = 0
+       |), cands AS (
+       |  SELECT DISTINCT pr.doc_id, ci.corpus_id
+       |  FROM bands pr JOIN ci ON pr.band = ci.band AND pr.bkey = ci.bkey
+       |  WHERE pr.doc_id % 3 <> 0
+       |), v AS (
+       |  SELECT cands.doc_id, cands.corpus_id
+       |  FROM cands JOIN d a ON cands.doc_id = a.doc_id
+       |             JOIN d b ON cands.corpus_id = b.doc_id
+       |  WHERE LEN(list_filter(a.shingles, s -> list_contains(b.shingles, s))) * 3
+       |        >= LEN(a.shingles) + LEN(b.shingles)
+       |), agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_corpus_dups,
+       |         MIN(corpus_id) AS dup_of
+       |  FROM v GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |       COALESCE(n_corpus_dups, 0) AS n_corpus_dups,
+       |       COALESCE(dup_of, -1) AS dup_of,
+       |       CAST(COALESCE(n_corpus_dups, 0) = 0 AS INT) AS keep
+       |FROM d LEFT JOIN agg USING (doc_id)
+       |WHERE d.doc_id % 3 <> 0
+       |""".stripMargin
+
   /** Per-doc top-K salient terms — the exact-integer analog of TF-IDF
     * keyword extraction (the "what is this document about" primitive of
     * corpus clustering and topic-balanced sampling). The IDF log is
@@ -3806,6 +3892,7 @@ object TextPipeline extends QueryModule {
     "t_url_domains" -> (urlDomains _),
     "t_bloom_decontam" -> (bloomDecontaminate _),
     "t_incremental_dedup" -> (incrementalDedup _),
+    "t_incremental_neardup" -> (incrementalNearDup _),
     "t_cluster_best" -> (clusterBest _),
     "t_curation_e2e" -> (curationE2e _),
     "t_doc_freq" -> (docFreq _),
@@ -3864,6 +3951,7 @@ object TextPipeline extends QueryModule {
     "t_url_domains" -> urlDomainsSql,
     "t_bloom_decontam" -> bloomDecontaminateSql,
     "t_incremental_dedup" -> incrementalDedupSql,
+    "t_incremental_neardup" -> incrementalNearDupSql,
     "t_cluster_best" -> clusterBestSql,
     "t_curation_e2e" -> curationE2eSql,
     "t_doc_freq" -> docFreqSql,

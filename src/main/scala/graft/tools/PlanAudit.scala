@@ -46,9 +46,13 @@ object PlanAudit {
       } catch { case e: Throwable =>
         println(f"$name%-24s ERROR ${Option(e.getMessage).getOrElse(e.getClass.getName).take(60)}") }
     }
-    // r_monthly_trend's post-aggregation lag window is the one sanctioned
-    // global window (bounded by the calendar — Relational.scala comment)
-    println(s"global-window (no partition) occurrences: $globalWindows (expected: 1, r_monthly_trend)")
+    // Sanctioned global windows, every one over a bounded-by-construction
+    // input: r_monthly_trend's post-aggregation lag (calendar-sized —
+    // Relational.scala comment) and t_dsir_select's two (the 64-row
+    // bucket-distribution totals and the rank over the top-DsirKeep cut
+    // AFTER TakeOrderedAndProject — TextPipeline.dsirSelect comments).
+    println(s"global-window (no partition) occurrences: $globalWindows " +
+      "(expected: 3 — r_monthly_trend x1, t_dsir_select x2, all bounded inputs)")
     spark.stop()
   }
 }

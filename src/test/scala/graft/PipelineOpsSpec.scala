@@ -279,6 +279,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("incrementalNearDup: exact-dup recall floor, verify precision, corpus untouched") {
+    val out = TextPipeline.incrementalNearDup(spark, dir).localCheckpoint(true)
+    // only delta docs appear; canonical pointers go to the corpus
+    assert(out.filter(col("doc_id") % 3 === 0).count() == 0)
+    assert(out.filter(col("dup_of") =!= -1 && col("dup_of") % 3 =!= 0).count() == 0)
+    // keep and dup_of are consistent with the dup count, row by row
+    assert(out.filter(col("keep") =!= (col("n_corpus_dups") === 0).cast("int"))
+      .count() == 0)
+    assert(out.filter((col("dup_of") === -1) =!= (col("n_corpus_dups") === 0))
+      .count() == 0)
+    // recall FLOOR: an exact duplicate has an identical shingle set, hence an
+    // identical signature, hence every band collides — banding can never miss
+    // it. Cross-check against the fingerprint-exact screen on the same split.
+    val exactCorpusDups = TextPipeline.incrementalDedup(spark, dir)
+      .filter(col("dup_of_corpus") === 1).select(col("doc_id"))
+    val missed = exactCorpusDups.join(out.filter(col("keep") === 1), "doc_id")
+    assert(missed.count() == 0,
+      "a fingerprint-exact corpus duplicate escaped the LSH screen")
+    assert(out.filter(col("keep") === 0).count() > 0)
+    assert(out.count() > 0)
+  }
+
   test("dimStats: one row per dimension, full counts, non-negative variance") {
     val out = Similarity.dimStats(spark, dir).collect()
     assert(out.length == 64)
