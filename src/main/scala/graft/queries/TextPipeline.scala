@@ -3862,6 +3862,228 @@ object TextPipeline extends QueryModule {
        |FROM gr JOIN lm USING (doc_id) JOIN clf USING (doc_id)
        |""".stripMargin
 
+  // ---- t_suffix_dedup: sort-based exact-repeat profile ----
+
+  /** Constants for [[suffixDedup]]: the comparison horizon each suffix is
+    * truncated to (chars), the prefix length that keys the shuffle bucket,
+    * the minimum repeat length reported, and the match-length ladder.
+    * Every tier ≥ [[SufBucket]], so two suffixes matching at any reported
+    * tier are guaranteed to land in the same bucket; every tier is also
+    * ≥ [[SufMinRep]], so a below-threshold neighbor never contributes.
+    */
+  private[graft] val SufCap = 64
+  private[graft] val SufBucket = 16
+  private[graft] val SufMinRep = 20
+  private[graft] val SufTiers = Seq(20, 24, 28, 32, 40, 48, 56, 64)
+
+  /** Longest-match tier of `a` against neighbor `b` (NULL → 0): the
+    * largest ladder length t with substr(a,1,t) = substr(b,1,t) and
+    * length(a) ≥ t (the length guard stops a short window from "matching"
+    * past its own end when both substrs truncate equal). Valid VERBATIM in
+    * both Spark SQL and DuckDB (substr/length/GREATEST/CASE only), so both
+    * engines evaluate the identical expression tree — the ladder keeps the
+    * expression linear in tier count where an exact-LCP binary chain would
+    * nest data-dependent offsets.
+    */
+  private def sufTier(a: String, b: String): String =
+    s"CASE WHEN $b IS NULL THEN 0 ELSE GREATEST(" +
+      SufTiers.map(t =>
+        s"CASE WHEN length($a) >= $t AND substr($a, 1, $t) = substr($b, 1, $t) THEN $t ELSE 0 END")
+        .mkString(", ") + ") END"
+
+  /** `t_suffix_dedup`: the SORT-based exact-repeat profile — for every
+    * token-start suffix (truncated to [[SufCap]] chars of normalized
+    * text), the tiered length of its longest exact match anywhere else in
+    * the corpus, computed the way a suffix array computes it: order the
+    * suffixes lexicographically and take the longest common prefix with a
+    * sort NEIGHBOR, which by prefix-order monotonicity is the longest
+    * match against ANY other suffix. This is the suffix-array substring
+    * dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better") re-expressed for Spark: the serial O(n)
+    * SA+LCP build becomes one shuffle keyed by the [[SufBucket]]-char
+    * prefix (two suffixes sharing ≥ 20 chars share the 16-char bucket by
+    * construction, so the global sort is never needed) plus a per-bucket
+    * sort inside WindowExec, with the horizon capped at 64 chars — the
+    * span length beyond which a position is duplicated regardless.
+    *
+    * The hash-based complement is [[dupSpans]] (fixed-K-gram rolling
+    * hash): K-grams answer "is there a repeat of EXACTLY ≥ K tokens",
+    * while the suffix sort grades EACH position's maximal match length on
+    * the [[SufTiers]] ladder in a single pass — the per-position profile
+    * an excision pass thresholds. Within-doc repeats count (a doc's own
+    * boilerplate is still duplicated text).
+    *
+    * Scale shape (100 TB): explode is linear (token starts only — the
+    * lambda filters BEFORE the explode); ONE wide shuffle keyed by the
+    * 16-char prefix whose bucket sizes are vocabulary-bounded (a bucket =
+    * suffixes sharing a 16-char phrase start; the heaviest boilerplate
+    * bucket sorts in n·log n inside one task, never pairs quadratically);
+    * the final per-doc agg is a hash aggregate on integers. No driver
+    * state, no all-pairs anywhere.
+    */
+  def suffixDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = docsNorm(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("filter(sequence(1, greatest(length(nc), 1)), " +
+          "p -> p = 1 OR substr(nc, p - 1, 1) = ' ')")).as("p"),
+        col("nc"))
+      .select(col("doc_id"), col("p"), expr(s"substr(nc, p, $SufCap)").as("win"))
+      .where(expr(s"length(win) >= $SufMinRep"))
+    val spec = Window.partitionBy(expr(s"substr(win, 1, $SufBucket)"))
+      .orderBy(col("win").asc, col("doc_id").asc, col("p").asc)
+    w.withColumn("pw", lag(col("win"), 1).over(spec))
+      .withColumn("nw", lead(col("win"), 1).over(spec))
+      .withColumn("rep", expr(
+        s"GREATEST(${sufTier("win", "pw")}, ${sufTier("win", "nw")})"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("rep") >= SufMinRep, 1L).otherwise(0L)).as("n_dup_pos"),
+        max(col("rep")).as("max_rep"),
+        sum(col("rep").cast("long")).as("sum_rep"))
+      .withColumn("dup_bp", expr("n_dup_pos * 10000 div n_eval"))
+  }
+
+  def suffixDedupSql: String =
+    s"""WITH d AS (SELECT doc_id, ${normSql("text")} AS nc FROM documents),
+       |pos AS (
+       |  SELECT doc_id, nc,
+       |         UNNEST(list_filter(range(1, greatest(length(nc), 1) + 1),
+       |                p -> p = 1 OR substr(nc, p - 1, 1) = ' ')) AS p
+       |  FROM d
+       |), w AS (
+       |  SELECT doc_id, p, substr(nc, p, $SufCap) AS win
+       |  FROM pos WHERE length(substr(nc, p, $SufCap)) >= $SufMinRep
+       |), nb AS (
+       |  SELECT doc_id, p, win,
+       |         lag(win)  OVER (PARTITION BY substr(win, 1, $SufBucket)
+       |                         ORDER BY win ASC, doc_id ASC, p ASC) AS pw,
+       |         lead(win) OVER (PARTITION BY substr(win, 1, $SufBucket)
+       |                         ORDER BY win ASC, doc_id ASC, p ASC) AS nw
+       |  FROM w
+       |), sc AS (
+       |  SELECT doc_id,
+       |         GREATEST(${sufTier("win", "pw")}, ${sufTier("win", "nw")}) AS rep
+       |  FROM nb
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval,
+       |       CAST(SUM(CASE WHEN rep >= $SufMinRep THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pos,
+       |       MAX(rep) AS max_rep,
+       |       CAST(SUM(rep) AS BIGINT) AS sum_rep,
+       |       CAST(SUM(CASE WHEN rep >= $SufMinRep THEN 1 ELSE 0 END) AS BIGINT) * 10000
+       |         // COUNT(*) AS dup_bp
+       |FROM sc GROUP BY doc_id
+       |""".stripMargin
+
+  // ---- t_quantile_sketch: mergeable log-histogram quantiles ----
+
+  /** `t_quantile_sketch`: per-source quantile estimates from a MERGEABLE
+    * octave histogram — the profile pass a 100 TB pipeline runs where the
+    * exact answer would globally sort a fact column. Each doc length maps
+    * to its octave k = length(bin(n_chars)) (= ⌊log₂ n⌋ + 1, a pure string
+    * op identical in both engines); the per-source histogram is ≤ 64 rows,
+    * hash-aggregated with map-side partials (the sketch IS the partial —
+    * merging histograms is adding counts, the property t_kmv_distinct
+    * exploits for distincts and this entry exploits for quantiles).
+    * P50/P90/P99 are read off the cumulative histogram with integer
+    * within-bin interpolation: est = lo + (r − cum_before − 1)·width div
+    * cnt over bin [2^(k−1), 2^k), rank r = ⌈n·pct/100⌉ — exact integer
+    * arithmetic, no doubles anywhere, so the relative error is bounded by
+    * the octave width (≤ 2× by construction, far tighter in practice)
+    * and the result is bit-stable across engines.
+    *
+    * The exact_p* columns are the entry's built-in audit: the true
+    * rank-r values via a per-source sort (fine at bench scale; at 100 TB
+    * the audit side is the thing you DON'T run — the sketch columns are
+    * the product). err_bp pins the estimate error in basis points.
+    */
+  private val QsPcts = Seq(50, 90, 99)
+
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val n = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    // octave histogram: source × k → cnt, with cumulative counts
+    val hist = docs
+      .withColumn("k", expr("length(bin(greatest(n_chars, 1)))"))
+      .groupBy(col("source"), col("k")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("source")).orderBy(col("k").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cumb", col("cum") - col("cnt"))
+      .join(broadcast(n), "source")
+    val estAggs = QsPcts.map { pct =>
+      max(expr(
+        s"""CASE WHEN cumb < r$pct AND cum >= r$pct THEN
+           |  CAST(pow(2, k - 1) AS BIGINT)
+           |  + (r$pct - cumb - 1) * CAST(pow(2, k - 1) AS BIGINT) div cnt
+           |END""".stripMargin)).as(s"est_p$pct")
+    }
+    val ests = QsPcts.foldLeft(hist) { (df, pct) =>
+      df.withColumn(s"r$pct", expr(s"(n_docs * $pct + 99) div 100"))
+    }.groupBy(col("source")).agg(estAggs.head, estAggs.tail: _*)
+    // audit side: exact rank-r values via per-source ordered rank
+    val ranked = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").asc, col("doc_id").asc)))
+      .join(broadcast(n), "source")
+    val exacts = QsPcts.foldLeft(ranked) { (df, pct) =>
+      df.withColumn(s"r$pct", expr(s"(n_docs * $pct + 99) div 100"))
+    }.groupBy(col("source")).agg(
+      max(col("n_docs")).as("n_docs"),
+      QsPcts.map(pct =>
+        max(when(col("rn") === col(s"r$pct"), col("n_chars"))).as(s"exact_p$pct")): _*)
+    exacts.join(ests, "source")
+      .select(Seq(col("source"), col("n_docs")) ++ QsPcts.flatMap(pct => Seq(
+        col(s"est_p$pct"), col(s"exact_p$pct"),
+        expr(s"abs(est_p$pct - exact_p$pct) * 10000 div exact_p$pct").as(s"err_p${pct}_bp"))): _*)
+  }
+
+  def quantileSketchSql: String = {
+    val rDefs = QsPcts.map(p => s"(n_docs * $p + 99) // 100 AS r$p").mkString(", ")
+    val estCols = QsPcts.map(p =>
+      s"""MAX(CASE WHEN cumb < r$p AND cum >= r$p THEN
+         |  CAST(pow(2, k - 1) AS BIGINT)
+         |  + (r$p - cumb - 1) * CAST(pow(2, k - 1) AS BIGINT) // cnt
+         |END) AS est_p$p""".stripMargin).mkString(",\n")
+    val exactCols = QsPcts.map(p =>
+      s"MAX(CASE WHEN rn = r$p THEN n_chars END) AS exact_p$p").mkString(",\n")
+    val outCols = QsPcts.map(p =>
+      s"est_p$p, exact_p$p, abs(est_p$p - exact_p$p) * 10000 // exact_p$p AS err_p${p}_bp")
+      .mkString(",\n")
+    s"""WITH docs AS (SELECT source, doc_id, n_chars FROM documents),
+       |n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM docs GROUP BY source),
+       |hist AS (
+       |  SELECT source, k, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT source, length(bin(greatest(n_chars, 1))) AS k FROM docs)
+       |  GROUP BY source, k
+       |), cumh AS (
+       |  SELECT source, k, cnt,
+       |         CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY k ASC
+       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |         CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY k ASC
+       |              ROWS UNBOUNDED PRECEDING) - cnt AS BIGINT) AS cumb
+       |  FROM hist
+       |), ests AS (
+       |  SELECT source, $estCols
+       |  FROM (SELECT cumh.*, $rDefs FROM cumh JOIN n USING (source))
+       |  GROUP BY source
+       |), ranked AS (
+       |  SELECT source, n_chars,
+       |         ROW_NUMBER() OVER (PARTITION BY source
+       |                            ORDER BY n_chars ASC, doc_id ASC) AS rn
+       |  FROM docs
+       |), exacts AS (
+       |  SELECT source, MAX(n_docs) AS n_docs, $exactCols
+       |  FROM (SELECT ranked.*, n_docs, $rDefs FROM ranked JOIN n USING (source))
+       |  GROUP BY source
+       |)
+       |SELECT source, n_docs,
+       |$outCols
+       |FROM exacts JOIN ests USING (source)
+       |""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> (tokenStats _),
     "t_lang_id" -> (langId _),
@@ -3919,6 +4141,8 @@ object TextPipeline extends QueryModule {
     "t_channel_neardup" -> (channelNearDup _),
     "t_hybrid_rrf" -> (hybridRrf _),
     "t_kmv_distinct" -> (kmvDistinct _),
+    "t_suffix_dedup" -> (suffixDedup _),
+    "t_quantile_sketch" -> (quantileSketch _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3978,5 +4202,7 @@ object TextPipeline extends QueryModule {
     "t_channel_neardup" -> channelNearDupSql,
     "t_hybrid_rrf" -> hybridRrfSql,
     "t_kmv_distinct" -> kmvDistinctSql,
+    "t_suffix_dedup" -> suffixDedupSql,
+    "t_quantile_sketch" -> quantileSketchSql,
   )
 }
