@@ -862,6 +862,108 @@ object StreamingBench extends QueryModule {
       |FROM s1 QUALIFY rk <= 3
       |""".stripMargin
 
+  /** Streaming SCD2 enrichment — the point-in-time dimension join every
+    * production event pipeline runs: each streamed bid picks the dimension
+    * VERSION that was valid at its event time (not the latest one), via a
+    * stream-static join whose residual is the validity-interval predicate
+    *   bid.personId = dim.personId AND valid_from ≤ ts < valid_to.
+    *
+    * The dimension is built from a batch read of the person generator
+    * (same (seed, subtask, eventId) purity as every other dump), whose
+    * id space genuinely RE-EMITS each person over time (~9 emissions per
+    * personId at sf0.01, each with a new city) — a real change stream.
+    * The SCD2 unroll is the standard gaps construction: one version per
+    * (personId, emission), valid from that emission's timestamp until
+    * the next one (lead() over the per-person timeline), plus a genesis
+    * version [0, first emission) with the attribute still 'pending'.
+    * Versions partition [0, ∞) per person, so every streamed bid matches
+    * EXACTLY one version; bids referencing persons outside the dim fall
+    * through the LEFT join as vn −1 — the completeness accounting a real
+    * enrichment job reports.
+    *
+    * Scale shape: STATELESS — no watermark, no state store; the dim
+    * broadcasts (a real deployment broadcasts the SCD2 dim or pre-buckets
+    * it; either way no per-record state), so throughput is pure join
+    * bandwidth. The one subtlety a cluster hits is dim STALENESS on long
+    * runs — static-side re-read per micro-batch is not guaranteed by
+    * Spark; the entry models the standard deploy-time-snapshot contract.
+    * sf0.1 → 1,000,000 streamed bids against a 250,000-emission dim.
+    */
+  def streamScd2Enrich(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rows = math.max(1L, (10000000L * sfOf(dir) / Parallelism).toLong)
+    val pRows = math.max(1L, rows / 4)
+    val cfg = GenConfig(eventsPerSecond = 1000L)
+    dumpInput(spark, dir, "stream_scd2_enrich", "bids", cfg, rows)
+    dumpInput(spark, dir, "stream_scd2_enrich", "persons", cfg, pRows)
+    // one change event per (personId, timestamp): ties across subtasks
+    // collapse deterministically (MAX city)
+    val pev = spark.read.format("nexmark")
+      .options(NexmarkSources.nexmarkOptions("persons", cfg, Parallelism, pRows,
+        rowsPerBatchFor(pRows)))
+      .load()
+      .groupBy(col("personId"), col("timestamp").as("created"))
+      .agg(max(col("city")).as("city"))
+    val w = Window.partitionBy(col("personId")).orderBy(col("created").asc)
+    val vers = pev
+      .withColumn("vn", row_number().over(w))
+      .withColumn("valid_to",
+        coalesce(lead(col("created"), 1).over(w), lit(Long.MaxValue)))
+      .select(col("personId"), col("created").as("valid_from"),
+        col("valid_to"), col("vn"), col("city"))
+    val genesis = pev.groupBy(col("personId"))
+      .agg(min(col("created")).as("valid_to"))
+      .select(col("personId"), lit(0L).as("valid_from"), col("valid_to"),
+        lit(0).as("vn"), lit("pending").as("city"))
+    val dim = genesis.unionByName(vers)
+    val b = NexmarkSources.bidStreamDsv2(spark, cfg, Parallelism, rows,
+      rowsPerBatchFor(rows)).toDF
+    val enriched = b
+      .join(broadcast(dim),
+        b("personId") === dim("personId") &&
+          b("timestamp") >= dim("valid_from") &&
+          b("timestamp") < dim("valid_to"),
+        "left")
+      .select(b("auctionId"), b("personId"), b("timestamp"), b("bid"),
+        coalesce(dim("vn"), lit(-1)).as("vn"),
+        coalesce(dim("city"), lit("")).as("city"))
+    runToParquet(spark, enriched, "scd2enrich", expectedBatches(rows))
+  }
+
+  /** Mirror join over the dumped bids and persons: the same SCD2 unroll
+    * (per-person lead() timeline + genesis row), the same interval
+    * predicate. Stateless ⇒ no watermark model needed — every input bid
+    * appears exactly once.
+    */
+  private val streamScd2EnrichSql: String =
+    s"""WITH pev AS (
+      |  SELECT personId, timestamp AS created, MAX(city) AS city
+      |  FROM ${inPath("stream_scd2_enrich", "persons")}
+      |  GROUP BY personId, timestamp
+      |), vers AS (
+      |  SELECT personId, created AS valid_from,
+      |         COALESCE(LEAD(created, 1) OVER (PARTITION BY personId
+      |                  ORDER BY created ASC), ${Long.MaxValue}) AS valid_to,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY personId
+      |                  ORDER BY created ASC) AS INT) AS vn,
+      |         city
+      |  FROM pev
+      |), genesis AS (
+      |  SELECT personId, 0 AS valid_from, MIN(created) AS valid_to,
+      |         0 AS vn, 'pending' AS city
+      |  FROM pev GROUP BY personId
+      |), dim AS (
+      |  SELECT * FROM genesis UNION ALL SELECT * FROM vers
+      |), b AS (SELECT * FROM ${inPath("stream_scd2_enrich", "bids")})
+      |SELECT b.auctionId, b.personId, b.timestamp, b.bid,
+      |       COALESCE(dim.vn, -1) AS vn,
+      |       COALESCE(dim.city, '') AS city
+      |FROM b LEFT JOIN dim
+      |  ON b.personId = dim.personId
+      | AND b.timestamp >= dim.valid_from AND b.timestamp < dim.valid_to
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_q5_hot" -> (streamQ5Hot _),
     "stream_q8_join" -> (streamQ8Join _),
@@ -876,6 +978,7 @@ object StreamingBench extends QueryModule {
     "stream_interval_join" -> (streamIntervalJoin _),
     "stream_outer_join" -> (streamOuterJoin _),
     "stream_topk" -> (streamTopK _),
+    "stream_scd2_enrich" -> (streamScd2Enrich _),
   )
 
   /** DuckDB oracles over each entry's dumped input events (see the class
@@ -895,5 +998,6 @@ object StreamingBench extends QueryModule {
     "stream_interval_join" -> streamIntervalJoinSql,
     "stream_outer_join" -> streamOuterJoinSql,
     "stream_topk" -> streamTopKSql,
+    "stream_scd2_enrich" -> streamScd2EnrichSql,
   )
 }
