@@ -1973,6 +1973,95 @@ object Similarity extends QueryModule {
        |""".stripMargin
   }
 
+  /** Synchronous label-propagation rounds for [[knnLabelProp]] and the
+    * packed-argmax base: votes pack as `cnt · 2⁴⁰ + (2⁴⁰−1−label)`, so
+    * one integer MAX realizes (count DESC, label ASC) — the same
+    * hash-agg-safe packing clusterBest uses (labels < 2⁴⁰ at any
+    * realistic corpus; counts ≤ degree ≪ 2¹³). Four rounds, fixed: like
+    * PageRank's five, community membership stabilizes long before a
+    * fixed point, and a fixed unroll keeps the oracle a finite CTE
+    * chain. */
+  private val LpRounds = 4
+  private val LpPack = 1L << 40
+
+  /** `s_knn_labelprop`: community detection by synchronous label
+    * propagation over the SYMMETRIZED [[knnGraph]] — the majority-vote
+    * complement of the CC family's min-propagation: hash-min CC finds
+    * CONNECTED components (one bridge edge merges two clusters), LPA
+    * finds DENSE communities (a bridge is outvoted by each side's
+    * internal neighbors), which is the granularity semantic curation
+    * wants when near-dup clusters chain through hub documents. Each
+    * node starts as its own label; per round every node adopts the
+    * label most frequent among its neighbors (ties → smallest label,
+    * via the packed-BIGINT argmax — one hash MAX, no window, no
+    * SortAggregate). Output: each vector's community and the community
+    * size — the grouping a diversity-sampling pass strata on.
+    *
+    * Scale shape: the directed kNN edges symmetrize once
+    * (union + distinct, checkpointed — 2·GraphK·N rows max); each
+    * round is one label-keyed shuffle join + two hash aggregates +
+    * a node-spine left join — linear per round, [[LpRounds]] rounds
+    * chained lazily (fixed round count, no per-round driver action).
+    * Nothing broadcasts, nothing is quadratic: vote lists are bounded
+    * by degree, and degree is bounded by the symmetrized kNN cut.
+    */
+  def knnLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = vecs(spark, dir).select(col("vec_id")).localCheckpoint(true)
+    val dirEd = knnGraph(spark, dir)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"))
+    val edges = dirEd
+      .unionByName(dirEd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = nodes.select(col("vec_id").as("lid"), col("vec_id").as("lbl"))
+    for (_ <- 1 to LpRounds) {
+      val votes = edges.join(labels, col("dst") === col("lid"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        .agg(max(expr(s"cnt * ${LpPack}L + (${LpPack - 1}L - lbl)")).as("pk"))
+        .select(col("src"), expr(s"${LpPack - 1}L - (pk % ${LpPack}L)").as("nl"))
+      labels = nodes.join(votes, col("vec_id") === col("src"), "left")
+        .select(col("vec_id").as("lid"),
+          coalesce(col("nl"), col("vec_id")).as("lbl"))
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comm_size"))
+    labels.join(sizes, "lbl")
+      .select(col("lid").as("vec_id"), col("lbl").as("community"),
+        col("comm_size"))
+  }
+
+  def knnLabelPropSql: String = {
+    def roundCte(t: Int): String =
+      s"""lp$t AS MATERIALIZED (
+         |  SELECT e.vec_id,
+         |         COALESCE(${LpPack - 1} - (v.pk % ${LpPack}), e.vec_id) AS lbl
+         |  FROM e LEFT JOIN (
+         |    SELECT src, MAX(cnt * ${LpPack} + (${LpPack - 1} - lbl)) AS pk
+         |    FROM (SELECT edges.src, p.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+         |          FROM edges JOIN lp${t - 1} p ON p.vec_id = edges.dst
+         |          GROUP BY edges.src, p.lbl)
+         |    GROUP BY src) v ON v.src = e.vec_id
+         |)""".stripMargin
+    s"""WITH e AS (
+       |  $VecsCteSql
+       |), dg AS MATERIALIZED (
+       |  SELECT query_id AS src, vec_id AS dst FROM (
+       |${knnGraphSql}
+       |  )
+       |), edges AS MATERIALIZED (
+       |  SELECT src, dst FROM dg
+       |  UNION
+       |  SELECT dst AS src, src AS dst FROM dg
+       |), lp0 AS MATERIALIZED (
+       |  SELECT vec_id, vec_id AS lbl FROM e
+       |), ${(1 to LpRounds).map(roundCte).mkString(", ")}
+       |SELECT l.vec_id, l.lbl AS community, s.comm_size
+       |FROM lp$LpRounds l
+       |JOIN (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS comm_size
+       |      FROM lp$LpRounds GROUP BY lbl) s ON s.lbl = l.lbl
+       |""".stripMargin
+  }
+
   /** Delta-ingest split for [[incrementalIndex]]: vec_id ≡ [[DeltaRem]]
     * (mod [[DeltaMod]]) marks the 5% "today's ingest" slice. The residue
     * is chosen so the delta CONTAINS a quarter of the would-be pivot
@@ -2563,6 +2652,7 @@ object Similarity extends QueryModule {
     "s_ood_outliers" -> (oodOutliers _),
     "s_incremental_index" -> (incrementalIndex _),
     "s_knn_pagerank" -> (knnPagerank _),
+    "s_knn_labelprop" -> (knnLabelProp _),
     "s_knn_serve" -> (knnServe _),
     "s_knn_beam" -> (knnBeam _),
     "s_hard_negatives" -> (hardNegatives _),
@@ -2596,6 +2686,7 @@ object Similarity extends QueryModule {
     "s_ood_outliers" -> oodOutliersSql,
     "s_incremental_index" -> incrementalIndexSql,
     "s_knn_pagerank" -> knnPagerankSql,
+    "s_knn_labelprop" -> knnLabelPropSql,
     // the serving contract: reading the persisted index must equal the
     // in-query build bit-for-bit, so the oracle IS knnIvf's
     "s_knn_serve" -> knnIvfSql,

@@ -964,6 +964,101 @@ object StreamingBench extends QueryModule {
       | AND b.timestamp >= dim.valid_from AND b.timestamp < dim.valid_to
       |""".stripMargin
 
+  /** Streaming quantile profile — the streaming twin of
+    * [[TextPipeline.quantileSketch]]: per 5 s tumbling window, an OCTAVE
+    * histogram of the bid price (k = length(bin(cents)), the same pure
+    * string-op octave both engines compute identically) aggregated in ONE
+    * stateful operator, then P50/P90/P99 read off the finalized
+    * histograms with the same integer within-bin interpolation. The
+    * histogram IS the state: ≤ ~40 rows per window regardless of volume,
+    * so state size is windows × octaves, not events — the
+    * profile-as-you-ingest shape a 100 TB feed monitors price/length
+    * distributions with (alerting on distribution drift without ever
+    * sorting the stream).
+    *
+    * The quantile extraction runs as a BATCH post-pass over the sink's
+    * closed windows (cumulative sum + interpolation over ≤ 40 rows per
+    * window) — the standard sketch-serving split: the stream maintains
+    * the mergeable summary, the reader derives the percentile view.
+    * sf0.1 → 1,000,000 bids.
+    */
+  def streamQuantileProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val rows = math.max(1L, (10000000L * sfOf(dir) / Parallelism).toLong)
+    val cfg = GenConfig(eventsPerSecond = 1000L)
+    dumpInput(spark, dir, "stream_quantile_profile", "bids", cfg, rows)
+    val bids = NexmarkSources.bidStreamDsv2(spark, cfg, Parallelism, rows,
+      rowsPerBatchFor(rows))
+    val hist = bids.toDF
+      .withColumn("eventTime", timestamp_millis(col("timestamp")))
+      .withWatermark("eventTime", "2 seconds")
+      .withColumn("k", expr(
+        "length(bin(greatest(CAST(ROUND(bid * 100) AS BIGINT), 1)))"))
+      .groupBy(window(col("eventTime"), "5 seconds"), col("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_millis(col("window.start")).as("windowStartMs"),
+        col("k"), col("cnt"))
+    val sink = runToParquet(spark, hist, "qprof", expectedBatches(rows))
+    val n = sink.groupBy(col("windowStartMs")).agg(sum(col("cnt")).as("n_bids"))
+    val cum = sink
+      .withColumn("cum", sum(col("cnt")).over(
+        W.partitionBy(col("windowStartMs")).orderBy(col("k").asc)
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("cumb", col("cum") - col("cnt"))
+      .join(broadcast(n), "windowStartMs")
+    val withRanks = Seq(50, 90, 99).foldLeft(cum) { (df, p) =>
+      df.withColumn(s"r$p", expr(s"(n_bids * $p + 99) div 100"))
+    }
+    val estAggs = Seq(50, 90, 99).map { p =>
+      max(expr(
+        s"""CASE WHEN cumb < r$p AND cum >= r$p THEN
+           |  CAST(pow(2, k - 1) AS BIGINT)
+           |  + (r$p - cumb - 1) * CAST(pow(2, k - 1) AS BIGINT) div cnt
+           |END""".stripMargin)).as(s"est_p$p")
+    }
+    withRanks.groupBy(col("windowStartMs"))
+      .agg(max(col("n_bids")).as("n_bids"), estAggs: _*)
+  }
+
+  /** Octave histogram over the dumped bids per closed tumbling window
+    * (end ≤ max(ts) − 2000 — the same final-watermark model as the other
+    * window entries), then the identical integer interpolation.
+    */
+  private val streamQuantileProfileSql: String = {
+    val rDefs = Seq(50, 90, 99).map(p => s"(n_bids * $p + 99) // 100 AS r$p")
+      .mkString(", ")
+    val estCols = Seq(50, 90, 99).map(p =>
+      s"""MAX(CASE WHEN cumb < r$p AND cum >= r$p THEN
+         |  CAST(pow(2, k - 1) AS BIGINT)
+         |  + (r$p - cumb - 1) * CAST(pow(2, k - 1) AS BIGINT) // cnt
+         |END) AS est_p$p""".stripMargin).mkString(",\n")
+    s"""WITH b AS (SELECT * FROM ${inPath("stream_quantile_profile", "bids")}),
+      |wm AS (SELECT MAX(timestamp) - 2000 AS w FROM b),
+      |h AS (
+      |  SELECT (timestamp // 5000) * 5000 AS windowStartMs,
+      |         length(bin(greatest(CAST(ROUND(bid * 100) AS BIGINT), 1))) AS k,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM b GROUP BY 1, 2
+      |), f AS (
+      |  SELECT * FROM h WHERE windowStartMs + 5000 <= (SELECT w FROM wm)
+      |), c AS (
+      |  SELECT windowStartMs, k, cnt,
+      |         CAST(SUM(cnt) OVER (PARTITION BY windowStartMs ORDER BY k ASC
+      |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM f
+      |), n AS (
+      |  SELECT windowStartMs, CAST(SUM(cnt) AS BIGINT) AS n_bids
+      |  FROM f GROUP BY windowStartMs
+      |)
+      |SELECT windowStartMs, n_bids,
+      |$estCols
+      |FROM (SELECT c.*, cum - cnt AS cumb, n_bids, $rDefs
+      |      FROM c JOIN n USING (windowStartMs))
+      |GROUP BY windowStartMs, n_bids
+      |""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_q5_hot" -> (streamQ5Hot _),
     "stream_q8_join" -> (streamQ8Join _),
@@ -979,6 +1074,7 @@ object StreamingBench extends QueryModule {
     "stream_outer_join" -> (streamOuterJoin _),
     "stream_topk" -> (streamTopK _),
     "stream_scd2_enrich" -> (streamScd2Enrich _),
+    "stream_quantile_profile" -> (streamQuantileProfile _),
   )
 
   /** DuckDB oracles over each entry's dumped input events (see the class
@@ -999,5 +1095,6 @@ object StreamingBench extends QueryModule {
     "stream_outer_join" -> streamOuterJoinSql,
     "stream_topk" -> streamTopKSql,
     "stream_scd2_enrich" -> streamScd2EnrichSql,
+    "stream_quantile_profile" -> streamQuantileProfileSql,
   )
 }
