@@ -3862,6 +3862,88 @@ object TextPipeline extends QueryModule {
        |FROM gr JOIN lm USING (doc_id) JOIN clf USING (doc_id)
        |""".stripMargin
 
+  // ---- t_cm_sketch: oracle-gated integer Count-Min frequencies ----
+
+  /** Depth (hash rows), width (buckets per row) and probe size for
+    * [[cmSketch]]. Depth 4 falls straight out of [[graft.spark.Md5Words]]
+    * — one md5 per word yields exactly four independent 32-bit hash
+    * words, the same family the MinHash signatures mix. */
+  private val CmDepth = 4
+  private val CmWidth = 256
+  private val CmProbe = 20
+
+  /** `t_cm_sketch`: Count-Min frequency estimation in EXACT integers —
+    * the third sketch primitive next to [[kmvDistinct]] (distincts) and
+    * [[quantileSketch]] (quantiles): per-item frequency estimates from a
+    * depth×width counter grid that never under-counts and over-counts by
+    * at most the colliding mass. Every word's occurrence count lands in
+    * [[CmDepth]] cells (bucket_i = md5 word i mod [[CmWidth]]); a probe
+    * word's estimate is the MIN of its cells. The probe set is the
+    * corpus's top-[[CmProbe]] words by exact count (ties → word ASC), so
+    * the entry reports est vs exact vs over_bp for exactly the
+    * heavy-hitter set a CM sketch exists to track. Unlike Spark's
+    * built-in `count_min_sketch` (spec-gated in SketchSpec — its
+    * serialized internals are engine-specific), this construction is
+    * pure md5 + integer arithmetic, so the DuckDB oracle reproduces the
+    * grid bit-for-bit and the driver HASHES the sketch values.
+    *
+    * Scale shape: one word-keyed hash aggregate (map-side partials
+    * absorb hot words) → a 4-row-per-distinct-word explode into a
+    * depth×width = 1024-row grid (the sketch IS the partial aggregate —
+    * merging grids is adding counters, the mergeability that makes CM a
+    * shuffle-one-grid-per-partition operation at 100 TB); the probe cut
+    * is a TakeOrderedAndProject (top-20, never a global sort); the
+    * estimate join broadcasts the 1024-row grid.
+    */
+  def cmSketch(spark: SparkSession, dir: String): DataFrame = {
+    val wc = tokenOccs(spark, dir).groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("hw", call_function("md5_words", col("w")))
+      .localCheckpoint(true) // feeds the grid AND the probe cut
+    def buckets(withC: Boolean): String = {
+      val cPart = if (withC) ", 'c', c" else ""
+      s"transform(sequence(0, ${CmDepth - 1}), i -> " +
+        s"named_struct('r', i, 'b', element_at(hw, i + 1) % $CmWidth$cPart))"
+    }
+    val cells = wc.select(explode(expr(buckets(withC = true))).as("e"))
+      .groupBy(col("e.r").as("r"), col("e.b").as("b"))
+      .agg(sum(col("e.c")).as("cell"))
+    val probe = wc.orderBy(col("c").desc, col("w").asc).limit(CmProbe)
+      .select(col("w"), col("c"), explode(expr(buckets(withC = false))).as("p"))
+      .select(col("w"), col("c"), col("p.r").as("r"), col("p.b").as("b"))
+    probe.join(broadcast(cells), Seq("r", "b"))
+      .groupBy(col("w"), col("c")).agg(min(col("cell")).as("est"))
+      .select(col("w"), col("c").as("exact"), col("est"),
+        expr("(est - c) * 10000 div c").as("over_bp"))
+  }
+
+  def cmSketchSql: String = {
+    val bcols = (0 until CmDepth).map(j =>
+      s"CAST(${sqlWord(j)} AS BIGINT) % $CmWidth AS b$j").mkString(",\n       |       ")
+    s"""WITH ww AS (
+       |  $tokenOccsSql
+       |), wc AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM ww GROUP BY w
+       |), hw AS (
+       |  SELECT w, c,
+       |       $bcols
+       |  FROM (SELECT w, c, md5(w) AS h FROM wc)
+       |), cells AS (
+       |  SELECT r, b, CAST(SUM(c) AS BIGINT) AS cell FROM (
+       |    ${(0 until CmDepth).map(j => s"SELECT c, $j AS r, b$j AS b FROM hw").mkString("\n    UNION ALL ")}
+       |  ) GROUP BY r, b
+       |), probe AS (
+       |  SELECT w, c, b0, b1, b2, b3 FROM hw ORDER BY c DESC, w ASC LIMIT $CmProbe
+       |), pl AS (
+       |  ${(0 until CmDepth).map(j => s"SELECT w, c, $j AS r, b$j AS b FROM probe").mkString("\n  UNION ALL ")}
+       |)
+       |SELECT w, c AS exact, MIN(cell) AS est,
+       |       (MIN(cell) - c) * 10000 // c AS over_bp
+       |FROM pl JOIN cells USING (r, b)
+       |GROUP BY w, c
+       |""".stripMargin
+  }
+
   // ---- t_suffix_dedup: sort-based exact-repeat profile ----
 
   /** Constants for [[suffixDedup]]: the comparison horizon each suffix is
@@ -4143,6 +4225,7 @@ object TextPipeline extends QueryModule {
     "t_kmv_distinct" -> (kmvDistinct _),
     "t_suffix_dedup" -> (suffixDedup _),
     "t_quantile_sketch" -> (quantileSketch _),
+    "t_cm_sketch" -> (cmSketch _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4204,5 +4287,6 @@ object TextPipeline extends QueryModule {
     "t_kmv_distinct" -> kmvDistinctSql,
     "t_suffix_dedup" -> suffixDedupSql,
     "t_quantile_sketch" -> quantileSketchSql,
+    "t_cm_sketch" -> cmSketchSql,
   )
 }
