@@ -675,6 +675,177 @@ object Relational extends QueryModule {
        |FROM v WHERE op <> 'D'
        |""".stripMargin
 
+  /** `r_incremental_agg`: materialized-aggregate MAINTENANCE — the
+    * incremental-ETL shape that keeps a per-customer order summary
+    * current without re-scanning the base facts: yesterday's snapshot
+    * (keys ≢ 0 mod 20) is already reduced to a key-sized MV of partial
+    * aggregates (count + exact cents sum); today's delta (keys ≡ 0
+    * mod 20) reduces to its own partials; the refreshed MV is ONE
+    * key-partitioned union + re-aggregate of the two partial sets —
+    * counts add, sums add, which is precisely why the MV stores
+    * partials and not finished averages. The entry audits itself: a
+    * from-scratch full aggregate joins back and `matches_full` proves
+    * merge(base, delta) == recompute per key (the oracle hashes the
+    * flag, so a drifted merge can never pass).
+    *
+    * Scale shape: the delta pass touches delta rows only; the merge
+    * touches MV rows only (key-cardinality, never fact-cardinality); at
+    * 100 TB both MV and delta partials bucket by key and the merge goes
+    * exchange-free. The audit side is the thing you DON'T run in
+    * production — it is here because a maintenance operator whose
+    * equivalence is untested is a silent-corruption generator.
+    */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+    val baseMv = partials(o.filter(col("o_orderkey") % 20 =!= 0))
+    val deltaMv = partials(o.filter(col("o_orderkey") % 20 === 0))
+    val merged = baseMv.unionByName(deltaMv)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n_orders")).as("n_orders"), sum(col("sum_cents")).as("sum_cents"))
+    val full = partials(o)
+      .select(col("o_custkey"), col("n_orders").as("fn"), col("sum_cents").as("fs"))
+    merged.join(full, Seq("o_custkey"))
+      .select(col("o_custkey"), col("n_orders"), col("sum_cents"),
+        expr("CAST(n_orders = fn AND sum_cents = fs AS INT)").as("matches_full"))
+  }
+
+  def incrementalAggSql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_custkey,
+       |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders
+       |), base_mv AS (
+       |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |         CAST(SUM(cents) AS BIGINT) AS sum_cents
+       |  FROM o WHERE o_orderkey % 20 <> 0 GROUP BY o_custkey
+       |), delta_mv AS (
+       |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |         CAST(SUM(cents) AS BIGINT) AS sum_cents
+       |  FROM o WHERE o_orderkey % 20 = 0 GROUP BY o_custkey
+       |), merged AS (
+       |  SELECT o_custkey, CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+       |         CAST(SUM(sum_cents) AS BIGINT) AS sum_cents
+       |  FROM (SELECT * FROM base_mv UNION ALL SELECT * FROM delta_mv)
+       |  GROUP BY o_custkey
+       |), fullagg AS (
+       |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS fn,
+       |         CAST(SUM(cents) AS BIGINT) AS fs
+       |  FROM o GROUP BY o_custkey
+       |)
+       |SELECT m.o_custkey, m.n_orders, m.sum_cents,
+       |       CAST(CASE WHEN m.n_orders = f.fn AND m.sum_cents = f.fs
+       |            THEN 1 ELSE 0 END AS INT) AS matches_full
+       |FROM merged m JOIN fullagg f ON m.o_custkey = f.o_custkey
+       |""".stripMargin
+
+  /** Bits per dimension and bucket count for [[zorderLayout]]. */
+  private val ZBits = 10
+  private val ZBuckets = 32
+
+  /** `r_zorder_layout`: Z-ORDER (Morton) data layout — the multi-dim
+    * clustering lever a 100 TB lakehouse pulls so that BOTH
+    * `WHERE custkey BETWEEN …` and `WHERE month BETWEEN …` prune files:
+    * interleave the bits of (custkey mod 2¹⁰, monthindex mod 2¹⁰) into a
+    * 20-bit Morton key, range-split it into [[ZBuckets]] equal key
+    * ranges ("files"), and report each bucket's bounding box over both
+    * dimensions — exactly the min/max statistics a file-skipping reader
+    * consults. The control ships in the same output: the conventional
+    * single-column sort (bucket = custkey range). The decision metric is
+    * the PER-DIMENSION SPAN, not box area (equal-count buckets cover
+    * ~equal area under any layout): custsort boxes are (tight d1,
+    * FULL-DOMAIN d2) — a month predicate reads every file — while
+    * z-order boxes balance both spans (~¼ × ~⅛ of the domains at 32
+    * buckets), so a selective predicate on EITHER dimension skips the
+    * complement of its span. Bit
+    * interleaving is pure integer shifts/masks (generated for each
+    * dialect: Spark `shiftleft`/`shiftright`, DuckDB `<<`/`>>`), so the
+    * boxes hash identically in both engines.
+    *
+    * The month dimension is DOMAIN-SPREAD first: raw month indices
+    * occupy ~80 adjacent values, so interleaving them raw would leave
+    * the high d2 bits constant and collapse the curve to a 1-d sort
+    * (measured: 4 occupied buckets, boxes WORSE than custsort). The
+    * dense month rank scaled to the 2¹⁰ domain is the same
+    * value-mapping a production z-order writer applies (dictionary /
+    * quantile mapping) before interleaving — skewed or narrow raw
+    * domains starve the curve's high bits otherwise. The rank table is
+    * ~80 rows: one tiny distinct + window + broadcast join.
+    *
+    * Scale shape: one narrow projection computes the key (codegen), one
+    * hash aggregate per layout computes the boxes; no sort is even
+    * needed to EVALUATE the layout (bucket = key div range-width). The
+    * write path at 100 TB is `repartitionByRange(mortonKey)` +
+    * per-file min/max stats — this entry is the decision table for it.
+    */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val mask = (1 << ZBits) - 1
+    val ob = Tables.orders(spark, dir).select(
+      (col("o_custkey") % (mask + 1)).as("d1"),
+      expr("year(o_orderdate) * 12 + month(o_orderdate)").as("mi"))
+    val months = ob.select(col("mi")).distinct()
+    val mrank = months
+      .withColumn("mr", row_number().over(Window.orderBy(col("mi").asc)))
+      .crossJoin(broadcast(months.agg(count(lit(1)).as("nm"))))
+      .select(col("mi"), expr(s"(mr - 1) * ${mask + 1} div nm").as("d2"))
+    val o = ob.join(broadcast(mrank), "mi").select(col("d1"), col("d2"))
+    val morton = (0 until ZBits).map(i =>
+      s"shiftleft(shiftright(d1, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright(d2, $i) & 1, ${2 * i + 1})").mkString(" + ")
+    val rangeW = (1L << (2 * ZBits)) / ZBuckets
+    val keyed = o.withColumn("zb", expr(s"($morton) div ${rangeW}L"))
+      .withColumn("cb", expr(s"d1 div ${(mask + 1) / ZBuckets}"))
+    def boxes(bucket: String, layout: String): DataFrame = keyed
+      .groupBy(col(bucket).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("d1")).as("min_d1"), max(col("d1")).as("max_d1"),
+        min(col("d2")).as("min_d2"), max(col("d2")).as("max_d2"))
+      .select(lit(layout).as("layout"), col("bucket"), col("n_rows"),
+        col("min_d1"), col("max_d1"), col("min_d2"), col("max_d2"),
+        (col("max_d1") - col("min_d1") + 1).as("d1_span"),
+        (col("max_d2") - col("min_d2") + 1).as("d2_span"))
+    boxes("zb", "zorder").unionByName(boxes("cb", "custsort"))
+  }
+
+  def zorderLayoutSql: String = {
+    val mask = (1 << ZBits) - 1
+    val morton = (0 until ZBits).map(i =>
+      s"(((d1 >> $i) & 1) << ${2 * i}) + (((d2 >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    val rangeW = (1L << (2 * ZBits)) / ZBuckets
+    def boxes(bucket: String, layout: String): String =
+      s"""SELECT '$layout' AS layout, $bucket AS bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       MIN(d1) AS min_d1, MAX(d1) AS max_d1,
+         |       MIN(d2) AS min_d2, MAX(d2) AS max_d2,
+         |       MAX(d1) - MIN(d1) + 1 AS d1_span,
+         |       MAX(d2) - MIN(d2) + 1 AS d2_span
+         |FROM keyed GROUP BY $bucket""".stripMargin
+    s"""WITH ob AS (
+       |  SELECT o_custkey % ${mask + 1} AS d1,
+       |         year(o_orderdate) * 12 + month(o_orderdate) AS mi
+       |  FROM orders
+       |), mrank AS (
+       |  SELECT mi, (ROW_NUMBER() OVER (ORDER BY mi ASC) - 1) * ${mask + 1}
+       |             // (SELECT COUNT(*) FROM (SELECT DISTINCT mi FROM ob)) AS d2
+       |  FROM (SELECT DISTINCT mi FROM ob)
+       |), o AS (
+       |  SELECT d1, d2 FROM ob JOIN mrank USING (mi)
+       |), keyed AS (
+       |  SELECT d1, d2, ($morton) // ${rangeW} AS zb,
+       |         d1 // ${(mask + 1) / ZBuckets} AS cb
+       |  FROM o
+       |)
+       |${boxes("zb", "zorder")}
+       |UNION ALL
+       |${boxes("cb", "custsort")}
+       |""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r_pricing_summary" -> (pricingSummary _),
     "r_top_customers" -> (topCustomers _),
@@ -694,6 +865,8 @@ object Relational extends QueryModule {
     "r_interval_ship" -> (intervalShip _),
     "r_above_avg_spenders" -> (aboveAvgSpenders _),
     "r_upsert_apply" -> (upsertApply _),
+    "r_incremental_agg" -> (incrementalAgg _),
+    "r_zorder_layout" -> (zorderLayout _),
     "r_scd2_history" -> (scd2History _),
   )
 
@@ -716,6 +889,8 @@ object Relational extends QueryModule {
     "r_interval_ship" -> intervalShipSql,
     "r_above_avg_spenders" -> aboveAvgSpendersSql,
     "r_upsert_apply" -> upsertApplySql,
+    "r_incremental_agg" -> incrementalAggSql,
+    "r_zorder_layout" -> zorderLayoutSql,
     "r_scd2_history" -> scd2HistorySql,
   )
 }
