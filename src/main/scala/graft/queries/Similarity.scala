@@ -1844,6 +1844,89 @@ object Similarity extends QueryModule {
        |FROM scored QUALIFY rk <= $GraphK
        |""".stripMargin
 
+  /** `s_knn_graph_scaled`: the PRODUCTION-SHAPE kNN-graph build — cell
+    * count grows with the corpus (centroid stride S = ⌊√N⌋, so
+    * #cells ≈ N/S ≈ √N and cell occupancy ≈ √N) instead of the pinned
+    * replica-0 cell set every other ANN entry serves from. The pinned
+    * fixture is right for SERVING benchmarks (the workload must not grow
+    * with SF) and wrong for the corpus×corpus BUILD: with cells fixed,
+    * candidate volume is N²/C — measured consequence: `s_knn_labelprop`'s
+    * graph build OOMs a 48 GB driver at sf10 on ~1.05 B candidate pairs
+    * (BASELINE.md §second decade). With S = ⌊√N⌋ the candidate table is
+    * N·NProbe·√N — the standard √N-cell IVF build rule — and the same
+    * decade completes. √N is computed INSIDE the plan from a 1-row count
+    * frame (IEEE sqrt is correctly rounded in both engines, so the floor
+    * agrees bit-for-bit); everything downstream is [[knnGraph]]'s
+    * machinery: broadcast-centroid assignment, NProbe probing, per-cell
+    * candidate dedup, quantized-cos salted top-k.
+    */
+  def knnGraphScaled(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val nFrame = e.agg(count(lit(1)).as("n"))
+    val cent = e.crossJoin(broadcast(nFrame))
+      .filter(expr("vec_id % greatest(CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT), CAST(1 AS BIGINT)) = 0"))
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    val sims = e.select(col("vec_id"), col("emb"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cos", cosine(col("emb"), col("cemb")))
+      .select(col("vec_id"), col("cid"), col("cos"))
+    val assign = sims.groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cos"), negate(col("cid")))).as("cid"))
+    val probes = sims.groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(struct(negate(col("cos")).as("ncos"), col("cid")))),
+                 1, NProbe).as("top"))
+      .select(col("vec_id").as("query_id"), explode(col("top.cid")).as("cid"))
+    val pairs = probes.join(assign, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    // Score via BROADCAST hash joins on both embedding sides: the r11
+    // sf10 probe showed the naive shuffle join OOMs here — a sort-merge
+    // join SORTS the N·NProbe·√N pair table with the 64-double array
+    // already attached (~170 GB of sort rows at 210k vectors), while the
+    // pair table itself is 16 B/row. Design rule this encodes: a wide
+    // payload column must never ride a sort — broadcast the embedding
+    // side while it fits (~50-200 MB here), bucket-hash-join it beyond.
+    val scored = pairs
+      .join(broadcast(e.select(col("vec_id"), col("emb").as("cemb"))), "vec_id")
+      .join(broadcast(e.select(col("vec_id").as("query_id"), col("emb").as("qemb"))),
+        "query_id")
+      .withColumn("cos6", round(cosine(col("qemb"), col("cemb")), 6))
+      .select(col("query_id"), col("vec_id"), col("cos6"))
+    saltedTopN(scored, GraphK, col("cos6").desc_nulls_last, col("vec_id").asc)
+      .select(col("query_id"), col("vec_id"), col("cos6"), col("rk"))
+  }
+
+  def knnGraphScaledSql: String =
+    s"""WITH e AS (
+       |  $VecsCteSql
+       |), nn AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e
+       |), cent AS (
+       |  SELECT vec_id AS cid, emb AS cemb FROM e CROSS JOIN nn
+       |  WHERE vec_id % greatest(CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT), CAST(1 AS BIGINT)) = 0
+       |), sims AS (
+       |  SELECT e.vec_id, cid, list_cosine_similarity(cemb, emb) AS cos,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY list_cosine_similarity(cemb, emb) DESC NULLS LAST, cid ASC) AS crk
+       |  FROM e, cent
+       |), assign AS (
+       |  SELECT vec_id, cid FROM sims WHERE crk = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cid FROM sims WHERE crk <= $NProbe
+       |), cands AS (
+       |  SELECT DISTINCT query_id, a.vec_id FROM probes p JOIN assign a ON p.cid = a.cid
+       |  WHERE a.vec_id <> query_id
+       |), scored AS (
+       |  SELECT query_id, c.vec_id,
+       |         list_cosine_similarity(qe.emb, ce.emb) AS cos
+       |  FROM cands c JOIN e qe ON qe.vec_id = query_id JOIN e ce ON ce.vec_id = c.vec_id
+       |)
+       |SELECT query_id, vec_id, ROUND(cos, 6) AS cos6,
+       |       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC NULLS LAST, vec_id ASC) AS rk
+       |FROM scored QUALIFY rk <= $GraphK
+       |""".stripMargin
+
   /** `s_ood_outliers`: embedding outlier detection — the data-cleaning
     * pass that flags vectors far from their cluster's center (mislabeled
     * / corrupted / out-of-distribution rows that poison contrastive and
@@ -2649,6 +2732,7 @@ object Similarity extends QueryModule {
     "s_mmr_ann" -> (mmrAnn _),
     "s_knn_binary" -> (knnBinary _),
     "s_knn_graph" -> (knnGraph _),
+    "s_knn_graph_scaled" -> (knnGraphScaled _),
     "s_ood_outliers" -> (oodOutliers _),
     "s_incremental_index" -> (incrementalIndex _),
     "s_knn_pagerank" -> (knnPagerank _),
@@ -2683,6 +2767,7 @@ object Similarity extends QueryModule {
     "s_mmr_ann" -> mmrAnnSql,
     "s_knn_binary" -> knnBinarySql,
     "s_knn_graph" -> knnGraphSql,
+    "s_knn_graph_scaled" -> knnGraphScaledSql,
     "s_ood_outliers" -> oodOutliersSql,
     "s_incremental_index" -> incrementalIndexSql,
     "s_knn_pagerank" -> knnPagerankSql,
