@@ -54,6 +54,7 @@ class PlanSweepSpec extends SparkSpec {
     "s_knn_pq" -> "PQ code-assignment argmin over (d2, code)",
     "s_kmeans" -> "Lloyd's assignment argmin over (d2, cid)",
     "s_knn_graph" -> "IVF cell-assignment argmax (same ivfCandidates rationale) over the full corpus",
+    "s_knn_graph_scaled" -> "same build argmax as s_knn_graph, sqrt(N)-stride centroids",
     "s_ood_outliers" -> "contains the s_kmeans assignment subplan (Lloyd's argmin)",
     "s_incremental_index" -> "base/delta cell-assignment argmax over (cos, -cid) — ivfCandidates rationale",
     "s_knn_pagerank" -> "contains the knnGraph subplan (cell-assignment argmax)",
