@@ -150,6 +150,102 @@ object EventAnalytics extends QueryModule {
       |GROUP BY 1, 2
       |""".stripMargin
 
+  /** Q8 SLIDING window-type variant (the reference's window switch,
+    * NexmarkQuery8.java:541-554, case 1): the same new-user join evaluated
+    * over 1-hour windows sliding by 30 minutes — each event lands in TWO
+    * overlapping windows, and signup/purchase must co-occur within a
+    * window instance (an event pair 45 minutes apart matches in exactly
+    * one of its shared windows, which tumbling misses if an hour boundary
+    * splits it). Both sides pre-aggregate per (window, user) BEFORE the
+    * join — the join keys carry no duplicate rows, so the join fan-out is
+    * 1:1 (same shape as the tumbling entry). Spark's sliding `window()`
+    * expands each row to its two windows inside the scan projection;
+    * windows are epoch-aligned in both engines, so the oracle mirrors the
+    * expansion with an exact integer UNION ALL of the two bucket starts.
+    */
+  def newUsersSliding(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"), col("user_id"))
+      .agg(count(lit(1)).as("drop_n")).drop("drop_n")
+      .select(unix_millis(col("win.start")).as("win_start_ms"), col("user_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+           expr(Det.cents("value")).as("purchase_total"))
+      .select(unix_millis(col("win.start")).as("win_start_ms"), col("user_id"),
+              col("n_purchases"), col("purchase_total"))
+    purchases.join(signups, Seq("win_start_ms", "user_id"), "left_semi")
+  }
+
+  def newUsersSlidingSql: String =
+    s"""WITH b AS (
+      |  SELECT (epoch_ms(ts) // 1800000) * 1800000 AS b0, user_id, event_type, value
+      |  FROM events WHERE event_type IN ('signup', 'purchase')
+      |), u AS (
+      |  SELECT b0 AS win_start_ms, user_id, event_type, value FROM b
+      |  UNION ALL
+      |  SELECT b0 - 1800000 AS win_start_ms, user_id, event_type, value FROM b
+      |), s AS (
+      |  SELECT DISTINCT win_start_ms, user_id FROM u WHERE event_type = 'signup'
+      |), p AS (
+      |  SELECT win_start_ms, user_id, COUNT(*) AS n_purchases,
+      |         ${Det.cents("value")} AS purchase_total
+      |  FROM u WHERE event_type = 'purchase' GROUP BY 1, 2
+      |)
+      |SELECT p.win_start_ms, p.user_id, p.n_purchases, p.purchase_total
+      |FROM p JOIN s USING (win_start_ms, user_id)
+      |""".stripMargin
+
+  /** Q8 SESSION window-type variant (NexmarkQuery8.java:541-554, case 2):
+    * signups and purchases build SHARED 30-minute-gap sessions per user
+    * (the reference cogroups both streams into the same keyed session
+    * windows — the streaming port [[graft.nexmark.queries.NexmarkQueries
+    * .q8NewUsersSession]] is the same topology); only sessions containing
+    * at least one signup AND one purchase emit — "a user who signed up
+    * and bought within one activity burst", the J2 semantics with a
+    * data-driven window. Spark merges sessions on touch (gap ≤ 30 min
+    * extends), so the oracle's island break is strictly `> 30 minutes`
+    * (StreamingOracleBoundarySpec's pinned boundary choice).
+    */
+  def newUsersSession(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+    ev.groupBy(session_window(col("ts"), "30 minutes").as("win"), col("user_id"))
+      .agg(count(when(col("event_type") === "signup", 1)).as("n_signups"),
+           count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+           expr(Det.cents("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END"))
+             .as("purchase_total"))
+      .filter(col("n_signups") >= 1 && col("n_purchases") >= 1)
+      .select(col("user_id"),
+              unix_millis(col("win.start")).as("session_start_ms"),
+              col("n_signups"), col("n_purchases"), col("purchase_total"))
+  }
+
+  def newUsersSessionSql: String =
+    s"""WITH e AS (
+      |  SELECT user_id, ts, event_type, value FROM events
+      |  WHERE event_type IN ('signup', 'purchase')
+      |), o AS (
+      |  SELECT user_id, ts, event_type, value,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '30 minutes'
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM e
+      |), s AS (
+      |  SELECT user_id, ts, event_type, value,
+      |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o
+      |)
+      |SELECT user_id, CAST(epoch_ms(MIN(ts)) AS BIGINT) AS session_start_ms,
+      |       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signups,
+      |       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+      |       ${Det.cents("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS purchase_total
+      |FROM s GROUP BY user_id, sid
+      |HAVING COUNT(CASE WHEN event_type = 'signup' THEN 1 END) >= 1
+      |   AND COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) >= 1
+      |""".stripMargin
+
   /** Nexmark Q10-style sessionization (SessionWindowUdf): 30-minute-gap
     * sessions per user. Spark `session_window` semantics: an event extends
     * the session iff it starts AT or before last_ts + gap — touching
@@ -487,6 +583,8 @@ object EventAnalytics extends QueryModule {
     "q4_avg_max_value" -> (avgMaxValue _),
     "q7_highest_value" -> (highestValue _),
     "q8_new_user_activity" -> (newUserActivity _),
+    "q8_new_users_sliding" -> (newUsersSliding _),
+    "q8_new_users_session" -> (newUsersSession _),
     "q11_user_sessions" -> (userSessions _),
     "q_dynamic_sessions" -> (dynamicSessions _),
     "qcm_windowed_load" -> (windowedLoad _),
@@ -503,6 +601,8 @@ object EventAnalytics extends QueryModule {
     "q4_avg_max_value" -> avgMaxValueSql,
     "q7_highest_value" -> highestValueSql,
     "q8_new_user_activity" -> newUserActivitySql,
+    "q8_new_users_sliding" -> newUsersSlidingSql,
+    "q8_new_users_session" -> newUsersSessionSql,
     "q11_user_sessions" -> userSessionsSql,
     "q_dynamic_sessions" -> dynamicSessionsSql,
     "qcm_windowed_load" -> windowedLoadSql,

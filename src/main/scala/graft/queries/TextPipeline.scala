@@ -3995,8 +3995,12 @@ object TextPipeline extends QueryModule {
     * an excision pass thresholds. Within-doc repeats count (a doc's own
     * boilerplate is still duplicated text).
     *
-    * Scale shape (100 TB): explode is linear (token starts only — the
-    * lambda filters BEFORE the explode); ONE wide shuffle keyed by the
+    * Scale shape (100 TB): the explode emits token starts only, but the
+    * position enumeration materializes a TRANSIENT O(doc-length) array
+    * per row before the filter applies (`sequence` caps near 2^31
+    * elements) — fine for web-document lengths; a corpus with
+    * single-blob gigadocs would derive starts from split-on-space
+    * offsets instead. ONE wide shuffle keyed by the
     * 16-char prefix whose bucket sizes are vocabulary-bounded (a bucket =
     * suffixes sharing a 16-char phrase start; the heaviest boilerplate
     * bucket sorts in n·log n inside one task, never pairs quadratically);
@@ -4081,8 +4085,14 @@ object TextPipeline extends QueryModule {
   private val QsPcts = Seq(50, 90, 99)
 
   def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    // clamp the measured value to >= 1 ONCE, for both the sketch and the
+    // audit side: a zero-length doc landing exactly at rank r would
+    // otherwise make exact_p* = 0 and err_bp a division by zero — which
+    // Spark's `div` NULLs and DuckDB's `//` raises on, an engine
+    // divergence (r11 ADVICE). One shared domain, both engines agree.
     val docs = Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"), col("n_chars"))
+      .select(col("source"), col("doc_id"),
+        expr("greatest(n_chars, CAST(1 AS BIGINT))").as("n_chars"))
     val n = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     // octave histogram: source × k → cnt, with cumulative counts
     val hist = docs
@@ -4133,7 +4143,8 @@ object TextPipeline extends QueryModule {
     val outCols = QsPcts.map(p =>
       s"est_p$p, exact_p$p, abs(est_p$p - exact_p$p) * 10000 // exact_p$p AS err_p${p}_bp")
       .mkString(",\n")
-    s"""WITH docs AS (SELECT source, doc_id, n_chars FROM documents),
+    s"""WITH docs AS (SELECT source, doc_id,
+       |              greatest(n_chars, CAST(1 AS BIGINT)) AS n_chars FROM documents),
        |n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM docs GROUP BY source),
        |hist AS (
        |  SELECT source, k, CAST(COUNT(*) AS BIGINT) AS cnt

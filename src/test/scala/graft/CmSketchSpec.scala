@@ -44,11 +44,17 @@ class CmSketchSpec extends SparkSpec {
     assert(out.toSet == expected,
       s"diff=${(out.toSet -- expected).take(3)} / ${(expected -- out.toSet).take(3)}")
 
-    val total = words.length.toLong
     for ((w, exact, est, overBp) <- out) {
       assert(est >= exact, s"$w under-counted: est=$est exact=$exact")
-      assert(est <= total - 0 && est - exact <= total - exact,
-        s"$w over-count exceeds colliding mass")
+      // the CM bound, tested against the ACTUAL colliding mass: Spark's
+      // estimate can exceed the word's own count by at most the smallest
+      // per-depth colliding mass at the word's cells (computed from the
+      // Scala twin's grid — a cross-implementation check, since `est`
+      // comes from the Spark output and `cells` from the twin)
+      val collidingBound = (0 until Depth)
+        .map(j => cells((j, md5words(w)(j) % Width)) - exact).min
+      assert(est - exact <= collidingBound,
+        s"$w over-count ${est - exact} exceeds colliding mass $collidingBound")
       assert(overBp == (est - exact) * 10000 / exact)
     }
     assert(out.length == 20)

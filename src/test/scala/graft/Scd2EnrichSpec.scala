@@ -75,9 +75,26 @@ class Scd2EnrichSpec extends SparkSpec {
     assert(out.sortBy(_.toString) == twin.sortBy(_.toString),
       "stream output must equal the batch twin exactly")
 
-    // the fixture must exercise genesis, real versions, and fallthrough
+    // coverage pinned independently per path, with the expectation derived
+    // from the dumps themselves (r11 ADVICE: an OR would let a fixture
+    // change silently drop one path): a bid whose personId is outside the
+    // dim must surface as vn = -1, a bid earlier than its person's first
+    // emission as the genesis vn = 0 — and if the dump produces such bids,
+    // the output MUST contain that path.
     val vns = out.map(_(4).asInstanceOf[Int]).toSet
-    assert(vns.contains(0) || vns.contains(-1), s"fallthrough/genesis missing: $vns")
+    val dimPids = intervals.keySet
+    val firstEmission = intervals.map { case (pid, ts) => pid -> ts.min }
+    val bidRows = bids.select(col("personId"), col("timestamp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expectFallthrough = bidRows.exists { case (pid, _) => !dimPids.contains(pid) }
+    val expectGenesis = bidRows.exists { case (pid, ts) =>
+      firstEmission.get(pid).exists(ts < _) }
+    assert(expectFallthrough == vns.contains(-1),
+      s"fallthrough expected=$expectFallthrough but vns=$vns")
+    assert(expectGenesis == vns.contains(0),
+      s"genesis expected=$expectGenesis but vns=$vns")
+    assert(expectFallthrough || expectGenesis,
+      "fixture exercises neither genesis nor fallthrough — strengthen the dump")
     assert(vns.exists(_ >= 1), s"no real version matched: $vns")
   }
 }
