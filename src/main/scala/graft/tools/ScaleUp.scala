@@ -32,6 +32,15 @@ import org.apache.spark.sql.functions._
   * the path, which also scales the streaming entries' generated volume).
   */
 object ScaleUp {
+
+  /** The tables a scaled fixture dir must materialize — exactly the view
+    * list `tools/selfcheck.py` eagerly creates (TABLES), so a missing
+    * member breaks the documented ScaleUp→selfcheck workflow (the r10
+    * ADVICE medium class; regression-guarded by ScaleUpSpec). */
+  val FixtureTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val dst = args(1)
@@ -43,6 +52,13 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    scale(spark, src, dst, k)
+    spark.stop()
+  }
+
+  /** The whole fixture build, callable from specs (ScaleUpSpec) with an
+    * existing session. */
+  def scale(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
     val reps = spark.range(k).select(col("id").as("rep"))
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -149,6 +165,5 @@ object ScaleUp {
 
     println(s"scaled $src x$k -> $dst (docs ${nD}x$k, vecs base $nV x$k, " +
       s"orders base $nO x$k, cust base $nC x$k)")
-    spark.stop()
   }
 }

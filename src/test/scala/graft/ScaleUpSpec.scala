@@ -1,0 +1,66 @@
+package graft
+
+import graft.nexmark.SparkSpec
+import graft.tools.ScaleUp
+import org.apache.spark.sql.functions._
+
+/** Regression guard for the ScaleUp→selfcheck workflow (r11 VERDICT Next
+  * #7; the r10 ADVICE medium class was a fixture dir missing
+  * events.parquet, which broke `tools/selfcheck.py`'s eager per-table
+  * view creation): run the real ScaleUp build on sf0.001 into a temp dir
+  * and assert
+  *
+  *   - every table in [[ScaleUp.FixtureTables]] (= selfcheck.py's TABLES
+  *     list, which fixture_manifest.json also enumerates) materializes
+  *     with at least one parquet part file — the property view creation
+  *     needs;
+  *   - each table is readable back with the expected cardinality (facts
+  *     ×k, dims ×1) and its schema column set survives the replication;
+  *   - the pinned-fixture invariants hold: replicas add NO new query
+  *     vectors (vec_id % 50 = 0) and NO new pivot centroids
+  *     (vec_id % 25 = 0), and vec_ids stay unique — the r10 VERDICT
+  *     Next #2 construction every ANN decade row depends on;
+  *   - `Tables.events` normalizes the scaled events table (the dtype the
+  *     oracle views rely on).
+  */
+class ScaleUpSpec extends SparkSpec {
+
+  test("ScaleUp materializes every selfcheck table with pinned ANN fixtures") {
+    val src = "/root/testdata/sf0.001"
+    val k = 2
+    val dst = java.nio.file.Files.createTempDirectory("graft_scaleup_spec")
+      .resolve("sf0.002").toString
+    ScaleUp.scale(spark, src, dst, k)
+
+    val dims = Set("region", "nation", "part", "supplier")
+    for (t <- ScaleUp.FixtureTables) {
+      val d = new java.io.File(s"$dst/$t.parquet")
+      assert(d.exists, s"$t.parquet missing from scaled fixture")
+      val parts = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+      assert(d.isFile || parts.nonEmpty, s"$t.parquet has no part files")
+      val scaled = spark.read.parquet(s"$dst/$t.parquet")
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      val factor = if (dims.contains(t)) 1L else k.toLong
+      assert(scaled.count() == base.count() * factor,
+        s"$t: expected ${base.count() * factor} rows")
+      assert(scaled.columns.sorted.sameElements(base.columns.sorted),
+        s"$t: column set changed: ${scaled.columns.mkString(",")}")
+    }
+
+    // pinned ANN fixture invariants (serving workload must not scale)
+    val embS = spark.read.parquet(s"$dst/embeddings.parquet")
+    val embB = spark.read.parquet(s"$src/embeddings.parquet")
+    def countMod(df: org.apache.spark.sql.DataFrame, m: Int): Long =
+      df.filter(col("vec_id") % m === 0).count()
+    assert(countMod(embS, 50) == countMod(embB, 50), "query batch scaled with SF")
+    assert(countMod(embS, 25) == countMod(embB, 25), "pivot centroids scaled with SF")
+    assert(embS.select("vec_id").distinct().count() == embS.count(),
+      "replica vec_id remap collided")
+
+    // the dtype-normalized read the oracle workflow depends on
+    val ev = graft.Tables.events(spark, dst)
+    assert(ev.count() == spark.read.parquet(s"$src/events.parquet").count() * k)
+    assert(ev.schema("ts").dataType.typeName == "timestamp")
+  }
+}
