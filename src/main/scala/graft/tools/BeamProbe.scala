@@ -31,30 +31,33 @@ object BeamProbe {
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
 
     val truth = pairs(Similarity.knnBrute(spark, dir).select("query_id", "vec_id"))
-    val graph = pairs(Similarity.knnGraph(spark, dir).select("query_id", "vec_id"))
+    val graph = pairs(Similarity.knnGraphScaled(spark, dir).select("query_id", "vec_id"))
     val beam = pairs(Similarity.knnBeam(spark, dir).select("query_id", "vec_id"))
 
     def recall(got: Map[Long, Set[Long]]): Double = {
       val rs = truth.map { case (q, t) => (got.getOrElse(q, Set.empty) & t).size.toDouble / t.size }
       rs.sum / rs.size
     }
-    println(f"graph recall (query vertex out-edges vs brute top-5): ${recall(graph)}%.3f")
+    val graphPinned = pairs(Similarity.knnGraph(spark, dir).select("query_id", "vec_id"))
+    println(f"graph recall (scaled-build out-edges vs brute top-5): ${recall(graph)}%.3f")
+    println(f"graph recall (pinned-build out-edges vs brute top-5): ${recall(graphPinned)}%.3f")
     println(f"beam  recall (s_knn_beam result vs brute top-5):      ${recall(beam)}%.3f")
 
-    // reachability: BFS from each query's NProbe seed centroids over the
-    // symmetrized GraphK-cut edge list, h hops — the ceiling ANY search
-    // with these seeds/edges/round-count can reach
-    val ed = Similarity.knnGraph(spark, dir)
+    // reachability: BFS from each query's SeedN seed vertices over the
+    // symmetrized NavDegree-cut edge list (= the persisted navigation
+    // index), h hops — the ceiling ANY search with these seeds/edges/
+    // round-count can reach
+    val ed = Similarity.knnGraphScaledAt(spark, dir, Similarity.NavGraphK)
       .select(col("query_id").as("src"), col("vec_id").as("dst"), col("cos6"))
     val sym = ed.unionByName(ed.select(col("dst").as("src"), col("src").as("dst"), col("cos6")))
       .groupBy("src", "dst").agg(max("cos6").as("cos6"))
     val adjAll = sym.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .groupBy(_._1).view
-      .mapValues(_.sortBy(t => (-t._3, t._2)).take(5).map(_._2).toSet).toMap
+      .mapValues(_.sortBy(t => (-t._3, t._2)).take(Similarity.NavDegree).map(_._2).toSet).toMap
     val queries = truth.keySet
-    // seeds: the entry's own election — top-NProbe centroids by cos6
+    // seeds: the entry's own election — top-SeedN pivot vertices by cos6
     val seeds = pairs(Similarity.beamSeeds(spark, dir))
-    for (h <- 1 to 7) {
+    for (h <- 1 to 10) {
       val reach = queries.toSeq.map { q =>
         var frontier = seeds.getOrElse(q, Set.empty)
         var seen = frontier
