@@ -1,36 +1,42 @@
 #!/usr/bin/env python3
 """Persist the builder's COMPLETE per-entry full-suite bench as a
-committed artifact (VERDICT r10 Next #6): the driver's BENCH_r{N}.json
-tail truncates the first ~40 per-entry timings (r9 and r10 both), so
-the budget gate was only re-checkable from the builder's transcript.
-This runs the exact driver bench surface (graft.Bench, full suite, no
-SPARK_GRAFT_ONLY) and writes every per-entry second plus provenance,
-so the 2x-budget gate is re-checkable from committed artifacts alone.
+committed artifact, with MACHINE-CHECKABLE budget verdicts (r11 VERDICT
+Next #4): the in-suite numbers of a 140+-entry suite carry a fixed
+per-stage contention overhead that pushed 2-3 entries past their 2x
+budget every round, each needing a manual isolated-rerun adjudication.
+This tool automates that protocol: every entry is compared against the
+committed ledger (tools/budgets.json, the machine-readable twin of
+BASELINE.md's budget tables, never-lowered); any in-suite breach is
+re-run ISOLATED (SPARK_GRAFT_ONLY, each invocation already best-of-2)
+up to --isolated-runs times and judged on the median — so a budget
+breach verdict can no longer be a suite-contention artifact, and no
+hand re-keying is needed to clear one.
+
+Verdicts per entry:
+  ok            in-suite time <= budget
+  ok_isolated   in-suite breached, isolated median <= budget
+  over_budget   isolated median > budget  -> gate fails
+  no_budget     entry missing from tools/budgets.json -> gate fails
+  error         entry failed to execute -> gate fails
 
 Usage:
   python3 tools/bench_full.py <sfDir> [--cpus N] [--out FILE] [--round N]
+                              [--isolated-runs K]
 """
-import argparse, json, os, re, subprocess, sys, time
+import argparse, json, os, re, statistics, subprocess, sys, time
 
 
-def main() -> int:
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("sfdir")
-    p.add_argument("--cpus", type=int, default=32)
-    p.add_argument("--out", default=None)
-    p.add_argument("--round", type=int, dest="round_no", default=None)
-    opts = p.parse_args()
-
+def run_bench(sfdir, cpus, only=None):
     env = dict(os.environ)
-    env["SPARK_GRAFT_SF_DIR"] = opts.sfdir
-    env["SPARK_GRAFT_CPUS"] = str(opts.cpus)
-    env.pop("SPARK_GRAFT_ONLY", None)  # full suite, always
+    env["SPARK_GRAFT_SF_DIR"] = sfdir
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env.pop("SPARK_GRAFT_ONLY", None)
+    if only:
+        env["SPARK_GRAFT_ONLY"] = ",".join(only)
     t0 = time.time()
-    proc = subprocess.run(
-        ["sbt", "-batch", "runMain graft.Bench"],
-        capture_output=True, text=True, env=env)
+    proc = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                          capture_output=True, text=True, env=env)
     wall = time.time() - t0
-    # graft.Bench prints ONE JSON line; sbt prefixes it with "[info] "
     line = None
     for ln in proc.stdout.splitlines():
         m = re.search(r'(\{"metric".*\})\s*$', ln)
@@ -39,8 +45,57 @@ def main() -> int:
     if line is None:
         sys.stderr.write(proc.stdout[-4000:] + proc.stderr[-4000:])
         sys.stderr.write("\nno bench JSON line found\n")
+        return None, wall, proc.returncode
+    return json.loads(line), wall, proc.returncode
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("sfdir")
+    p.add_argument("--cpus", type=int, default=32)
+    p.add_argument("--out", default=None)
+    p.add_argument("--round", type=int, dest="round_no", default=None)
+    p.add_argument("--isolated-runs", type=int, default=3,
+                   help="isolated re-runs per in-suite breach (median judged)")
+    opts = p.parse_args()
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    budgets = json.load(open(os.path.join(here, "budgets.json")))
+
+    bench, wall, rc = run_bench(opts.sfdir, opts.cpus)
+    if bench is None:
         return 1
-    bench = json.loads(line)
+    queries = bench.get("queries", {})
+    errors = bench.get("errors", {})
+
+    verdicts, isolated = {}, {}
+    breaches = []
+    for name, t in queries.items():
+        b = budgets.get(name)
+        if b is None:
+            verdicts[name] = "no_budget"
+        elif t <= b["budget"]:
+            verdicts[name] = "ok"
+        else:
+            breaches.append(name)
+    for name in errors:
+        verdicts[name] = "error"
+
+    # adjudicate in-suite breaches with isolated re-runs (the r6/r11
+    # manual protocol, automated): median of K isolated best-of-2 runs
+    for name in breaches:
+        runs = []
+        for _ in range(opts.isolated_runs):
+            iso, _, _ = run_bench(opts.sfdir, opts.cpus, only=[name])
+            if iso and name in iso.get("queries", {}):
+                runs.append(iso["queries"][name])
+        med = statistics.median(runs) if runs else None
+        isolated[name] = {"runs": runs, "median": med}
+        verdicts[name] = ("ok_isolated" if med is not None and
+                          med <= budgets[name]["budget"] else "over_budget")
+
+    bad = sorted(n for n, v in verdicts.items()
+                 if v in ("over_budget", "no_budget", "error"))
     rev = subprocess.run(["git", "rev-parse", "HEAD"],
                          capture_output=True, text=True).stdout.strip()
     report = {
@@ -50,9 +105,13 @@ def main() -> int:
         "captured_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
         "sf_dir": opts.sfdir,
         "cpus": opts.cpus,
-        "sbt_rc": proc.returncode,
+        "sbt_rc": rc,
         "wall_sec_incl_sbt": round(wall, 1),
-        "n_entries": len(bench.get("queries", {})),
+        "n_entries": len(queries),
+        "budget_ledger": "tools/budgets.json",
+        "verdicts": verdicts,
+        "isolated_adjudications": isolated,
+        "gate_failures": bad,
         "bench": bench,
     }
     text = json.dumps(report, indent=2, sort_keys=False)
@@ -60,7 +119,9 @@ def main() -> int:
         with open(opts.out, "w") as f:
             f.write(text + "\n")
     print(text)
-    return 0 if proc.returncode == 0 and not bench.get("errors") else 1
+    if bad:
+        sys.stderr.write(f"BUDGET GATE FAILED: {bad}\n")
+    return 0 if rc == 0 and not bad else 1
 
 
 if __name__ == "__main__":
