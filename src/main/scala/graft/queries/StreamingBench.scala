@@ -231,9 +231,14 @@ object StreamingBench extends QueryModule {
     // multi-batch invariant: the admission plan ([[rowsPerBatchFor]]) must
     // actually have executed — an entry that silently collapsed to one
     // micro-batch would pass the oracle without exercising intermediate
-    // watermark advances, which is the behavior this surface verifies
+    // watermark advances, which is the behavior this surface verifies.
+    // Count as MAX id + 1, not file count: the commit log retains only
+    // the last spark.sql.streaming.minBatchesToRetain (100) entries, so
+    // a >100-batch run (the GRAFT_STREAM_ROWS_PER_BATCH decade probe)
+    // would otherwise read as ~101 and trip the guard spuriously.
     val committed = Option(new java.io.File(s"$ckpt/commits").listFiles())
-      .map(_.count(f => f.getName.forall(_.isDigit))).getOrElse(0)
+      .map(_.flatMap(f => f.getName.toLongOption).foldLeft(-1L)(math.max) + 1)
+      .getOrElse(0L)
     if (committed < minBatches) throw new IllegalStateException(
       s"$name: $committed committed micro-batches < expected $minBatches — " +
         "multi-batch watermark interleaving was not exercised")
