@@ -102,7 +102,9 @@ class IvfTrainingSpec extends SparkSpec {
       val total = pr.values.sum.toDouble
       assert(total <= 1.000001e12, s"$d: rank mass grew: $total")
       assert(total >= 0.8e12, s"$d: rank mass collapsed: $total")
-      val indeg = Similarity.queries("s_knn_graph")(spark, d)
+      // in-degree over the SCALED build — the graph the entry consumes
+      // since r12 (r11 VERDICT Next #1)
+      val indeg = Similarity.queries("s_knn_graph_scaled")(spark, d)
         .groupBy(col("vec_id")).agg(count(lit(1)).as("ind")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       // a node nobody links to gets EXACTLY the teleport floor
