@@ -103,8 +103,20 @@ object StreamingBench extends QueryModule {
     */
   private def rowsPerBatchFor(rows: Long): Long = {
     val dflt = math.max(1L, (rows + 2) / 3)
-    sys.env.get("GRAFT_STREAM_ROWS_PER_BATCH")
-      .map(v => math.max(1L, v.toLong)).getOrElse(dflt)
+    sys.env.get("GRAFT_STREAM_ROWS_PER_BATCH") match {
+      case Some(v) =>
+        // ENFORCED, not just documented: the knob is a measurement-only
+        // probe. A correctness run (= any run that dumps inputs for the
+        // DuckDB oracle; the bench sets graft.stream.dumpInputs=false)
+        // must fail fast rather than silently collapse the multi-batch
+        // plan the watermark-interleaving guard exists to exercise.
+        if (sys.props.getOrElse("graft.stream.dumpInputs", "true").toBoolean)
+          throw new IllegalStateException(
+            "GRAFT_STREAM_ROWS_PER_BATCH is set but this is a correctness " +
+            "run (input dump enabled) — the knob is bench-probe only; unset it")
+        math.max(1L, v.toLong)
+      case None => dflt
+    }
   }
 
   /** Data micro-batches the admission plan yields: ceil(rows / rpb). */

@@ -82,9 +82,15 @@ class BeamSearchSpec extends SparkSpec {
     val plan = Similarity.beamRoundScored(spark, Dir, frontierRows, q)
       .queryExecution.executedPlan.toString
     // the hop reads the persisted nav index with a LITERAL partition
-    // filter on the frontier's residues — directory pruning at plan time
-    assert(plan.contains("PartitionFilters") && plan.contains("sb"),
-      s"nav scan not partition-pruned:\n$plan")
+    // filter on the frontier's residues — directory pruning at plan time.
+    // Must match a NON-EMPTY PartitionFilters list naming sb: every
+    // FileSourceScan prints `PartitionFilters: []`, so a bare substring
+    // check is vacuous — if the Long-literal isin against the int sb
+    // column ever stops unwrapping its cast, pruning silently reverts to
+    // a 64-partition scan and only this regex catches it
+    val pruned = """PartitionFilters: \[[^\]]*sb[^\]]*\]""".r
+    assert(pruned.findFirstIn(plan).isDefined,
+      s"nav scan has no non-empty partition filter on sb:\n$plan")
     // and the embedding corpus is NEVER rescanned per hop (the r11
     // finding this redesign removes): the only parquet in the hop plan
     // is the nav index itself

@@ -17,6 +17,7 @@ Verdicts per entry:
   ok_isolated   in-suite breached, isolated median <= budget
   over_budget   isolated median > budget  -> gate fails
   no_budget     entry missing from tools/budgets.json -> gate fails
+  missing       budgets.json entry absent from bench output -> gate fails
   error         entry failed to execute -> gate fails
 
 Usage:
@@ -80,6 +81,11 @@ def main() -> int:
             breaches.append(name)
     for name in errors:
         verdicts[name] = "error"
+    # reverse check: a budgets.json entry absent from the bench output means
+    # the suite silently lost coverage -> fail the gate, don't pass quietly
+    for name in budgets:
+        if name not in queries and name not in errors:
+            verdicts[name] = "missing"
 
     # adjudicate in-suite breaches with isolated re-runs (the r6/r11
     # manual protocol, automated): median of K isolated best-of-2 runs
@@ -95,7 +101,7 @@ def main() -> int:
                           med <= budgets[name]["budget"] else "over_budget")
 
     bad = sorted(n for n, v in verdicts.items()
-                 if v in ("over_budget", "no_budget", "error"))
+                 if v in ("over_budget", "no_budget", "error", "missing"))
     rev = subprocess.run(["git", "rev-parse", "HEAD"],
                          capture_output=True, text=True).stdout.strip()
     report = {
