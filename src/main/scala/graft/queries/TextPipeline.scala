@@ -3820,6 +3820,84 @@ object TextPipeline extends QueryModule {
        |HAVING COUNT(*) + $SpanK - 1 >= $SpanMinTokens
        |""".stripMargin
 
+  /** `t_span_excise`: the pipeline stage a trainer actually runs on
+    * [[dupSpans]]' detections — the EXCISED corpus. Policy: every span is
+    * removed from its HIGHER-doc_id occurrence (doc_b of each detected
+    * pair; `dupSpans` guarantees doc_a < doc_b), so the corpus-first copy
+    * of a repeated passage survives and every later copy is cut — the
+    * Lee et al. 2021 substring-excision regime rather than whole-doc
+    * dropping. Output is the excision DELTA: one row per AFFECTED doc
+    * (docs with zero excised tokens pass through a pipeline untouched and
+    * are not re-emitted), carrying the cleaned text plus the exact-integer
+    * removed-token ledger — `kept_tokens + excised_tokens = n_tokens`
+    * always (SpanExciseSpec pins the conservation corpus-wide).
+    *
+    * Scale shape: span detection cost IS dupSpans (df-capped buckets);
+    * this stage adds a positions explode bounded by total excised-span
+    * tokens (a tiny fraction of the corpus — only cross-doc-duplicated
+    * passages), one hash-shuffle to per-doc position sets, and ONE
+    * equi-join back to the affected docs. Everything is exact integer /
+    * string arithmetic; no float anywhere.
+    */
+  def spanExcise(spark: SparkSession, dir: String): DataFrame = {
+    val spans = dupSpans(spark, dir).localCheckpoint(true)
+    val nsp = spans.groupBy(col("doc_b").as("doc_id"))
+      .agg(count(lit(1)).as("n_spans"))
+    // distinct excised token positions per affected doc: the same range
+    // can be detected against several doc_a partners and on overlapping
+    // diagonals — the union of intervals is what gets cut, exactly once
+    val exa = spans
+      .select(col("doc_b").as("doc_id"),
+        explode(expr("sequence(b_start, b_start + span_tokens - 1)")).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ex_pos"),
+           count(lit(1)).as("excised_tokens"))
+    docsNorm(spark, dir).select(col("doc_id"), col("words"))
+      .join(exa, "doc_id").join(nsp, "doc_id")
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_tokens"),
+        col("n_spans"),
+        col("excised_tokens"),
+        (size(col("words")).cast("long") - col("excised_tokens")).as("kept_tokens"),
+        expr("array_join(filter(words, (w, i) -> " +
+             "NOT array_contains(ex_pos, CAST(i + 1 AS BIGINT))), ' ')")
+          .as("cleaned_text"))
+  }
+
+  def spanExciseSql: String =
+    s"""WITH spans AS (
+       |${dupSpansSql.stripSuffix("\n")}
+       |), ex AS (
+       |  SELECT DISTINCT doc_b AS doc_id, CAST(p AS BIGINT) AS pos
+       |  FROM (SELECT doc_b, UNNEST(generate_series(b_start, b_start + span_tokens - 1)) AS p
+       |        FROM spans)
+       |), nsp AS (
+       |  SELECT doc_b AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+       |  FROM spans GROUP BY 1
+       |), exa AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS excised_tokens FROM ex GROUP BY 1
+       |), d AS (
+       |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM documents
+       |), toks AS (
+       |  SELECT t.doc_id, t.pos, t.w
+       |  FROM (SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i] AS w
+       |        FROM (SELECT doc_id, ws, UNNEST(generate_series(1, len(ws))) AS i FROM d))
+       |       t SEMI JOIN exa ON t.doc_id = exa.doc_id
+       |), kept AS (
+       |  SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.pos) AS cleaned_text
+       |  FROM toks t ANTI JOIN ex ON t.doc_id = ex.doc_id AND t.pos = ex.pos
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT d2.doc_id, CAST(len(d2.ws) AS BIGINT) AS n_tokens, nsp.n_spans,
+       |       exa.excised_tokens,
+       |       CAST(len(d2.ws) AS BIGINT) - exa.excised_tokens AS kept_tokens,
+       |       COALESCE(kept.cleaned_text, '') AS cleaned_text
+       |FROM d d2 JOIN exa ON d2.doc_id = exa.doc_id
+       |JOIN nsp ON d2.doc_id = nsp.doc_id
+       |LEFT JOIN kept ON d2.doc_id = kept.doc_id
+       |""".stripMargin
+
   /** Classifier keep threshold for [[selectionE2e]] (p ≥ 0.42 in 1e-4
     * units — a production pipeline calibrates τ on held-out data; this
     * value is the fixture's calibrated cut, binding at every SF:
@@ -4226,6 +4304,7 @@ object TextPipeline extends QueryModule {
     "t_bpe_merges" -> (bpeMerges _),
     "t_bpe_vocab" -> (bpeVocab _),
     "t_dup_spans" -> (dupSpans _),
+    "t_span_excise" -> (spanExcise _),
     "t_bm25_topk" -> (bm25Topk _),
     "t_quality_classifier" -> (qualityClassifier _),
     "t_selection_e2e" -> (selectionE2e _),
@@ -4288,6 +4367,7 @@ object TextPipeline extends QueryModule {
     "t_bpe_merges" -> bpeMergesSql,
     "t_bpe_vocab" -> bpeVocabSql,
     "t_dup_spans" -> dupSpansSql,
+    "t_span_excise" -> spanExciseSql,
     "t_bm25_topk" -> bm25TopkSql,
     "t_quality_classifier" -> qualityClassifierSql,
     "t_selection_e2e" -> selectionE2eSql,
