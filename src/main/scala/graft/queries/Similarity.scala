@@ -2305,10 +2305,175 @@ object Similarity extends QueryModule {
        |        LEFT JOIN nc ON nb.query_id = nc.query_id
        |""".stripMargin
 
+  /** Delete slice for [[indexDelete]]: vec_id ≡ [[DelRem]] (mod
+    * [[DelMod]]) marks the 5% "today's deletes" batch. The residue is
+    * chosen (CRT against the other fixture moduli) so queries
+    * (≡ 0 mod 50 → mod-20 residues {0, 10}) and pivot centroids
+    * (≡ 0 mod 25 → {0, 5, 10, 15}) are never deleted: deleting a pivot
+    * VECTOR removes its posting, not its cell — cells are index
+    * structure and survive until a retrain, which is exactly the
+    * staleness the audit measures.
+    */
+  private val DelMod = 20
+  private[graft] val DelRem = 7
+
+  /** Tombstone set of fixture `dir` (the delete batch): exposed for the
+    * persisted-compaction job and its spec. */
+  private[graft] def tombstones(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir).filter(col("vec_id") % DelMod === DelRem).select(col("vec_id"))
+
+  /** `s_index_delete`: ANN index DELETION — the delete-heavy twin of
+    * [[incrementalIndex]]'s retrain-due rule. A delete batch
+    * ([[DelMod]]/[[DelRem]]) lands as TOMBSTONES: postings are untouched,
+    * the serve path anti-joins candidates against the tombstone set so a
+    * deleted vector can never be returned — but its posting rows are
+    * still SCANNED (`n_cands_tomb`), which is the cost leak compaction
+    * exists to reclaim (`n_cands_live` = the post-compaction scan;
+    * `stale_scanned` = the per-query waste the compaction scheduler
+    * watches). Served results are audited per query against brute-force
+    * ground truth over the LIVE corpus (deletes excluded — the truth a
+    * user can still retrieve), and `retrain` flags recall@k < 0.8 exactly
+    * as the ingest twin does.
+    *
+    * Scale shape: the tombstone anti-join keys on vec_id — the SAME key
+    * as the candidate→embedding scoring join, so it rides that shuffle
+    * rather than adding one (and the tombstone side is delta-sized, a
+    * day's deletes, not the corpus). Assignment/probe branches are the
+    * broadcast-centroid map passes of the build; the audit is the same
+    * three hash aggregates as the ingest entry. The persisted-index twin
+    * of the compaction (anti-join + re-bucketed postings rewrite,
+    * preserving the Exchange-free serve) is [[compactIvfIndex]],
+    * spec-pinned equal to the tombstone-filtered serve.
+    */
+  def indexDelete(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val tomb = tombstones(spark, dir)
+    val cent = pivotCentroids(e)
+    def assignOf(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), col("emb"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cos", cosine(col("emb"), col("cemb")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cos"), negate(col("cid")))).as("cid"))
+    val postings = assignOf(e) // the pre-delete index
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val probes = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id"), col("emb"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cos", cosine(col("emb"), col("cemb")))
+      .groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(struct(negate(col("cos")).as("ncos"), col("cid")))),
+                 1, NProbe).as("top"))
+      .select(col("vec_id").as("query_id"), explode(col("top.cid")).as("cid"))
+    val cands = probes.join(postings, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .localCheckpoint(true) // consumed three times: two cost aggs + serve
+    val nct = cands.groupBy(col("query_id")).agg(count(lit(1)).as("n_cands_tomb"))
+    val live = cands.join(tomb, Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    val ncl = live.groupBy(col("query_id")).agg(count(lit(1)).as("n_cands_live"))
+    val scored = live
+      .join(e.select(col("vec_id"), col("emb").as("cemb")), "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos6", round(cosine(col("qemb"), col("cemb")), 6))
+      .select(col("query_id"), col("vec_id"), col("cos6"))
+    val served = saltedTopK(scored, col("cos6").desc_nulls_last, col("vec_id").asc)
+      .select(col("query_id"), col("vec_id")).localCheckpoint(true)
+    // ground truth over the LIVE corpus: what a user can still retrieve
+    val cLive = e.filter(col("vec_id") % DelMod =!= DelRem)
+      .select(col("vec_id"), col("emb").as("cemb"))
+    val bscored = cLive.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos6", round(cosine(col("qemb"), col("cemb")), 6))
+      .select(col("query_id"), col("vec_id"), col("cos6"))
+    val b = saltedTopK(bscored, col("cos6").desc_nulls_last, col("vec_id").asc)
+      .select(col("query_id"), col("vec_id")).localCheckpoint(true)
+    val nb = b.groupBy(col("query_id")).agg(count(lit(1)).as("n_brute"))
+    val ns = served.groupBy(col("query_id")).agg(count(lit(1)).as("n_served"))
+    val ov = b.join(served, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    nb.join(ns, Seq("query_id"), "left").join(ov, Seq("query_id"), "left")
+      .join(nct, Seq("query_id"), "left").join(ncl, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_brute"),
+        coalesce(col("n_served"), lit(0L)).as("n_served"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        coalesce(col("n_cands_tomb"), lit(0L)).as("n_cands_tomb"),
+        coalesce(col("n_cands_live"), lit(0L)).as("n_cands_live"))
+      .withColumn("stale_scanned", expr("n_cands_tomb - n_cands_live"))
+      .withColumn("recall_bp", expr("n_overlap * 10000 div n_brute"))
+      .withColumn("retrain", expr("CAST(n_overlap * 5 < 4 * n_brute AS INT)"))
+  }
+
+  def indexDeleteSql: String =
+    s"""WITH e AS (
+       |  $VecsCteSql
+       |), cent AS (
+       |  SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % $CentroidMod = 0
+       |), asims AS (
+       |  SELECT e.vec_id, cid, list_cosine_similarity(cemb, emb) AS cos,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY list_cosine_similarity(cemb, emb) DESC NULLS LAST, cid ASC) AS crk
+       |  FROM e, cent
+       |), postings AS (
+       |  SELECT vec_id, cid FROM asims WHERE crk = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cid FROM asims WHERE crk <= $NProbe AND vec_id % $QueryMod = 0
+       |), cands AS (
+       |  SELECT query_id, po.vec_id FROM probes pr JOIN postings po ON pr.cid = po.cid
+       |  WHERE po.vec_id <> query_id
+       |), nct AS (
+       |  SELECT query_id, COUNT(*) AS n_cands_tomb FROM cands GROUP BY query_id
+       |), live AS (
+       |  SELECT query_id, vec_id FROM cands WHERE vec_id % $DelMod <> $DelRem
+       |), ncl AS (
+       |  SELECT query_id, COUNT(*) AS n_cands_live FROM live GROUP BY query_id
+       |), served AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, l.vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                              ORDER BY ROUND(list_cosine_similarity(qe.emb, ce.emb), 6) DESC NULLS LAST,
+       |                                       l.vec_id ASC) AS rk
+       |    FROM live l JOIN e qe ON qe.vec_id = l.query_id JOIN e ce ON ce.vec_id = l.vec_id
+       |  ) WHERE rk <= $TopK
+       |), b AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.vec_id AS query_id, e2.vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |                              ORDER BY ROUND(list_cosine_similarity(q.emb, e2.emb), 6) DESC NULLS LAST,
+       |                                       e2.vec_id ASC) AS rk
+       |    FROM e q, e e2
+       |    WHERE q.vec_id % $QueryMod = 0 AND e2.vec_id <> q.vec_id
+       |      AND e2.vec_id % $DelMod <> $DelRem
+       |  ) WHERE rk <= $TopK
+       |), nb AS (
+       |  SELECT query_id, COUNT(*) AS n_brute FROM b GROUP BY query_id
+       |), ns AS (
+       |  SELECT query_id, COUNT(*) AS n_served FROM served GROUP BY query_id
+       |), ov AS (
+       |  SELECT b.query_id, COUNT(*) AS ov
+       |  FROM b JOIN served s ON b.query_id = s.query_id AND b.vec_id = s.vec_id
+       |  GROUP BY b.query_id
+       |)
+       |SELECT nb.query_id, nb.n_brute,
+       |       COALESCE(ns.n_served, 0) AS n_served,
+       |       COALESCE(ov.ov, 0) AS n_overlap,
+       |       COALESCE(nct.n_cands_tomb, 0) AS n_cands_tomb,
+       |       COALESCE(ncl.n_cands_live, 0) AS n_cands_live,
+       |       COALESCE(nct.n_cands_tomb, 0) - COALESCE(ncl.n_cands_live, 0) AS stale_scanned,
+       |       COALESCE(ov.ov, 0) * 10000 // nb.n_brute AS recall_bp,
+       |       CAST(CASE WHEN COALESCE(ov.ov, 0) * 5 < 4 * nb.n_brute THEN 1 ELSE 0 END AS INT) AS retrain
+       |FROM nb LEFT JOIN ns ON nb.query_id = ns.query_id
+       |        LEFT JOIN ov ON nb.query_id = ov.query_id
+       |        LEFT JOIN nct ON nb.query_id = nct.query_id
+       |        LEFT JOIN ncl ON nb.query_id = ncl.query_id
+       |""".stripMargin
+
   /** Catalog table names for the persisted IVF index of fixture `dir` —
     * one index per fixture so multi-SF runs in one session never serve
     * stale postings. */
-  private def ivfIndexTables(dir: String): (String, String) = {
+  private[graft] def ivfIndexTables(dir: String): (String, String) = {
     val key = dir.replaceAll("[^A-Za-z0-9]", "_")
     (s"graft_ivf_cent_$key", s"graft_ivf_post_$key")
   }
@@ -2346,6 +2511,31 @@ object Similarity extends QueryModule {
       .saveAsTable(postT)
   }
 
+  /** Persisted-index COMPACTION (the reclaim job a delete-heavy serving
+    * deployment schedules once `stale_scanned` justifies it — see
+    * [[indexDelete]]): anti-join the stored postings against the
+    * tombstone set and write a NEW index version with the SAME
+    * bucketBy/sortBy layout, so the Exchange-free bucketed serve is
+    * preserved across the rewrite (a compaction that silently lost the
+    * bucketing would re-shuffle the corpus on every subsequent serve —
+    * IndexDeleteSpec pins both the layout and serve-result equality with
+    * the tombstone-filtered path). Versioned table, not in-place: readers
+    * of the old version are never broken mid-serve; the swap is a
+    * catalog pointer flip. Returns the compacted postings table name.
+    */
+  private[graft] def compactIvfIndex(spark: SparkSession, dir: String): String = {
+    val (_, postT) = ivfIndexTables(dir)
+    val compactT = s"${postT}_compact"
+    spark.table(postT)
+      .join(tombstones(spark, dir), Seq("vec_id"), "left_anti")
+      .select(col("cid"), col("vec_id"), col("emb"))
+      .write.bucketBy(8, "cid").sortBy("cid", "vec_id")
+      .mode("overwrite")
+      .option("path", s"target/graft_index/${dir.replaceAll("[^A-Za-z0-9]", "_")}/postings_compact")
+      .saveAsTable(compactT)
+    compactT
+  }
+
   /** The SERVE-side scored candidates (query_id, vec_id, cos6), reading
     * ONLY the persisted index tables plus the query batch: broadcast the
     * centroid table, rank a query's NProbe cells (per-BATCH work, Q×K
@@ -2355,8 +2545,16 @@ object Similarity extends QueryModule {
     * Split out from [[knnServe]] so the spec can inspect the pre-top-k
     * plan without the salted-rank windows above it.
     */
-  private[graft] def knnServeScored(spark: SparkSession, dir: String): DataFrame = {
-    val (centT, postT) = ivfIndexTables(dir)
+  private[graft] def knnServeScored(spark: SparkSession, dir: String): DataFrame =
+    knnServeScoredOn(spark, dir, ivfIndexTables(dir)._2)
+
+  /** [[knnServeScored]] against an explicit postings table version —
+    * the hook the compaction swap uses (serve the compacted index with
+    * the IDENTICAL plan shape; IndexDeleteSpec pins result equality with
+    * the tombstone-filtered serve over the original version). */
+  private[graft] def knnServeScoredOn(spark: SparkSession, dir: String,
+                                      postT: String): DataFrame = {
+    val (centT, _) = ivfIndexTables(dir)
     val cent = spark.table(centT)
     val q = vecs(spark, dir).filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
@@ -2836,6 +3034,7 @@ object Similarity extends QueryModule {
     "s_knn_graph_scaled" -> (knnGraphScaled _),
     "s_ood_outliers" -> (oodOutliers _),
     "s_incremental_index" -> (incrementalIndex _),
+    "s_index_delete" -> (indexDelete _),
     "s_knn_pagerank" -> (knnPagerank _),
     "s_knn_labelprop" -> (knnLabelProp _),
     "s_knn_serve" -> (knnServe _),
@@ -2871,6 +3070,7 @@ object Similarity extends QueryModule {
     "s_knn_graph_scaled" -> knnGraphScaledSql,
     "s_ood_outliers" -> oodOutliersSql,
     "s_incremental_index" -> incrementalIndexSql,
+    "s_index_delete" -> indexDeleteSql,
     "s_knn_pagerank" -> knnPagerankSql,
     "s_knn_labelprop" -> knnLabelPropSql,
     // the serving contract: reading the persisted index must equal the

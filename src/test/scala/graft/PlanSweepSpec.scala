@@ -57,6 +57,7 @@ class PlanSweepSpec extends SparkSpec {
     "s_knn_graph_scaled" -> "same build argmax as s_knn_graph, sqrt(N)-stride centroids",
     "s_ood_outliers" -> "contains the s_kmeans assignment subplan (Lloyd's argmin)",
     "s_incremental_index" -> "base/delta cell-assignment argmax over (cos, -cid) — ivfCandidates rationale",
+    "s_index_delete" -> "cell-assignment argmax over (cos, -cid) — ivfCandidates rationale",
     "s_knn_pagerank" -> "contains the knnGraph subplan (cell-assignment argmax)",
     "s_hard_negatives" -> "contains the ivfCandidates assignment argmax (same rationale)",
     "s_triplet_mine" -> "ivfCandidates assignment + per-anchor pos/neg argmax over (cos6, -vec_id)")
