@@ -43,9 +43,12 @@ import org.apache.spark.storage.StorageLevel
 object TextPipeline extends QueryModule {
 
   // ---- shared constants (both dialects are generated from these) ----
-  private val NumHashes = 12
-  private val NumBands = 6 // rows-per-band = 2
-  private val RowsPerBand = NumHashes / NumBands
+  // single-sourced from the native kernel (graft.spark.MinHashBands owns
+  // the MinHash family; the aggregated columns and DuckDB SQL here are
+  // generated from the same constants, so kernel and chain cannot drift)
+  private[queries] val NumHashes = graft.spark.MinHashBands.NumHashes
+  private[queries] val NumBands = graft.spark.MinHashBands.NumBands // rows-per-band = 2
+  private[queries] val RowsPerBand = graft.spark.MinHashBands.RowsPerBand
   private val Stopwords = Seq("the", "a", "of", "and", "in")
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a"),
@@ -276,11 +279,8 @@ object TextPipeline extends QueryModule {
     * cross-doc band collisions inflate ~5× (measured 30 → 144 candidate
     * pairs at sf0.01). Sums stay ≤ 2^50 pre-mod — exact int64 everywhere.
     */
-  private def mixK(i: Int, slot: Int): Long =
-    ((((i * 4 + slot + 1) * 2654435761L) >>> 13) & 0xFFFF) | 1L
-  private val MixP = Seq(1000000007L, 1000000009L, 1000000021L, 1000000033L,
-    1000000087L, 1000000093L, 1000000097L, 1000000103L,
-    1000000123L, 1000000181L, 1000000207L, 1000000223L)
+  private def mixK(i: Int, slot: Int): Long = graft.spark.MinHashBands.mixK(i, slot)
+  private val MixP: Seq[Long] = graft.spark.MinHashBands.MixP.toSeq
 
   /** Spark: per-slot `min` of the word mix (HashAggregate over bigint). */
   private def sigAggCols: Seq[Column] = (0 until NumHashes).map(i =>
@@ -297,7 +297,7 @@ object TextPipeline extends QueryModule {
     s"MIN((w1 * ${mixK(i, 0)} + w2 * ${mixK(i, 1)} + w3 * ${mixK(i, 2)} + " +
       s"w4 * ${mixK(i, 3)}) % ${MixP(i)}) AS h$i")
     .mkString(",\n         ")
-  private def sqlSigStages: String =
+  private[queries] def sqlSigStages: String =
     s"""hx AS (
        |  SELECT doc_id, md5(sh) AS h FROM sh
        |), wds AS (
@@ -316,10 +316,34 @@ object TextPipeline extends QueryModule {
     val parts = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}").cast("string"))
     md5(concat_ws(":", parts: _*))
   }
-  private def sqlBandSelects: String = (0 until NumBands).map { b =>
+  private[queries] def sqlBandSelects: String = (0 until NumBands).map { b =>
     val parts = (0 until RowsPerBand).map(r => s"h${b * RowsPerBand + r}").mkString(", ")
     s"SELECT doc_id, $b AS band, md5(concat_ws(':', $parts)) AS bkey FROM sigs"
   }.mkString("\n  UNION ALL\n  ")
+
+  /** ROW-WISE twins of the MinHash machinery for streaming ingest
+    * ([[StreamingBench]]'s near-dup guard): signature and band keys as
+    * pure column expressions over a token-array column — map-only, no
+    * aggregation, so they run inside a streaming micro-batch ahead of
+    * any stateful stage. Generated from the SAME [[mixK]]/[[MixP]]
+    * constants as [[sigAggCols]]/[[bandKeyCols]], so a row-wise and an
+    * aggregated signature of equal token sets are bit-identical.
+    */
+  private[graft] def rowMd5WordsExpr(toks: String): String =
+    s"transform($toks, t -> md5_words(t))"
+  private[graft] def rowSigExpr(tws: String): String =
+    (0 until NumHashes).map(i =>
+      s"array_min(transform($tws, w -> (element_at(w, 1) * ${mixK(i, 0)}L + " +
+        s"element_at(w, 2) * ${mixK(i, 1)}L + element_at(w, 3) * ${mixK(i, 2)}L + " +
+        s"element_at(w, 4) * ${mixK(i, 3)}L) % ${MixP(i)}L))")
+      .mkString("array(", ", ", ")")
+  private[graft] def rowBandKeysExpr(sg: String): String =
+    (0 until NumBands).map { b =>
+      val parts = (0 until RowsPerBand)
+        .map(r => s"cast(element_at($sg, ${b * RowsPerBand + r + 1}) as string)")
+        .mkString(", ")
+      s"md5(concat_ws(':', $parts))"
+    }.mkString("array(", ", ", ")")
 
   /** Word 3-shingle set per doc: the native [[graft.spark.WordShingles]]
     * kernel (one fused pass + LinkedHashSet distinct) — the declarative

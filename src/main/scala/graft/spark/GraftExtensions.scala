@@ -67,6 +67,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Murmur3Partition(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("minhash_bands"),
+      MinHashBands.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "minhash_bands takes exactly 1 argument")
+        MinHashBands(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("simhash32"),
       SimHash32.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

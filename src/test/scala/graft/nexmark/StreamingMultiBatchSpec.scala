@@ -82,6 +82,21 @@ class StreamingMultiBatchSpec extends SparkSpec {
   pinInvariance("watermarked dedup")(
     NexmarkQueries.dedupBids(_).toDF)
 
+  pinInvariance("near-dup ingest guard (dedup + LSH corpus screen)") { bids =>
+    // dedup state + stream-static posting-list probes: the corpus index is
+    // the stream's own first-half prefix (the streamIncrementalNearDup
+    // shape at spec volume), so exact dups, group near-dups and fresh docs
+    // all genuinely occur; every output column is a pure function of the
+    // id, so 4-batch admission must reproduce the 1-batch output exactly
+    val corpus = spark.read.format("nexmark")
+      .options(NexmarkSources.nexmarkOptions("bids",
+        GenConfig(eventsPerSecond = 1L), 2, 1000L, 1000L))
+      .load()
+      .select(org.apache.spark.sql.functions.col("auctionId").as("corpus_id"))
+      .distinct()
+    graft.queries.StreamingBench.nearDupGuard(bids.toDF, corpus)
+  }
+
   test("tws session merge == declarative session_window, and batching-invariant") {
     // the two Q11 ports are a state-backend-and-API head-to-head
     // (StreamingBench.streamQ11Tws); this pins output EQUALITY between
