@@ -2609,14 +2609,23 @@ object Similarity extends QueryModule {
     * of even the BENCH corpus — and a fixed per-query vertex budget
     * regardless of N. */
   private val BeamRounds = 12
-  private val BeamWidth = 12
+  /** r13 re-grid (numpy twin of the walk, validated by reproducing the
+    * r12 0.925/0.98/0.98 recalls exactly): the sf0.1 recall gap was NOT
+    * missing long-range edges — BFS showed every true top-5 reachable
+    * from the seeds — but WALK-WIDTH diversion, and the RobustPrune
+    * α-grid (1.05–2.0 over a k=24 pool) moved recall ≤ +0.015 at equal
+    * cost while width did this: 12 → 0.925, 16 → 0.965, 20 → 0.975,
+    * 24 → 0.985 at sf0.1 (1.000 at sf0.01/0.001), all at the SAME 12
+    * rounds — and rounds, not width, are the wall-clock driver (one
+    * distributed action per round). */
+  private val BeamWidth = 24
 
   /** Entry-point diversity for [[knnBeam]]: the walk seeds at the query's
     * [[SeedN]] best pivot vertices (by quantized cosine). r11 named entry
     * diversity as a recall lever; the r12 grid confirms 8 diverse seeds
     * beat 3 (the failure mode being the whole beam descending into one
     * entry cell while the true neighbors sit behind a different pivot). */
-  private[graft] val SeedN = 8
+  private[graft] val SeedN = 12
 
   /** Per-vertex directed cut of the NAVIGATION build ([[buildNavIndex]]
     * runs the [[knnGraphScaledAt]] machinery at this k): GraphK (5) is
