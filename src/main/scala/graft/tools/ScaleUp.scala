@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One-off perf-fixture generator (VERDICT r8 Next #1): replicates the
@@ -84,20 +85,49 @@ object ScaleUp {
     // independent of the scale factor (r10 VERDICT Next #2: the previous
     // scheme scaled Q and K with SF, so the decade table measured the
     // benchmark's QxN quadratic instead of the operator's per-query cost).
+    // r13 GEOMETRY-PRESERVING embedding scale-up (r12 VERDICT Next #1).
+    // The pre-r13 scheme replicated each vector with <= 5e-3 noise; at
+    // that amplitude every replica clique is its own top-5 (cos ~ 1), all
+    // kNN edges are intra-clique and the graph decomposes into ~N/k
+    // disconnected islands — graph-ANN recall was STRUCTURALLY
+    // unmeasurable on scaled fixtures (BASELINE §r12). Replica k > 0 is
+    // now an INTERPOLANT between two same-label parents — the parent and
+    // its (li + rep) mod |label| same-label neighbor in vec_id order —
+    // at a deterministic lambda in [0.25, 0.75), plus the old calibrated
+    // noise. Interpolants fill the chords of each label cluster (smooth
+    // manifold density, the geometry real corpora have and navigable
+    // small-world graphs need) instead of stacking cliques; a label with
+    // a single parent degrades to the old noise replica. The vec_id
+    // remap is unchanged: f(v) = rep*nV + v + 1 + v div 24 enumerates
+    // non-multiples of 25, so replicas contribute CORPUS ONLY (no new
+    // queries or pivots — the pinned-workload rule every decade row
+    // depends on).
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val nVraw = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
     val nV = ((nVraw + nVraw / 24 + 2 + 99) / 100) * 100
-    emb.crossJoin(broadcast(reps))
+    val wl = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    val lcnts = emb.groupBy(col("label")).agg(count(lit(1)).as("lcnt"))
+    val baseIdx = emb.withColumn("li", row_number().over(wl) - 1)
+      .join(broadcast(lcnts), "label")
+    val partners = baseIdx
+      .select(col("label"), col("li").as("pi"), col("embedding").as("pemb"))
+    val interp = baseIdx
+      .crossJoin(broadcast(spark.range(1, k).select(col("id").as("rep"))))
+      .withColumn("pi", (col("li") + col("rep")) % col("lcnt"))
+      .join(partners, Seq("label", "pi"))
+      .withColumn("new_vid",
+        col("rep") * nV + col("vec_id") + 1 + expr("vec_id div 24"))
+      .withColumn("lam",
+        expr("cast(pmod(vec_id * 31 + rep * 17, 500) + 250 as double) / 1000.0"))
       .select(
-        when(col("rep") === 0, col("vec_id"))
-          .otherwise(col("rep") * nV + col("vec_id") + 1 +
-            expr("vec_id div 24")).as("vec_id"),
-        when(col("rep") === 0, col("embedding"))
-          .otherwise(expr(
-            "transform(embedding, (x, i) -> cast(x + " +
-              "(pmod(vec_id * 31 + i * 7 + rep * 13, 997) - 498) / 1e5 as float))"))
+        col("new_vid").as("vec_id"),
+        expr("transform(embedding, (x, i) -> cast(lam * x + (1.0 - lam) * " +
+          "element_at(pemb, i + 1) + " +
+          "(pmod(new_vid * 31 + i * 7 + rep * 13, 997) - 498) / 1e5 as float))")
           .as("embedding"),
         col("label"))
+    emb.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(interp)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 

@@ -63,4 +63,48 @@ class ScaleUpSpec extends SparkSpec {
     assert(ev.count() == spark.read.parquet(s"$src/events.parquet").count() * k)
     assert(ev.schema("ts").dataType.typeName == "timestamp")
   }
+
+  test("scaled embeddings preserve navigable geometry: no replica cliques, beam recall measurable") {
+    // the r12 finding this construction replaces: noise-replica fixtures
+    // decompose into ~N/k clique islands (every replica's top-k is its
+    // own clique, cos ~ 1), so graph-ANN recall was structurally
+    // unmeasurable above the driver fixtures. Build at the FULL k = 10
+    // (the decade factor — clique degeneracy only binds when clique size
+    // exceeds the graph degree) and pin the two sides of "geometry
+    // preserved":
+    val src = "/root/testdata/sf0.001"
+    val dst = java.nio.file.Files.createTempDirectory("graft_scaleup_geo")
+      .resolve("sf0.01").toString
+    ScaleUp.scale(spark, src, dst, 10)
+
+    // (1) NO near-clone pairs anywhere: interpolants at lambda in
+    // [0.25, 0.75) sit on same-label chords, never on top of a parent —
+    // the old fixture had thousands of cos >= 0.9999 replica pairs
+    val e = spark.read.parquet(s"$dst/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS emb")
+      .selectExpr("vec_id", "emb",
+        "sqrt(aggregate(transform(emb, x -> x * x), 0D, (a, x) -> a + x)) AS nrm")
+      .filter(col("nrm") > 0)
+    val clones = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(call_function("cosine_sim", col("a.emb"), col("b.emb")) >= 0.9999)
+      .count()
+    assert(clones == 0L, s"$clones near-clone pairs (cos >= 0.9999) in the scaled corpus")
+
+    // (2) recall is MEASURABLE: the beam walk over the scaled fixture's
+    // own nav index finds most of the true top-5 (clique islands pinned
+    // this at 0.000 — seeds sit in other islands, no walk reaches truth)
+    val truth = graft.queries.Similarity.knnBrute(spark, dst)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val beam = graft.queries.Similarity.knnBeam(spark, dst)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = truth.map { case (q, t) =>
+      (beam.getOrElse(q, Set.empty) & t).size.toDouble / t.size }
+    val macroRecall = recalls.sum / recalls.size
+    assert(macroRecall >= 0.7,
+      f"beam recall@5 $macroRecall%.3f on the scaled fixture — geometry not navigable")
+  }
 }
