@@ -1001,28 +1001,36 @@ object Similarity extends QueryModule {
        round(col("d2"), 6).as("d6")), trace.toSeq)
   }
 
-  /** [[kmeansIterate]] with the default round guard. */
+  /** [[kmeansIterate]] with the default round guard. 100 (was 30
+    * through r12): the r13 geometry-preserving ScaleUp replaced the
+    * clique fixture — whose replicas snapped to their parents in <= 17
+    * rounds — with interpolant chords, real Lloyd's geometry with the
+    * classic slow tail (probed: sf1 moves <= 20 points/round from round
+    * ~50 and converges at 76; graft.tools.KmeansProbe). Still a
+    * loud-failure guard against cycling, not a tuning knob. */
   def kmeansConverged(spark: SparkSession, dir: String): DataFrame =
-    kmeansIterate(spark, dir, maxRounds = 30)._1
+    kmeansIterate(spark, dir, maxRounds = 100)._1
 
   /** Unroll depth of the `s_kmeans_conv` oracle: the max converged round
-    * count across the three driver scale factors (probed 8 / 7 / 17 at
-    * sf0.001 / 0.01 / 0.1). Rounds past convergence are EXACT no-ops —
+    * count across the probed scale factors (8 / 7 / 17 at
+    * sf0.001 / 0.01 / 0.1; 76 at the sf1 interpolant fixture —
+    * KmeansProbe trace). Rounds past convergence are EXACT no-ops —
     * an unchanged assignment reproduces identical quantized centroids,
     * distances and argmins — so one unroll depth serves every sf whose
     * convergence is at most this deep, and [[kmeansConvEntry]] fails
     * loudly if the fixture ever stops satisfying that.
     */
-  private val KmeansConvUnroll = 17
+  private val KmeansConvUnroll = 76
   /** Probed converged round counts per sf (trace length incl. the initial
     * assignment round), asserted by the entry so a data or algorithm
     * drift can never silently pass on a stale unrolled oracle. */
-  private val KmeansConvRounds = Map("0.001" -> 8, "0.01" -> 7, "0.1" -> 17)
+  private val KmeansConvRounds =
+    Map("0.001" -> 8, "0.01" -> 7, "0.1" -> 17, "1" -> 76)
 
   /** `s_kmeans_conv`: [[kmeansConverged]] with the converged round count
     * pinned against [[KmeansConvRounds]] (and the oracle's unroll depth). */
   def kmeansConvEntry(spark: SparkSession, dir: String): DataFrame = {
-    val (out, trace) = kmeansIterate(spark, dir, maxRounds = 30)
+    val (out, trace) = kmeansIterate(spark, dir, maxRounds = 100)
     require(trace.size <= KmeansConvUnroll,
       s"converged in ${trace.size} rounds > oracle unroll $KmeansConvUnroll — re-probe and bump")
     "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1)).foreach { sf =>
