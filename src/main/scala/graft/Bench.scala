@@ -10,10 +10,15 @@ import org.apache.spark.sql.SparkSession
   * (first line of the exception) and EXCLUDED from the per-query times and
   * the total — a broken query must never record a fast time.
   *
-  * Cache hygiene: `clearCache()` + GC hint between queries so one query's
-  * cached/checkpointed blocks can never bleed into another's measurement
-  * (38 queries × 3 executions in one session otherwise accumulate blocks
-  * and churn the block manager).
+  * Cache hygiene: `clearCache()` + unpersist-all + GC hint between queries
+  * so one query's cached/checkpointed blocks can never bleed into another's
+  * measurement. `clearCache()` alone is NOT enough: it drops SQL-cached
+  * relations but leaves `localCheckpoint`ed RDD blocks registered in the
+  * block manager, and ~145 entries × 3 executions accumulate hundreds of
+  * such block sets — the storage churn behind t_dup_spans' full-suite-only
+  * budget breaches in r11/r12 (BASELINE §round-13). getPersistentRDDs
+  * covers both persisted and localCheckpointed RDDs; unpersisting between
+  * queries is safe because nothing references the previous query's plan.
   *
   * SPARK_GRAFT_ONLY (optional): comma-separated query names — bench only
   * those. For local profiling; the driver leaves it unset.
@@ -44,7 +49,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
 
-    def sweep(): Unit = { spark.catalog.clearCache(); System.gc() }
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
 
     // warmup: exercise every query once at the smallest SF (class loading,
     // codegen compilation, parquet footer caches)

@@ -47,8 +47,11 @@ object Verify {
         }
       }
       // cache hygiene: no query's cached/checkpointed blocks may bleed
-      // into the next one's run (38 queries share this session)
+      // into the next one's run. clearCache() alone leaves localCheckpoint
+      // blocks registered — ~145 entries' worth of those churns the block
+      // manager and slows the tail of the sweep (BASELINE §round-13)
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
