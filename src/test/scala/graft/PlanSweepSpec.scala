@@ -60,7 +60,9 @@ class PlanSweepSpec extends SparkSpec {
     "s_index_delete" -> "cell-assignment argmax over (cos, -cid) — ivfCandidates rationale",
     "s_knn_pagerank" -> "contains the knnGraph subplan (cell-assignment argmax)",
     "s_hard_negatives" -> "contains the ivfCandidates assignment argmax (same rationale)",
-    "s_triplet_mine" -> "ivfCandidates assignment + per-anchor pos/neg argmax over (cos6, -vec_id)")
+    "s_triplet_mine" -> "ivfCandidates assignment + per-anchor pos/neg argmax over (cos6, -vec_id)",
+    "s_knn_filtered" -> "contains the ivfCandidates assignment argmax (same rationale)",
+    "s_index_merge" -> "per-segment + merged cell-assignment argmax over (cos, -cid) — ivfCandidates rationale")
 
   private val DefaultWidth = 8
 
