@@ -32,8 +32,8 @@ object Similarity extends QueryModule {
 
   private[graft] val QueryMod = 50 // vec_id % QueryMod == 0 → query vector
   private val CentroidMod = 25 // vec_id % CentroidMod == 0 → IVF centroid
-  private val NProbe = 3
-  private val TopK = 5
+  private[graft] val NProbe = 3
+  private[graft] val TopK = 5
   private val Salts = 8
 
   /** Shared DuckDB oracle CTE body (the SQL twin of [[vecs]]): vectors
@@ -3455,6 +3455,42 @@ object Similarity extends QueryModule {
        |        LEFT JOIN ovs ON nb.query_id = ovs.query_id
        |        LEFT JOIN ovm ON nb.query_id = ovm.query_id
        |""".stripMargin
+  }
+
+  /** Static IVF serving tables for the STREAMING serve
+    * (`stream_knn_serve`): query-vector lookup (qv, qemb), probe map
+    * (qv → one row per probed cid, for EVERY corpus vector — any
+    * streamed id may become a query), postings with embeddings
+    * (cid, vec_id, cemb), and the raw embedding count V that maps
+    * streamed ids into the vector-id space. All three tables are
+    * eagerly localCheckpointed: a stream-static join re-evaluates its
+    * static side every micro-batch, and the probe/assignment argmax
+    * over corpus × centroids must be paid ONCE at index-build time,
+    * exactly like the persisted serve's bucketed tables.
+    */
+  private[graft] def ivfServeStatics(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, Long) = {
+    val v = Tables.embeddings(spark, dir).count()
+    val e = vecs(spark, dir)
+    val cent = pivotCentroids(e)
+    def simsOf(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), col("emb"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cos", cosine(col("emb"), col("cemb")))
+      .select(col("vec_id"), col("cid"), col("cos"))
+    val probes = simsOf(e).groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(struct(negate(col("cos")).as("ncos"), col("cid")))),
+                 1, NProbe).as("top"))
+      .select(col("vec_id").as("qv"), explode(col("top.cid")).as("cid"))
+      .localCheckpoint(true)
+    val assign = simsOf(e).groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cos"), negate(col("cid")))).as("cid"))
+    val cells = assign.join(e.select(col("vec_id"), col("emb").as("cemb")), "vec_id")
+      .select(col("cid"), col("vec_id"), col("cemb"))
+      .localCheckpoint(true)
+    val qembs = e.select(col("vec_id").as("qv"), col("emb").as("qemb"))
+      .localCheckpoint(true)
+    (qembs, probes, cells, v)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1258,6 +1258,111 @@ object StreamingBench extends QueryModule {
       |""".stripMargin
   }
 
+  /** Streaming ANN SERVING — the online twin of the batch `s_knn_serve`:
+    * a query stream (each admitted bid event becomes a vector query via
+    * qv = auctionId mod V) served from the STATIC IVF index the batch
+    * entries build, with per-event top-[[Similarity.TopK]] ranking done
+    * in-stream.
+    *
+    * Dataflow: (1) watermarked exact dedup on (auctionId, eventTime) —
+    * the at-least-once guard, same bounded-state argument as
+    * `stream_incremental_dedup`; (2) THREE stream-static joins against
+    * the index statics ([[Similarity.ivfServeStatics]], each
+    * localCheckpointed once — query-vector lookup, probe map, posting
+    * cells with embeddings; all broadcast here, bucketed Exchange-free
+    * probes at 100 TB exactly like the persisted batch serve); (3) one
+    * codegen'd cosine per (event, candidate) — stateless; (4) per-event
+    * top-k via a watermarked aggregation keyed by (eventTime,
+    * auctionId, qv) whose state is bounded by the probe's candidate
+    * count (~NProbe cells) per in-flight event, evicted as the
+    * watermark passes. Every output column is a pure function of
+    * (auctionId, timestamp), so arrival races never change a value; the
+    * final-watermark cutoff (events with eventTime ≥ max − 2 s never
+    * finalize) is the q5/topk oracle model.
+    *
+    * sf0.1 → 100,000 streamed queries × ~75 scored candidates each
+    * against the 2,000-vector index.
+    */
+  def streamKnnServe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rows = math.max(1L, (1000000L * sfOf(dir) / Parallelism).toLong)
+    // 50 events/s (20 ms spacing): the 2 s watermark delay must stay well
+    // inside the stream's event-time span at EVERY fixture scale — at the
+    // q5 entries' 1000 events/s the sf0.01 gate's 1,250 events span only
+    // 1.25 s and the final watermark would drop every event
+    val cfg = GenConfig(eventsPerSecond = 50L)
+    dumpInput(spark, dir, "stream_knn_serve", "bids", cfg, rows)
+    val (qembs, probes, cells, v) = Similarity.ivfServeStatics(spark, dir)
+    val bids = NexmarkSources.bidStreamDsv2(spark, cfg, Parallelism, rows, rowsPerBatchFor(rows))
+    val served = bids.toDF
+      .withColumn("eventTime", timestamp_millis(col("timestamp")))
+      .withWatermark("eventTime", "2 seconds")
+      .dropDuplicates("auctionId", "eventTime")
+      .withColumn("qv", pmod(col("auctionId"), lit(v)))
+      .join(broadcast(qembs), Seq("qv"))
+      .join(broadcast(probes), Seq("qv"))
+      .join(broadcast(cells), Seq("cid"))
+      .filter(col("vec_id") =!= col("qv"))
+      .withColumn("cos6", round(call_function("cosine_sim", col("qemb"), col("cemb")), 6))
+      .groupBy(col("eventTime"), col("auctionId"), col("qv"))
+      .agg(count(lit(1)).as("n_cands"),
+        slice(array_sort(collect_list(struct(negate(col("cos6")).as("nc"), col("vec_id")))),
+              1, Similarity.TopK).as("top"))
+      .select(col("auctionId"), unix_millis(col("eventTime")).as("ts"), col("qv"),
+        col("n_cands"), posexplode(col("top")))
+      .select(col("auctionId"), col("ts"), col("qv"), col("n_cands"),
+        (col("pos") + 1).cast("long").as("rk"),
+        col("col.vec_id").as("vec_id"), negate(col("col.nc")).as("cos6"))
+    runToParquet(spark, served, "knnserve", expectedBatches(rows))
+  }
+
+  /** One row per (distinct admitted query event, rank): the aggregation
+    * finalizes exactly the events with eventTime ≤ final wm = max(ts) −
+    * 2000 (a raw event-time KEY finalizes at wm ≥ key — one tick earlier
+    * than the q5 WINDOW model's end ≤ wm, verified against the engine at
+    * sf0.001 where the boundary carries 8 events); qv/candidates/ranks
+    * are pure functions of the event key, recomputed by the same IVF CTE
+    * chain the batch oracles use over the `embeddings` table.
+    */
+  private val streamKnnServeSql: String =
+    s"""WITH braw AS (SELECT * FROM ${inPath("stream_knn_serve", "bids")}),
+      |wm AS (SELECT MAX(timestamp) - 2000 AS w FROM braw),
+      |b AS (
+      |  SELECT DISTINCT auctionId, timestamp FROM braw
+      |  WHERE timestamp <= (SELECT w FROM wm)
+      |), e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      |  WHERE sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) > 0
+      |), cent AS (
+      |  SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % 25 = 0
+      |), sims AS (
+      |  SELECT e.vec_id, cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(cemb, emb) DESC NULLS LAST, cid ASC) AS crk
+      |  FROM e, cent
+      |), assign AS (
+      |  SELECT vec_id, cid FROM sims WHERE crk = 1
+      |), probes AS (
+      |  SELECT vec_id AS qv, cid FROM sims WHERE crk <= ${Similarity.NProbe}
+      |), ev AS (
+      |  SELECT auctionId, timestamp AS ts,
+      |         auctionId % (SELECT COUNT(*) FROM embeddings) AS qv
+      |  FROM b
+      |), scored AS (
+      |  SELECT ev.auctionId, ev.ts, ev.qv, a.vec_id,
+      |         ROUND(list_cosine_similarity(qe.emb, ce.emb), 6) AS cos6
+      |  FROM ev JOIN e qe ON qe.vec_id = ev.qv
+      |          JOIN probes p ON p.qv = ev.qv
+      |          JOIN assign a ON a.cid = p.cid AND a.vec_id <> ev.qv
+      |          JOIN e ce ON ce.vec_id = a.vec_id
+      |)
+      |SELECT auctionId, ts, qv,
+      |       CAST(COUNT(*) OVER (PARTITION BY auctionId, ts) AS BIGINT) AS n_cands,
+      |       ROW_NUMBER() OVER (PARTITION BY auctionId, ts
+      |                          ORDER BY cos6 DESC NULLS LAST, vec_id ASC) AS rk,
+      |       vec_id, cos6
+      |FROM scored QUALIFY rk <= ${Similarity.TopK}
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_q5_hot" -> (streamQ5Hot _),
     "stream_q8_join" -> (streamQ8Join _),
@@ -1275,6 +1380,7 @@ object StreamingBench extends QueryModule {
     "stream_scd2_enrich" -> (streamScd2Enrich _),
     "stream_quantile_profile" -> (streamQuantileProfile _),
     "stream_incremental_neardup" -> (streamIncrementalNearDup _),
+    "stream_knn_serve" -> (streamKnnServe _),
   )
 
   /** DuckDB oracles over each entry's dumped input events (see the class
@@ -1297,5 +1403,6 @@ object StreamingBench extends QueryModule {
     "stream_scd2_enrich" -> streamScd2EnrichSql,
     "stream_quantile_profile" -> streamQuantileProfileSql,
     "stream_incremental_neardup" -> streamIncrementalNearDupSql,
+    "stream_knn_serve" -> streamKnnServeSql,
   )
 }
