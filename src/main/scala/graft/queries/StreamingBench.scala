@@ -1285,7 +1285,16 @@ object StreamingBench extends QueryModule {
     */
   def streamKnnServe(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val rows = math.max(1L, (1000000L * sfOf(dir) / Parallelism).toLong)
+    // Query volume scales with SF up to the bench scale and is CAPPED
+    // there: a serving tier's query RATE is a deployment constant while
+    // the CORPUS is the scale variable, and the fixture's pinned 80-cell
+    // index makes per-query scan grow ∝ corpus — an uncapped query count
+    // would make total serve work Q×N quadratic in SF (the r10 ScaleUp
+    // benchmark-quadratic class; uncapped, the sf1 sweep OOM'd scoring
+    // 1M events × ~790 candidates). At sf1 the capped entry measures the
+    // honest serving question: constant 100k-query load against a 10×
+    // corpus = 10× per-query scan.
+    val rows = math.max(1L, (1000000L * math.min(sfOf(dir), 0.1) / Parallelism).toLong)
     // 50 events/s (20 ms spacing): the 2 s watermark delay must stay well
     // inside the stream's event-time span at EVERY fixture scale — at the
     // q5 entries' 1000 events/s the sf0.01 gate's 1,250 events span only
