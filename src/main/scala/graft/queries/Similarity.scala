@@ -35,6 +35,10 @@ object Similarity extends QueryModule {
   private[graft] val NProbe = 3
   private[graft] val TopK = 5
   private val Salts = 8
+  /** Radius-search threshold: ~0.5% of random query-corpus pairs at the
+    * fixture geometry — non-trivial result mass at every SF (40/50/582
+    * rows at sf0.001/0.01/0.1) without approaching the max cos ≈ 0.45. */
+  private val RangeTau = 0.30
 
   /** Shared DuckDB oracle CTE body (the SQL twin of [[vecs]]): vectors
     * with a positive norm, cast to double. Interpolated into every
@@ -112,6 +116,48 @@ object Similarity extends QueryModule {
        |SELECT query_id, vec_id, ROUND(cos, 6) AS cos6,
        |       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC NULLS LAST, vec_id ASC) AS rk
        |FROM s QUALIFY rk <= $TopK
+       |""".stripMargin
+
+  /** `s_range_search`: RADIUS (threshold) search — every corpus vector
+    * with cosine ≥ [[RangeTau]] of each query, the query shape behind
+    * "find everything near-duplicate to X" audits and dedup spot checks.
+    *
+    * Deliberately a zero-shuffle exact scan: queries broadcast, ONE
+    * narrow codegen'd map pass over the corpus (filter + project — no
+    * aggregation, no exchange; at 100 TB it is a pure scan whose cost is
+    * I/O). Metric cell pruning was measured and rejected for the exact
+    * path: on this embedding geometry the spherical triangle-inequality
+    * bound cos(θ(q,μ) − r_cell) prunes NOTHING (r13 probe: nearest-
+    * centroid cell radii sit near π/2 in high dimension, so the bound
+    * stays ≈ sin θ(q,μ) ≥ τ for every cell at τ = 0.3 — 200/200 and
+    * 3200/3200 query-cell pairs survive at sf0.01/sf0.1). Sub-scan range
+    * search therefore requires accepting approximation, which is the
+    * sign-LSH pair family (`s_lsh_dup_pairs`), not this exact audit.
+    * Threshold compares the same ROUND(cos, 6) both engines rank on, so
+    * the boundary can never flip cross-engine.
+    */
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    e.select(col("vec_id"), col("emb").as("cemb"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos6", round(cosine(col("qemb"), col("cemb")), 6))
+      .filter(col("cos6") >= RangeTau)
+      .select(col("query_id"), col("vec_id"), col("cos6"))
+  }
+
+  def rangeSearchSql: String =
+    s"""WITH e AS (
+       |  $VecsCteSql
+       |), q AS (
+       |  SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id % $QueryMod = 0
+       |)
+       |SELECT query_id, vec_id, ROUND(list_cosine_similarity(qemb, emb), 6) AS cos6
+       |FROM q, e
+       |WHERE vec_id <> query_id
+       |  AND ROUND(list_cosine_similarity(qemb, emb), 6) >= $RangeTau
        |""".stripMargin
 
   /** IVF-style ANN: assign every vector to its nearest of the deterministic
@@ -3457,6 +3503,137 @@ object Similarity extends QueryModule {
        |""".stripMargin
   }
 
+  /** `s_cell_split`: IVF posting-cell SPLIT — the rebalance half of index
+    * maintenance, completing the triad with `s_index_delete` (tombstone +
+    * compaction) and `s_index_merge` (segment consolidation). Probed-cell
+    * size IS per-query serving cost, so a store splits its heaviest cells:
+    * every cell with occupancy strictly above the mean is split in two by
+    * one deterministic 2-means-style round — seed A = the cell's most
+    * peripheral member (lowest cos to centroid), seed B = the member
+    * farthest from A, members reassigned to their nearer seed (ties → A).
+    * Output is the full rebalance audit, one row per ORIGINAL cell:
+    * occupancy before, whether it split, both seeds, and the two half
+    * sizes (n_a + n_b = n_before — mass conservation, CellSplitSpec).
+    *
+    * Scale shape: detection is one hash agg over postings; every split
+    * stage is keyed on cid (seed selection = bounded aggs over one cell's
+    * members, reassignment = a per-member two-cosine compare), so work is
+    * linear in the split cells' member mass — no pairwise-diameter seed
+    * search, no all-pairs anywhere. The seed argmins pack (cos6, vec_id)
+    * into ONE BIGINT key so they stay HashAggregates with map-side
+    * partial combine; the cell-assignment argmax keeps the IVF entries'
+    * reviewed max_by(struct) SortAggregate form (same rank semantics as
+    * `s_knn_ivf`'s assign — raw-cos order, ties to the lowest cid —
+    * which a rounded pack could not reproduce), allowlisted like them
+    * in PlanSweepSpec.
+    */
+  def cellSplit(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = pivotCentroids(e)
+    val emb = e.select(col("vec_id"), col("emb"))
+    // (vec_id, cid, cos6c): each vector's cell + rounded cos to centroid
+    val members = emb
+      .crossJoin(broadcast(cent))
+      .withColumn("cos", cosine(col("emb"), col("cemb")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), round(col("cos"), 6).as("cos6c")),
+                  struct(col("cos"), negate(col("cid")))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.cos6c").as("cos6c"))
+      .localCheckpoint(true)
+    val occ = members.groupBy(col("cid")).agg(count(lit(1)).as("n_before"))
+    val tot = occ.agg(sum(col("n_before")).as("n"), count(lit(1)).as("k"))
+    val cells = occ.crossJoin(broadcast(tot))
+      .withColumn("is_split", (col("n_before") * col("k") > col("n")).cast("long"))
+      .select(col("cid"), col("n_before"), col("is_split"))
+    // argmin-by-(cos6, vec_id) as ONE BIGINT: cos6 * 1e6 is an integer in
+    // [-1e6, 1e6] up to float representation noise — ROUND (not truncate)
+    // recovers it exactly — then shift non-negative, shift left 32, add id
+    def minKey(cos6: Column): Column =
+      (round(cos6 * 1000000.0, 0).cast("long") + 1000000L) * 4294967296L + col("vec_id")
+    def keyId(key: Column): Column = pmod(key, lit(4294967296L)).cast("long")
+    val splitMembers = members
+      .join(cells.filter(col("is_split") === 1L).select(col("cid")), "cid")
+      .localCheckpoint(true)
+    val seedA = splitMembers
+      .groupBy(col("cid")).agg(min(minKey(col("cos6c"))).as("ka"))
+      .select(col("cid"), keyId(col("ka")).as("seed_a"))
+    val withA = splitMembers
+      .join(seedA, "cid")
+      .join(emb.select(col("vec_id").as("seed_a"), col("emb").as("aemb")), "seed_a")
+      .join(emb, "vec_id")
+      .withColumn("cos6a", round(cosine(col("emb"), col("aemb")), 6))
+      .localCheckpoint(true)
+    val seedB = withA.filter(col("vec_id") =!= col("seed_a"))
+      .groupBy(col("cid")).agg(min(minKey(col("cos6a"))).as("kb"))
+      .select(col("cid"), keyId(col("kb")).as("seed_b"))
+    val halves = withA
+      .join(seedB, "cid")
+      .join(emb.select(col("vec_id").as("seed_b"), col("emb").as("bemb")), "seed_b")
+      .withColumn("cos6b", round(cosine(col("emb"), col("bemb")), 6))
+      .groupBy(col("cid"))
+      .agg(sum(when(col("cos6b") > col("cos6a"), 1L).otherwise(0L)).as("n_b"),
+           min(col("seed_a")).as("seed_a"), min(col("seed_b")).as("seed_b"))
+    cells.join(halves, Seq("cid"), "left")
+      .select(col("cid"), col("n_before"), col("is_split"),
+        coalesce(col("seed_a"), lit(-1L)).as("seed_a"),
+        coalesce(col("seed_b"), lit(-1L)).as("seed_b"),
+        (col("n_before") - coalesce(col("n_b"), lit(0L))).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+  }
+
+  def cellSplitSql: String =
+    s"""WITH e AS (
+       |  $VecsCteSql
+       |), cent AS (
+       |  SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % $CentroidMod = 0
+       |), sims AS (
+       |  SELECT e.vec_id, cid, list_cosine_similarity(cemb, emb) AS cos,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY list_cosine_similarity(cemb, emb) DESC NULLS LAST, cid ASC) AS crk
+       |  FROM e, cent
+       |), members AS (
+       |  SELECT vec_id, cid, ROUND(cos, 6) AS cos6c FROM sims WHERE crk = 1
+       |), occ AS (
+       |  SELECT cid, COUNT(*) AS n_before FROM members GROUP BY cid
+       |), tot AS (
+       |  SELECT CAST(SUM(n_before) AS BIGINT) AS n, COUNT(*) AS k FROM occ
+       |), cells AS (
+       |  SELECT cid, n_before,
+       |         CAST(n_before * k > n AS BIGINT) AS is_split
+       |  FROM occ, tot
+       |), seeda AS (
+       |  SELECT m.cid, m.vec_id AS seed_a FROM members m
+       |  JOIN cells c ON c.cid = m.cid AND c.is_split = 1
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY m.cid
+       |                             ORDER BY m.cos6c ASC, m.vec_id ASC) = 1
+       |), cosa AS (
+       |  SELECT m.cid, m.vec_id, sa.seed_a,
+       |         ROUND(list_cosine_similarity(me.emb, ae.emb), 6) AS cos6a
+       |  FROM members m JOIN seeda sa ON sa.cid = m.cid
+       |  JOIN e me ON me.vec_id = m.vec_id
+       |  JOIN e ae ON ae.vec_id = sa.seed_a
+       |), seedb AS (
+       |  SELECT cid, vec_id AS seed_b FROM cosa WHERE vec_id <> seed_a
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY cid
+       |                             ORDER BY cos6a ASC, vec_id ASC) = 1
+       |), halves AS (
+       |  SELECT ca.cid,
+       |         CAST(SUM(CASE WHEN ROUND(list_cosine_similarity(me.emb, be.emb), 6) > ca.cos6a
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |         MIN(ca.seed_a) AS seed_a, MIN(sb.seed_b) AS seed_b
+       |  FROM cosa ca JOIN seedb sb ON sb.cid = ca.cid
+       |  JOIN e me ON me.vec_id = ca.vec_id
+       |  JOIN e be ON be.vec_id = sb.seed_b
+       |  GROUP BY ca.cid
+       |)
+       |SELECT c.cid, c.n_before, c.is_split,
+       |       COALESCE(h.seed_a, -1) AS seed_a,
+       |       COALESCE(h.seed_b, -1) AS seed_b,
+       |       c.n_before - COALESCE(h.n_b, 0) AS n_a,
+       |       COALESCE(h.n_b, 0) AS n_b
+       |FROM cells c LEFT JOIN halves h ON h.cid = c.cid
+       |""".stripMargin
+
   /** Static IVF serving tables for the STREAMING serve
     * (`stream_knn_serve`): query-vector lookup (qv, qemb), probe map
     * (qv → one row per probed cid, for EVERY corpus vector — any
@@ -3529,6 +3706,8 @@ object Similarity extends QueryModule {
     "s_triplet_mine" -> (tripletMine _),
     "s_knn_filtered" -> (knnFiltered _),
     "s_index_merge" -> (indexMerge _),
+    "s_cell_split" -> (cellSplit _),
+    "s_range_search" -> (rangeSearch _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3569,5 +3748,7 @@ object Similarity extends QueryModule {
     "s_triplet_mine" -> tripletMineSql,
     "s_knn_filtered" -> knnFilteredSql,
     "s_index_merge" -> indexMergeSql,
+    "s_cell_split" -> cellSplitSql,
+    "s_range_search" -> rangeSearchSql,
   )
 }

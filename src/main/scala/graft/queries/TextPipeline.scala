@@ -1751,6 +1751,71 @@ object TextPipeline extends QueryModule {
        |GROUP BY doc_id
        |""".stripMargin
 
+  /** Corpus novelty curve: per (source, ingestion decile), the fraction
+    * of word-3-shingles whose FIRST corpus occurrence (min doc_id, doc_id
+    * = ingestion order) falls in that bucket's docs — the diminishing-
+    * returns diagnostic a curation run reads before deciding how much
+    * more of a crawl to ingest (novelty collapsing toward 0 means the
+    * source is re-crawling itself).
+    *
+    * Scale shape: shingle-explode → ONE hash aggregation keyed on the
+    * 128-bit md5 shingle fingerprint (min doc_id; map-side partial combine
+    * does the heavy reduction since repeated shingles collapse early) →
+    * per-doc novel counts via a second small agg keyed on doc_id — no
+    * join back to the shingle table, so the big intermediate is touched
+    * exactly once. Everything downstream is doc-granular (≤ N rows).
+    * The decile is exact BIGINT arithmetic: doc_id * 10 / (max_id + 1).
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsNorm(spark, dir)
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), col("source"), shinglesCol.as("shingles"))
+      .localCheckpoint(true)
+    val firstSeen = d.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), call_function("md5_words", col("sh")).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("doc_id"))
+    val novel = firstSeen.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    val maxId = d.agg(max(col("doc_id")).as("max_id"))
+    d.select(col("doc_id"), col("source"), size(col("shingles")).cast("long").as("n_sh"))
+      .join(novel, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_novel"))
+      .crossJoin(broadcast(maxId))
+      .withColumn("decile", expr("doc_id * 10 div (max_id + 1)"))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_sh")).as("tot_shingles"),
+           sum(col("n_novel")).as("tot_novel"))
+      .withColumn("novelty", expr(Det.r4("tot_novel / tot_shingles")))
+  }
+
+  /** Oracle keys first-occurrence on the raw shingle STRING (the Spark
+    * side keys on its collision-free md5 fingerprint purely to shrink
+    * shuffle bytes — min doc_id per shingle is identical either way).
+    */
+  def ngramNoveltySql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, string_split(${normSql("text")}, ' ') AS ws
+       |  FROM documents
+       |), ds AS (
+       |  SELECT doc_id, source, ${shinglesSqlExpr(3)} AS shingles
+       |  FROM d WHERE LEN(ws) >= 3
+       |), sh AS (
+       |  SELECT doc_id, UNNEST(shingles) AS sh FROM ds
+       |), fs AS (
+       |  SELECT sh, MIN(doc_id) AS doc_id FROM sh GROUP BY sh
+       |), novel AS (
+       |  SELECT doc_id, COUNT(*) AS n_novel FROM fs GROUP BY doc_id
+       |), mx AS (SELECT MAX(doc_id) AS max_id FROM ds)
+       |SELECT source, doc_id * 10 // (max_id + 1) AS decile,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(LEN(shingles)) AS BIGINT) AS tot_shingles,
+       |       CAST(SUM(COALESCE(n_novel, 0)) AS BIGINT) AS tot_novel,
+       |       ${Det.r4("SUM(COALESCE(n_novel, 0)) / SUM(LEN(shingles))")} AS novelty
+       |FROM ds LEFT JOIN novel USING (doc_id), mx
+       |GROUP BY source, decile
+       |""".stripMargin
+
   /** Document-length histogram: 100-char buckets with per-bucket token
     * stats — the size-profile pass every corpus curation run starts with.
     * Single hash aggregation; bucket arithmetic is exact int math.
@@ -4313,6 +4378,7 @@ object TextPipeline extends QueryModule {
     "t_cluster_best" -> (clusterBest _),
     "t_curation_e2e" -> (curationE2e _),
     "t_doc_freq" -> (docFreq _),
+    "t_ngram_novelty" -> (ngramNovelty _),
     "t_winnow_pairs" -> (winnowPairs _),
     "t_cross_source_dup" -> (crossSourceDup _),
     "t_tfidf_topk" -> (tfidfTopk _),
@@ -4376,6 +4442,7 @@ object TextPipeline extends QueryModule {
     "t_cluster_best" -> clusterBestSql,
     "t_curation_e2e" -> curationE2eSql,
     "t_doc_freq" -> docFreqSql,
+    "t_ngram_novelty" -> ngramNoveltySql,
     "t_winnow_pairs" -> winnowPairsSql,
     "t_cross_source_dup" -> crossSourceDupSql,
     "t_tfidf_topk" -> tfidfTopkSql,
