@@ -1258,6 +1258,82 @@ object StreamingBench extends QueryModule {
       |""".stripMargin
   }
 
+  /** `stream_quality_gate`: streaming INGESTION QUALITY GATE — the
+    * admission-control stage a production ingest runs AHEAD of the dedup
+    * guards: reject low-quality arrivals before paying dedup state for
+    * them. Streamed events map to documents (auctionId mod D — the
+    * `stream_knn_serve` id idiom), a STATIC quality-scored gate table
+    * ([[TextPipeline.qualityGateStatic]]: the batch keep-half policy
+    * frozen to per-source thresholds — the batch job decides, the stream
+    * applies) is broadcast stream-static joined (STATELESS), and the only
+    * stateful stage is ONE watermarked 5 s tumbling aggregation per
+    * (window, source): admitted/rejected counts + admitted score mass.
+    * State is windows × sources — never events. Every output column is a
+    * pure function of (auctionId, timestamp), so arrival races never
+    * change a value; emission is the q5 window model (end ≤ final wm).
+    * sf0.1 → 1,000,000 streamed events gated by the static battery.
+    */
+  def streamQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val rows = math.max(1L, (10000000L * sfOf(dir) / Parallelism).toLong)
+    // 100 events/s: the sf0.001 probe's 1,250 events then span 12.5 s of
+    // event time, so whole 5 s windows close beyond the 2 s watermark
+    // delay (end ≤ max − 2000 needs span ≥ 7 s) at EVERY fixture scale —
+    // at the q5 entries' 1000 eps that probe spans 1.25 s and emits
+    // nothing (the stream_knn_serve generator-clock rule)
+    val cfg = GenConfig(eventsPerSecond = 100L)
+    dumpInput(spark, dir, "stream_quality_gate", "bids", cfg, rows)
+    // eager localCheckpoint: a stream-static join re-evaluates its static
+    // side every micro-batch; the scoring + threshold windows must be
+    // paid once at gate-build time, like the serve entries' index tables
+    val gate = TextPipeline.qualityGateStatic(spark, dir).localCheckpoint(true)
+    val d = gate.count()
+    val bids = NexmarkSources.bidStreamDsv2(spark, cfg, Parallelism, rows, rowsPerBatchFor(rows))
+    runToParquet(spark, qualityGateStream(bids.toDF, gate, d), "qualitygate",
+      expectedBatches(rows))
+  }
+
+  /** The gate dataflow itself (split out so StreamingMultiBatchSpec can
+    * pin 1-batch == 4-batch over its own bounded fixture). */
+  private[graft] def qualityGateStream(bids: DataFrame, gate: DataFrame, d: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    bids
+      .withColumn("eventTime", timestamp_millis(col("timestamp")))
+      .withWatermark("eventTime", "2 seconds")
+      .withColumn("doc_id", pmod(col("auctionId"), lit(d)))
+      .join(broadcast(gate), Seq("doc_id"))
+      .groupBy(window(col("eventTime"), "5 seconds"), col("source"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("pass")).as("n_pass"),
+        sum(lit(1L) - col("pass")).as("n_fail"),
+        sum(col("score_scaled") * col("pass")).as("admitted_score_sum"))
+      .select(unix_millis(col("window.start")).as("windowStartMs"), col("source"),
+        col("n_events"), col("n_pass"), col("n_fail"), col("admitted_score_sum"))
+  }
+
+  /** Gate accounting over the dumped events: per (5 s window, source) the
+    * admitted/rejected split, windows emitted iff end ≤ final wm = max(ts)
+    * − 2000 (the q5 model); pass/threshold recomputed by the SAME CTE
+    * chain the batch battery uses ([[TextPipeline.qualityGateStaticSql]]).
+    */
+  private val streamQualityGateSql: String =
+    s"""WITH braw AS (SELECT * FROM ${inPath("stream_quality_gate", "bids")}),
+      |wm AS (SELECT MAX(timestamp) - 2000 AS w FROM braw),
+      |${TextPipeline.qualityGateStaticSql}, ev AS (
+      |  SELECT timestamp, auctionId % (SELECT COUNT(*) FROM documents) AS doc_id
+      |  FROM braw
+      |), j AS (
+      |  SELECT (timestamp // 5000) * 5000 AS windowStartMs, g.source, g.pass, g.score_scaled
+      |  FROM ev JOIN gate g USING (doc_id)
+      |)
+      |SELECT windowStartMs, source,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(pass) AS BIGINT) AS n_pass,
+      |       CAST(SUM(1 - pass) AS BIGINT) AS n_fail,
+      |       CAST(SUM(score_scaled * pass) AS BIGINT) AS admitted_score_sum
+      |FROM j GROUP BY 1, 2
+      |HAVING windowStartMs + 5000 <= (SELECT w FROM wm)
+      |""".stripMargin
+
   /** Streaming ANN SERVING — the online twin of the batch `s_knn_serve`:
     * a query stream (each admitted bid event becomes a vector query via
     * qv = auctionId mod V) served from the STATIC IVF index the batch
@@ -1390,6 +1466,7 @@ object StreamingBench extends QueryModule {
     "stream_quantile_profile" -> (streamQuantileProfile _),
     "stream_incremental_neardup" -> (streamIncrementalNearDup _),
     "stream_knn_serve" -> (streamKnnServe _),
+    "stream_quality_gate" -> (streamQualityGate _),
   )
 
   /** DuckDB oracles over each entry's dumped input events (see the class
@@ -1413,5 +1490,6 @@ object StreamingBench extends QueryModule {
     "stream_quantile_profile" -> streamQuantileProfileSql,
     "stream_incremental_neardup" -> streamIncrementalNearDupSql,
     "stream_knn_serve" -> streamKnnServeSql,
+    "stream_quality_gate" -> streamQualityGateSql,
   )
 }

@@ -2438,6 +2438,63 @@ object TextPipeline extends QueryModule {
        |""".stripMargin
   }
 
+  /** Static side of the STREAMING ingestion quality gate
+    * ([[StreamingBench]]'s `stream_quality_gate`): every doc scored by the
+    * shared integer battery ([[scoreScaledSql]]) plus its source's frozen
+    * PASS THRESHOLD — the ((n+1)/2)-th highest score, i.e. the keep-half
+    * policy [[qualityCut]] enforces in batch, frozen to a threshold the
+    * stream can apply per event (the batch job decides, the gate applies;
+    * boundary ties all pass, the usual threshold-vs-rank difference).
+    * Returns (doc_id, source, score_scaled, pass ∈ {0, 1}).
+    */
+  private[graft] def qualityGateStatic(spark: SparkSession, dir: String): DataFrame = {
+    val sw = Stopwords.map(s => s"w = '$s'").mkString(" or ")
+    val scored = docsNorm(spark, dir).select(
+        col("doc_id"), col("source"),
+        size(col("words")).as("n_tokens"),
+        expr(s"size(filter(words, w -> $sw))").as("stopword_count"),
+        size(array_distinct(col("words"))).as("n_distinct"))
+      .withColumn("score_scaled", expr(scoreScaledSql("n_tokens", "stopword_count", "n_distinct")))
+      .select(col("doc_id"), col("source"), col("score_scaled"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score_scaled").desc, col("doc_id").asc)
+    val thr = scored
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .filter(col("rk") === expr("(n_src + 1) div 2"))
+      .select(col("source"), col("score_scaled").as("thr"))
+    scored.join(broadcast(thr), "source")
+      .select(col("doc_id"), col("source"), col("score_scaled"),
+        (col("score_scaled") >= col("thr")).cast("long").as("pass"))
+  }
+
+  /** DuckDB CTE chain ending in `gate(doc_id, source, score_scaled, pass)`
+    * — the SQL twin of [[qualityGateStatic]], interpolated into the
+    * streaming gate's oracle so the scoring/threshold semantics can never
+    * diverge from the batch battery.
+    */
+  private[graft] def qualityGateStaticSql: String = {
+    val sw = Stopwords.map(s => s"w = '$s'").mkString(" or ")
+    s"""gd AS (
+       |  SELECT doc_id, source, string_split(${normSql("text")}, ' ') AS ws FROM documents
+       |), gs AS (
+       |  SELECT doc_id, source,
+       |         ${scoreScaledSql("LEN(ws)", s"LEN(list_filter(ws, w -> $sw))", "LEN(list_distinct(ws))")} AS score_scaled
+       |  FROM gd
+       |), gr AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |                               ORDER BY score_scaled DESC, doc_id ASC) AS rk,
+       |         COUNT(*) OVER (PARTITION BY source) AS n_src
+       |  FROM gs
+       |), gthr AS (
+       |  SELECT source, score_scaled AS thr FROM gr WHERE rk = (n_src + 1) // 2
+       |), gate AS (
+       |  SELECT gs.doc_id, gs.source, gs.score_scaled,
+       |         CAST(gs.score_scaled >= t.thr AS BIGINT) AS pass
+       |  FROM gs JOIN gthr t USING (source)
+       |)""".stripMargin
+  }
+
   /** Deterministic corpus shuffle: the reproducible global permutation a
     * training run reads the corpus in — shard = content-hash mod
     * ShuffleShards, position = rank of (hash, doc_id) within the shard.

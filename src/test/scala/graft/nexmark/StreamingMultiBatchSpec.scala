@@ -97,6 +97,15 @@ class StreamingMultiBatchSpec extends SparkSpec {
     graft.queries.StreamingBench.nearDupGuard(bids.toDF, corpus)
   }
 
+  pinInvariance("ingestion quality gate (static battery + windowed accounting)") { bids =>
+    // static side from the smallest fixture: per-source thresholds + pass
+    // bits; every output column is a pure function of (auctionId,
+    // timestamp), so 4-batch admission must reproduce the 1-batch output
+    val gate = graft.queries.TextPipeline
+      .qualityGateStatic(spark, "/root/testdata/sf0.001").localCheckpoint(true)
+    graft.queries.StreamingBench.qualityGateStream(bids.toDF, gate, gate.count())
+  }
+
   test("tws session merge == declarative session_window, and batching-invariant") {
     // the two Q11 ports are a state-backend-and-API head-to-head
     // (StreamingBench.streamQ11Tws); this pins output EQUALITY between
