@@ -495,9 +495,39 @@ object Similarity extends QueryModule {
        |""".stripMargin
   }
 
+  /** Oracle rounds for the CC label fixpoint: hash-to-min with pointer
+    * doubling converges in O(log n) rounds, so 24 covers components up to
+    * ~2^20 nodes with margin; a final stability probe POISONS the result
+    * (canon_id = −1 everywhere → loud hash mismatch) if the unroll was
+    * ever too short, so wrong-but-plausible labels are impossible. */
+  private val CcOracleRounds = 24
+
+  /** The pre-r13 formulation was a transitive-closure recursive CTE
+    * (`reach` = every (node, reachable) pair) — O(Σ component²) rows,
+    * fine while near-dup components were small cliques, but the r13
+    * geometry-preserving ScaleUp chains whole label clusters into ONE
+    * ~20k-node component at sf1 (122,848 verified edges, measured) and
+    * the closure is 400 M rows — the 900 s sweep timeout. This unroll is
+    * the SAME algorithm the Spark side runs ([[TextPipeline.ccIterate]]'s
+    * min-label pointer doubling), so oracle cost is rounds × |E| instead
+    * of Σ|C|²; both engines converge to the identical fixpoint (label =
+    * component-min), which is all the compare needs.
+    */
   def cosineDedupCCSql: String = {
     val bandSelects = bandSelectsSql(lshCoordPairs)
-    s"""WITH RECURSIVE e AS (
+    val rounds = (0 until CcOracleRounds).map { k =>
+      s"""l${k + 1} AS MATERIALIZED (
+         |  SELECT v.vec_id,
+         |         LEAST(v.lbl, COALESCE(nm.m, v.lbl), COALESCE(p.lbl, v.lbl)) AS lbl
+         |  FROM l$k v
+         |  LEFT JOIN (SELECT ed.src AS vec_id, MIN(l.lbl) AS m
+         |             FROM edges ed JOIN l$k l ON l.vec_id = ed.dst
+         |             GROUP BY ed.src) nm ON nm.vec_id = v.vec_id
+         |  LEFT JOIN l$k p ON p.vec_id = v.lbl
+         |)""".stripMargin
+    }.mkString(",\n")
+    val R = CcOracleRounds
+    s"""WITH e AS MATERIALIZED (
        |  $VecsCteSql
        |), bands AS (
        |  $bandSelects
@@ -508,18 +538,25 @@ object Similarity extends QueryModule {
        |), verified AS (
        |  SELECT vec_a, vec_b FROM cands JOIN e a ON vec_a = a.vec_id JOIN e b ON vec_b = b.vec_id
        |  WHERE list_cosine_similarity(a.emb, b.emb) >= $DedupTau
-       |), edges AS (
+       |), edges AS MATERIALIZED (
        |  SELECT vec_a AS src, vec_b AS dst FROM verified
        |  UNION
        |  SELECT vec_b AS src, vec_a AS dst FROM verified
-       |), reach AS (
-       |  SELECT vec_id, vec_id AS r FROM e
-       |  UNION
-       |  SELECT reach.vec_id, ed.dst AS r FROM reach JOIN edges ed ON ed.src = reach.r
+       |), l0 AS MATERIALIZED (
+       |  SELECT vec_id, vec_id AS lbl FROM e
+       |),
+       |$rounds,
+       |conv AS (
+       |  SELECT COUNT(*) AS changed FROM l$R v
+       |  JOIN (SELECT ed.src AS vec_id, MIN(l.lbl) AS m
+       |        FROM edges ed JOIN l$R l ON l.vec_id = ed.dst
+       |        GROUP BY ed.src) nm
+       |    ON nm.vec_id = v.vec_id AND nm.m < v.lbl
        |)
-       |SELECT vec_id, MIN(r) AS canon_id,
-       |       CAST(vec_id = MIN(r) AS INT) AS is_canonical
-       |FROM reach GROUP BY vec_id
+       |SELECT vec_id,
+       |       CASE WHEN (SELECT changed FROM conv) = 0 THEN lbl ELSE -1 END AS canon_id,
+       |       CAST(vec_id = (CASE WHEN (SELECT changed FROM conv) = 0 THEN lbl ELSE -1 END) AS INT) AS is_canonical
+       |FROM l$R
        |""".stripMargin
   }
 
