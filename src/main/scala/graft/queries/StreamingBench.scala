@@ -1432,20 +1432,28 @@ object StreamingBench extends QueryModule {
       |  SELECT auctionId, timestamp AS ts,
       |         auctionId % (SELECT COUNT(*) FROM embeddings) AS qv
       |  FROM b
-      |), scored AS (
-      |  SELECT ev.auctionId, ev.ts, ev.qv, a.vec_id,
+      |), qvs AS MATERIALIZED (
+      |  -- score per DISTINCT query vector, not per event: candidates and
+      |  -- ranks are pure functions of qv, and event-granular scoring at
+      |  -- sf1 materializes ~75M rows x two 64-double lists (a spill cliff)
+      |  SELECT DISTINCT qv FROM ev
+      |), scored AS MATERIALIZED (
+      |  SELECT q.qv, a.vec_id,
       |         ROUND(list_cosine_similarity(qe.emb, ce.emb), 6) AS cos6
-      |  FROM ev JOIN e qe ON qe.vec_id = ev.qv
-      |          JOIN probes p ON p.qv = ev.qv
-      |          JOIN assign a ON a.cid = p.cid AND a.vec_id <> ev.qv
+      |  FROM qvs q JOIN e qe ON qe.vec_id = q.qv
+      |          JOIN probes p ON p.qv = q.qv
+      |          JOIN assign a ON a.cid = p.cid AND a.vec_id <> q.qv
       |          JOIN e ce ON ce.vec_id = a.vec_id
+      |), ranked AS MATERIALIZED (
+      |  SELECT qv,
+      |         CAST(COUNT(*) OVER (PARTITION BY qv) AS BIGINT) AS n_cands,
+      |         ROW_NUMBER() OVER (PARTITION BY qv
+      |                            ORDER BY cos6 DESC NULLS LAST, vec_id ASC) AS rk,
+      |         vec_id, cos6
+      |  FROM scored QUALIFY rk <= ${Similarity.TopK}
       |)
-      |SELECT auctionId, ts, qv,
-      |       CAST(COUNT(*) OVER (PARTITION BY auctionId, ts) AS BIGINT) AS n_cands,
-      |       ROW_NUMBER() OVER (PARTITION BY auctionId, ts
-      |                          ORDER BY cos6 DESC NULLS LAST, vec_id ASC) AS rk,
-      |       vec_id, cos6
-      |FROM scored QUALIFY rk <= ${Similarity.TopK}
+      |SELECT ev.auctionId, ev.ts, ev.qv, r.n_cands, r.rk, r.vec_id, r.cos6
+      |FROM ev JOIN ranked r ON r.qv = ev.qv
       |""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
