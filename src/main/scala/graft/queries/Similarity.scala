@@ -1177,6 +1177,119 @@ object Similarity extends QueryModule {
        |        LEFT JOIN ov ON nb.query_id = ov.query_id
        |""".stripMargin
 
+  /** Probe widths the tuning curve sweeps (1 .. this). */
+  private val MaxProbeCurve = 5
+
+  /** `s_probe_curve`: the IVF recall-vs-cost TUNING CURVE — macro
+    * recall@[[TopK]] and total scanned candidates at every probe width
+    * 1..[[MaxProbeCurve]], in ONE entry. `s_ann_recall` measures the
+    * production point (NProbe = [[NProbe]]); this is the artifact a
+    * serving team actually reads to PICK that point (the knee of the
+    * curve), and the np = [[NProbe]] row is pinned equal to
+    * `s_ann_recall`'s aggregate by ProbeCurveSpec so the two entries can
+    * never drift.
+    *
+    * One-pass design: the per-query cell ranking is computed ONCE with
+    * each candidate tagged by np_min = the probe rank of its cell (the
+    * smallest width that scans it — probe sets NEST), every candidate is
+    * cosine-scored ONCE, and the five width cuts are rank-filters over
+    * the same checkpointed scored table. Cost is therefore ONE IVF build
+    * + one widest-probe scoring pass, not five: at 1 B vectors the five
+    * curve points share the single scan exactly like this.
+    */
+  def probeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = pivotCentroids(e)
+    def simsOf(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), col("emb"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cos", cosine(col("emb"), col("cemb")))
+      .select(col("vec_id"), col("cid"), col("cos"))
+    val assign = simsOf(e).groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cos"), negate(col("cid")))).as("cid"))
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val probes = simsOf(e.filter(col("vec_id") % QueryMod === 0))
+      .groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(struct(negate(col("cos")).as("ncos"), col("cid")))),
+                 1, MaxProbeCurve).as("top"))
+      .select(col("vec_id").as("query_id"), posexplode(col("top")).as(Seq("pos", "c")))
+      .select(col("query_id"), col("c.cid").as("cid"), (col("pos") + 1).cast("long").as("np_min"))
+    val scored = probes.join(assign, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(e.select(col("vec_id"), col("emb").as("cemb")), "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos6", round(cosine(col("qemb"), col("cemb")), 6))
+      .select(col("query_id"), col("vec_id"), col("np_min"), col("cos6"))
+      .localCheckpoint(true)
+    val brute = knnBrute(spark, dir).select(col("query_id"), col("vec_id"))
+      .localCheckpoint(true)
+    val perNp = (1 to MaxProbeCurve).map { np =>
+      val c = scored.filter(col("np_min") <= np)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos6").desc_nulls_last, col("vec_id").asc)
+      val top = c.withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
+        .select(col("query_id"), col("vec_id"))
+      val hits = brute.join(top, Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      val cands = c.agg(count(lit(1)).as("total_cands"))
+      hits.crossJoin(cands)
+        .select(lit(np.toLong).as("nprobe"), col("total_cands"), col("hits"))
+    }.reduce(_ unionByName _)
+    perNp.crossJoin(broadcast(brute.agg(count(lit(1)).as("n_truth"))))
+      .withColumn("recall_bp", expr("hits * 10000 div n_truth"))
+      .select(col("nprobe"), col("total_cands"), col("n_truth"), col("hits"), col("recall_bp"))
+  }
+
+  def probeCurveSql: String = {
+    val npBlocks = (1 to MaxProbeCurve).map { np =>
+      s"""t$np AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY cos6 DESC NULLS LAST, vec_id ASC) AS rk
+         |    FROM pscored WHERE np_min <= $np
+         |  ) WHERE rk <= $TopK
+         |), r$np AS (
+         |  SELECT CAST($np AS BIGINT) AS nprobe,
+         |         (SELECT COUNT(*) FROM pscored WHERE np_min <= $np) AS total_cands,
+         |         (SELECT COUNT(*) FROM pb) AS n_truth,
+         |         (SELECT COUNT(*) FROM pb JOIN t$np t
+         |            ON pb.query_id = t.query_id AND pb.vec_id = t.vec_id) AS hits
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to MaxProbeCurve).map(np => s"SELECT * FROM r$np").mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  $VecsCteSql
+       |), cent AS (
+       |  SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % $CentroidMod = 0
+       |), sims AS (
+       |  SELECT e.vec_id, cid,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY list_cosine_similarity(cemb, emb) DESC NULLS LAST, cid ASC) AS crk
+       |  FROM e, cent
+       |), pscored AS MATERIALIZED (
+       |  SELECT p.query_id, a.vec_id, p.crk AS np_min,
+       |         ROUND(list_cosine_similarity(qe.emb, ce.emb), 6) AS cos6
+       |  FROM (SELECT vec_id AS query_id, cid, crk FROM sims
+       |        WHERE vec_id % $QueryMod = 0 AND crk <= $MaxProbeCurve) p
+       |  JOIN (SELECT vec_id, cid FROM sims WHERE crk = 1) a USING (cid)
+       |  JOIN e qe ON qe.vec_id = p.query_id
+       |  JOIN e ce ON ce.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.query_id
+       |), pb AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |${knnBruteSql}
+       |  )
+       |),
+       |$npBlocks
+       |SELECT nprobe, total_cands, n_truth, hits, hits * 10000 // n_truth AS recall_bp
+       |FROM (
+       |  $unionAll
+       |)
+       |""".stripMargin
+  }
+
   /** Truncated-embedding retrieval recall — the Matryoshka/dimension-cut
     * evaluation: run the SAME brute-force cosine top-k with every vector
     * truncated to its first [[TruncDims]] coordinates, and report per
@@ -3745,6 +3858,7 @@ object Similarity extends QueryModule {
     "s_index_merge" -> (indexMerge _),
     "s_cell_split" -> (cellSplit _),
     "s_range_search" -> (rangeSearch _),
+    "s_probe_curve" -> (probeCurve _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3787,5 +3901,6 @@ object Similarity extends QueryModule {
     "s_index_merge" -> indexMergeSql,
     "s_cell_split" -> cellSplitSql,
     "s_range_search" -> rangeSearchSql,
+    "s_probe_curve" -> probeCurveSql,
   )
 }

@@ -1,0 +1,49 @@
+package graft
+
+import graft.nexmark.SparkSpec
+import graft.queries.Similarity
+
+/** Pins for `s_probe_curve` (the IVF recall-vs-cost tuning curve):
+  *
+  *   - cross-entry consistency — the np = NProbe(3) row must equal
+  *     `s_ann_recall`'s macro aggregate exactly (same probe order, same
+  *     rank contract); the curve and the production point can never
+  *     drift apart;
+  *   - nesting — probe sets nest, so total_cands is strictly increasing
+  *     in nprobe and hits at the widest width is the curve maximum
+  *     (per-width hits need not be monotone: a wider cut can surface a
+  *     rounded-cos tie that displaces a truth row, so only the endpoint
+  *     claim is structural);
+  *   - audit arithmetic — recall_bp = hits · 10⁴ div n_truth, n_truth =
+  *     TopK · |queries|.
+  */
+class ProbeCurveSpec extends SparkSpec {
+  private val Dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+
+  test("s_probe_curve: np=NProbe row equals s_ann_recall; cands nest; exact arithmetic") {
+    for (dir <- Dirs) {
+      val curve = Similarity.probeCurve(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1)
+      assert(curve.map(_._1).toSeq == (1L to 5L), s"missing widths at $dir")
+      val nTruth = curve.head._3
+      for ((np, cands, nt, hits, bp) <- curve) {
+        assert(nt == nTruth, s"n_truth varies across widths at $dir")
+        assert(hits <= nt, s"hits exceed truth at np=$np ($dir)")
+        assert(bp == hits * 10000 / nt, s"recall_bp arithmetic at np=$np ($dir)")
+      }
+      assert(curve.map(_._2).toSeq == curve.map(_._2).toSeq.sorted &&
+             curve.map(_._2).distinct.length == curve.length,
+        s"total_cands not strictly increasing at $dir")
+      assert(curve.last._4 == curve.map(_._4).max,
+        s"widest width is not the hits maximum at $dir")
+      // the production point: s_ann_recall's macro aggregate, recomputed
+      val ar = Similarity.annRecall(spark, dir).collect()
+      val hits3 = ar.map(_.getLong(3)).sum
+      val truth3 = ar.map(_.getLong(1)).sum
+      val row3 = curve.find(_._1 == 3L).get
+      assert(row3._3 == truth3 && row3._4 == hits3,
+        s"np=3 row (${row3._4}/${row3._3}) != s_ann_recall aggregate ($hits3/$truth3) at $dir")
+    }
+  }
+}
