@@ -900,6 +900,131 @@ object Similarity extends QueryModule {
        |FROM s QUALIFY rk <= $TopK
        |""".stripMargin
 
+  /** Dimension-energy quantization for the OPQ permutation: exact-integer
+    * per-dim energies so the ranking (and hence the permutation) is
+    * bit-identical cross-engine. 10³ keeps Σ(q²) inside BIGINT through
+    * sf10 (2 M vectors × (2·10³)² ≈ 10¹³). */
+  private val OpqQ = 1000L
+
+  /** `s_opq_permute`: OPQ-P-style rotated product quantization — the
+    * PERMUTATION member of the OPQ family (Ge et al.: before training a
+    * full orthogonal rotation, balance the subspaces by reallocating
+    * DIMENSIONS). Contiguous 8-dim slices inherit whatever energy layout
+    * the embedding model produced, so one subspace can carry most of the
+    * variance and its K codewords quantize poorly while low-energy
+    * subspaces waste theirs. The entry ranks dims by exact-integer corpus
+    * energy, deals them round-robin into the [[PqM]] subspaces (slot =
+    * rank div M — the sorted-deal balance), permutes every vector AND the
+    * pivot codebook identically (OPQ semantics: the codebook lives in the
+    * rotated space), and audits per subspace: allocated energy and exact
+    * reconstruction-error mass for BOTH layouts. Every output column is
+    * an exact BIGINT (energies via [[OpqQ]]-quantized sums, per-vector d2
+    * quantized at 10⁶ then integer-summed), so the cross-engine compare
+    * has no float-order exposure at all.
+    *
+    * Scale shape: the energy pass is ONE hash agg over (dim, x) pairs
+    * (map-side combine does the reduction — 64 groups); the permutation
+    * is a 64-element broadcast row; encode/reconstruct reuse the exact
+    * [[pqSubs]]/[[pqEncode]] machinery (N × M × K broadcast-codebook map
+    * work, no shuffle beyond the final 8-group agg). At 1 B vectors the
+    * added cost over plain PQ is the one energy agg — the re-layout rides
+    * the encode pass it was going to pay anyway.
+    */
+  def opqPermute(spark: SparkSession, dir: String): DataFrame = {
+    val dims = PqM * PqSubDim
+    val e = vecs(spark, dir)
+    val dimE = e.select(posexplode(col("emb")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(expr(s"SUM(CAST(ROUND(x * $OpqQ) AS BIGINT) * CAST(ROUND(x * $OpqQ) AS BIGINT))")
+        .as("energy_q"))
+    val ranked = dimE
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("energy_q").desc, col("dim").asc)))
+      .withColumn("j", expr(s"(rank - 1) % $PqM"))
+      .withColumn("newpos", expr(s"((rank - 1) % $PqM) * $PqSubDim + (rank - 1) div $PqM"))
+      .localCheckpoint(true)
+    val perm = ranked.agg(
+      expr("transform(array_sort(collect_list(struct(newpos, dim))), s -> s.dim)").as("pm"))
+    val pe = e.crossJoin(broadcast(perm))
+      .select(col("vec_id"),
+        expr(s"transform(sequence(0, ${dims - 1}), i -> element_at(emb, element_at(pm, i + 1) + 1))")
+          .as("emb"))
+    // per-subspace exact reconstruction-error mass for a layout
+    def mseBySub(ev: DataFrame): DataFrame = {
+      val subs = pqSubs(ev)
+      val cw = pqCodewords(subs)
+      pqEncode(subs, cw)
+        .join(broadcast(cw), Seq("j", "code"))
+        .join(subs.select(col("vec_id"), col("j"), col("sub"), col("ssq")), Seq("vec_id", "j"))
+        .withColumn("d2", l2sqPre(col("ssq"), col("sub"), col("cwv"), col("csq")))
+        .groupBy(col("j"))
+        .agg(expr("SUM(CAST(ROUND(d2 * 1000000) AS BIGINT))").as("mse_q"))
+    }
+    val energyBase = dimE.withColumn("j", expr(s"dim div $PqSubDim"))
+      .groupBy(col("j")).agg(sum(col("energy_q")).as("energy_base_q"))
+    val energyPerm = ranked.groupBy(col("j")).agg(sum(col("energy_q")).as("energy_perm_q"))
+    energyBase.join(energyPerm, "j")
+      .join(mseBySub(e).withColumnRenamed("mse_q", "mseq_base"), "j")
+      .join(mseBySub(pe).withColumnRenamed("mse_q", "mseq_perm"), "j")
+      .select(col("j").cast("long").as("j"), col("energy_base_q"), col("energy_perm_q"),
+        col("mseq_base"), col("mseq_perm"))
+  }
+
+  def opqPermuteSql: String = {
+    val dims = PqM * PqSubDim
+    // encode chain over a relation named e$sfx, keeping the chosen d2
+    def mseCtes(sfx: String): String =
+      s"""subs$sfx AS (
+         |  SELECT vec_id, j, list_slice(emb, j * $PqSubDim + 1, j * $PqSubDim + $PqSubDim) AS sub
+         |  FROM e$sfx, range(0, $PqM) t(j)
+         |), cw$sfx AS (
+         |  SELECT vec_id AS code, j, sub AS cwv FROM subs$sfx WHERE vec_id % $CentroidMod = 0
+         |), enc$sfx AS (
+         |  SELECT vec_id, j,
+         |         ((list_inner_product(sub, sub) - 2.0 * list_inner_product(sub, cwv)) + list_inner_product(cwv, cwv)) AS d2,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY
+         |           ((list_inner_product(sub, sub) - 2.0 * list_inner_product(sub, cwv)) + list_inner_product(cwv, cwv)) ASC,
+         |           code ASC) AS rn
+         |  FROM subs$sfx JOIN cw$sfx USING (j)
+         |), mse$sfx AS (
+         |  SELECT j, CAST(SUM(CAST(ROUND(d2 * 1000000) AS BIGINT)) AS BIGINT) AS mse_q
+         |  FROM enc$sfx WHERE rn = 1 GROUP BY j
+         |)""".stripMargin
+    s"""WITH eb AS MATERIALIZED (
+       |  $VecsCteSql
+       |), dime AS (
+       |  SELECT dim,
+       |         CAST(SUM(CAST(ROUND(emb[dim + 1] * $OpqQ) AS BIGINT) * CAST(ROUND(emb[dim + 1] * $OpqQ) AS BIGINT)) AS BIGINT) AS energy_q
+       |  FROM eb, range(0, $dims) t(dim) GROUP BY dim
+       |), ranked AS (
+       |  SELECT dim, energy_q,
+       |         ROW_NUMBER() OVER (ORDER BY energy_q DESC, dim ASC) AS rank
+       |  FROM dime
+       |), rmap AS (
+       |  SELECT dim, energy_q, (rank - 1) % $PqM AS j,
+       |         ((rank - 1) % $PqM) * $PqSubDim + (rank - 1) // $PqM AS newpos
+       |  FROM ranked
+       |), perm AS (
+       |  SELECT list(dim ORDER BY newpos) AS pm FROM rmap
+       |), ep AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(range(0, $dims), i -> emb[pm[i + 1] + 1]) AS emb
+       |  FROM eb, perm
+       |),
+       |${mseCtes("b")},
+       |${mseCtes("p")},
+       |energyb AS (
+       |  SELECT dim // $PqSubDim AS j, CAST(SUM(energy_q) AS BIGINT) AS energy_base_q
+       |  FROM dime GROUP BY 1
+       |), energyp AS (
+       |  SELECT j, CAST(SUM(energy_q) AS BIGINT) AS energy_perm_q FROM rmap GROUP BY j
+       |)
+       |SELECT CAST(j AS BIGINT) AS j, energy_base_q, energy_perm_q,
+       |       mseb.mse_q AS mseq_base, msep.mse_q AS mseq_perm
+       |FROM energyb JOIN energyp USING (j)
+       |JOIN mseb USING (j) JOIN msep USING (j)
+       |""".stripMargin
+  }
+
   /** IVFADC — the production serving composition of [[knnIvf]] (coarse
     * pruning) and [[knnPq]] (memory compression): candidates come ONLY
     * from the query's NProbe nearest coarse cells, and are scored by
@@ -3859,6 +3984,7 @@ object Similarity extends QueryModule {
     "s_cell_split" -> (cellSplit _),
     "s_range_search" -> (rangeSearch _),
     "s_probe_curve" -> (probeCurve _),
+    "s_opq_permute" -> (opqPermute _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3902,5 +4028,6 @@ object Similarity extends QueryModule {
     "s_cell_split" -> cellSplitSql,
     "s_range_search" -> rangeSearchSql,
     "s_probe_curve" -> probeCurveSql,
+    "s_opq_permute" -> opqPermuteSql,
   )
 }
