@@ -38,7 +38,7 @@ object Similarity extends QueryModule {
   /** Radius-search threshold: ~0.5% of random query-corpus pairs at the
     * fixture geometry — non-trivial result mass at every SF (40/50/582
     * rows at sf0.001/0.01/0.1) without approaching the max cos ≈ 0.45. */
-  private val RangeTau = 0.30
+  private[graft] val RangeTau = 0.30
 
   /** Shared DuckDB oracle CTE body (the SQL twin of [[vecs]]): vectors
     * with a positive norm, cast to double. Interpolated into every
@@ -131,10 +131,10 @@ object Similarity extends QueryModule {
     * centroid cell radii sit near π/2 in high dimension, so the bound
     * stays ≈ sin θ(q,μ) ≥ τ for every cell at τ = 0.3 — 200/200 and
     * 3200/3200 query-cell pairs survive at sf0.01/sf0.1). Sub-scan range
-    * search therefore requires accepting approximation, which is the
-    * sign-LSH pair family (`s_lsh_dup_pairs`), not this exact audit.
-    * Threshold compares the same ROUND(cos, 6) both engines rank on, so
-    * the boundary can never flip cross-engine.
+    * search therefore requires accepting approximation — shipped as
+    * [[rangeLsh]] (`s_range_lsh`), which audits its recall against THIS
+    * entry's exact truth. Threshold compares the same ROUND(cos, 6) both
+    * engines rank on, so the boundary can never flip cross-engine.
     */
   def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
@@ -158,6 +158,140 @@ object Similarity extends QueryModule {
        |FROM q, e
        |WHERE vec_id <> query_id
        |  AND ROUND(list_cosine_similarity(qemb, emb), 6) >= $RangeTau
+       |""".stripMargin
+
+  /** Sign-LSH family for [[rangeLsh]]: [[RangeLshBands]] bands of
+    * [[RangeLshBits]] coordinate-comparison bits. The band/bit counts are
+    * sized for the RADIUS regime, not the dup regime: a comparator bit
+    * agrees for a pair at angle θ with p = 1 − θ/π, so at τ = 0.30
+    * (θ ≈ 72.5°, p ≈ 0.60) a 12-bit band collides with p¹² ≈ 0.002 — the
+    * `s_lsh_dup_pairs` geometry (4 × 12 bits) would need ~500 bands for
+    * usable recall. 8-bit bands collide at ≈ 0.016 for boundary pairs vs
+    * 1/256 for random ones, and 64 of them put recall in the ~0.7 band
+    * while bounding the candidate union near 1 − (255/256)⁶⁴ ≈ 22% of
+    * the corpus per query. That ratio is the honest LSH exponent at this
+    * τ: ρ = ln(1/p₁)/ln(1/p₂) ≈ 0.74 on near-isotropic data, so τ = 0.3
+    * sits in sub-scan-but-not-cheap territory BY GEOMETRY — at production
+    * near-dup radii (τ ≥ 0.9, p₁ ≥ 0.97) the same machinery reaches
+    * recall ≥ 0.99 with per-band collision ~2⁻¹⁶·N candidates. Bit t
+    * compares coordinates ((11t + 5) mod 64, +1 + (29t mod 63) offset) —
+    * within a band the 11t stride is injective mod 64 so the 8
+    * comparators are distinct, and the offset term never degenerates to
+    * i₂ = i₁.
+    */
+  private val RangeLshBands = 64
+  private val RangeLshBits = 8
+  /** Second audit radius: recall strictly inside the ball (pairs with
+    * more margin over τ) — the LSH-recall-grows-with-cos property. */
+  private val RangeTauHi = 0.35
+  private def rangeLshPairs: Seq[(Int, Seq[(Int, Int, Int)])] =
+    (0 until RangeLshBands).map { b =>
+      b -> (0 until RangeLshBits).map { j =>
+        val t = b * RangeLshBits + j
+        val i1 = (11 * t + 5) % 64
+        val i2 = (i1 + 1 + (29 * t) % 63) % 64
+        (1 << j, i1, i2)
+      }
+    }
+
+  /** `s_range_lsh`: SUB-SCAN approximate radius search — the approximate
+    * path [[rangeSearch]]'s scaladoc promises: multi-band sign-LSH
+    * candidate generation + exact-cosine verify at [[RangeTau]], audited
+    * per query against the exact scan's ground truth (recomputed in the
+    * same job — verification uses the identical ROUND(cos, 6) ≥ τ rule,
+    * so found ⊆ exact structurally and recall_bp is a true recall).
+    * Output per query: exact in-radius count, candidate mass (the scan
+    * cost actually paid), verified hits, and recall in basis points, at
+    * both τ and the interior radius [[RangeTauHi]].
+    *
+    * Scale shape: band keys are per-row map work on both sides; the
+    * candidate join broadcasts the QUERY bands (Q × bands rows) against
+    * the corpus bands — no corpus shuffle until the candidate-bounded
+    * distinct; verify touches candidates only. At 100 TB the corpus
+    * band table is a bucketed posting table and the probe is the same
+    * Exchange-free bucket join as every serve entry. Queries with an
+    * empty exact ball report recall 10000 (vacuously complete) so the
+    * audit never divides by zero.
+    */
+  def rangeLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val bands = e.select(col("vec_id"),
+      posexplode(array(bandKeyCols(rangeLshPairs): _*)).as(Seq("band", "bkey")))
+    val qbands = bands.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("band"), col("bkey"))
+    val cands = bands.join(broadcast(qbands),
+        Seq("band", "bkey"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val verified = cands
+      .join(e.select(col("vec_id"), col("emb").as("cemb")), "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos6", round(cosine(col("qemb"), col("cemb")), 6))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_cands"),
+        sum(when(col("cos6") >= RangeTau, 1L).otherwise(0L)).as("n_found"),
+        sum(when(col("cos6") >= RangeTauHi, 1L).otherwise(0L)).as("n_found_hi"))
+    val exact = e.select(col("vec_id"), col("emb").as("cemb"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos6", round(cosine(col("qemb"), col("cemb")), 6))
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("cos6") >= RangeTau, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("cos6") >= RangeTauHi, 1L).otherwise(0L)).as("n_exact_hi"))
+    exact.join(verified, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        col("n_exact_hi"),
+        coalesce(col("n_found_hi"), lit(0L)).as("n_found_hi"))
+      .withColumn("recall_bp",
+        expr("CASE WHEN n_exact = 0 THEN 10000 ELSE n_found * 10000 div n_exact END"))
+      .withColumn("recall_hi_bp",
+        expr("CASE WHEN n_exact_hi = 0 THEN 10000 ELSE n_found_hi * 10000 div n_exact_hi END"))
+  }
+
+  def rangeLshSql: String =
+    s"""WITH e AS (
+       |  $VecsCteSql
+       |), bands AS (
+       |  ${bandSelectsSql(rangeLshPairs)}
+       |), qb AS (
+       |  SELECT vec_id AS query_id, band, bkey FROM bands WHERE vec_id % $QueryMod = 0
+       |), cands AS (
+       |  SELECT DISTINCT qb.query_id, c.vec_id
+       |  FROM qb JOIN bands c ON c.band = qb.band AND c.bkey = qb.bkey
+       |  WHERE c.vec_id <> qb.query_id
+       |), v AS (
+       |  SELECT c.query_id,
+       |         ROUND(list_cosine_similarity(qe.emb, ce.emb), 6) AS cos6
+       |  FROM cands c JOIN e qe ON qe.vec_id = c.query_id
+       |               JOIN e ce ON ce.vec_id = c.vec_id
+       |), nf AS (
+       |  SELECT query_id, COUNT(*) AS n_cands,
+       |         CAST(SUM(CASE WHEN cos6 >= $RangeTau THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       |         CAST(SUM(CASE WHEN cos6 >= $RangeTauHi THEN 1 ELSE 0 END) AS BIGINT) AS n_found_hi
+       |  FROM v GROUP BY query_id
+       |), ex AS (
+       |  SELECT qe.vec_id AS query_id,
+       |         CAST(SUM(CASE WHEN ROUND(list_cosine_similarity(qe.emb, ce.emb), 6) >= $RangeTau THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       |         CAST(SUM(CASE WHEN ROUND(list_cosine_similarity(qe.emb, ce.emb), 6) >= $RangeTauHi THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hi
+       |  FROM e qe, e ce
+       |  WHERE qe.vec_id % $QueryMod = 0 AND ce.vec_id <> qe.vec_id
+       |  GROUP BY qe.vec_id
+       |)
+       |SELECT ex.query_id, ex.n_exact,
+       |       COALESCE(nf.n_cands, 0) AS n_cands,
+       |       COALESCE(nf.n_found, 0) AS n_found,
+       |       ex.n_exact_hi,
+       |       COALESCE(nf.n_found_hi, 0) AS n_found_hi,
+       |       CASE WHEN ex.n_exact = 0 THEN 10000
+       |            ELSE COALESCE(nf.n_found, 0) * 10000 // ex.n_exact END AS recall_bp,
+       |       CASE WHEN ex.n_exact_hi = 0 THEN 10000
+       |            ELSE COALESCE(nf.n_found_hi, 0) * 10000 // ex.n_exact_hi END AS recall_hi_bp
+       |FROM ex LEFT JOIN nf ON nf.query_id = ex.query_id
        |""".stripMargin
 
   /** IVF-style ANN: assign every vector to its nearest of the deterministic
@@ -3612,6 +3746,345 @@ object Similarity extends QueryModule {
        |        LEFT JOIN ncq ON nb.query_id = ncq.query_id
        |""".stripMargin
 
+  /** Time-bucket count for [[knnRangeFiltered]]'s segmented index: 8
+    * contiguous vec_id ranges, each with its own in-bucket pivot cells.
+    */
+  private val RfBuckets = 8
+  /** Per-bucket pivot stride: FINER than the global [[CentroidMod]]
+    * because a segment index is sized to its segment (~√|segment| cells),
+    * not to the corpus — at sf0.1 each 250-vector bucket gets ~19 cells
+    * of ~13 members vs the global index's 25-member cells. */
+  private val RfCentroidMod = 13
+
+  /** `s_knn_range_filtered`: NUMERIC-RANGE-filtered ANN — the filtered
+    * case [[knnFiltered]]'s label partitions cannot serve: a predicate
+    * `attr BETWEEN lo AND hi` over a HIGH-cardinality attribute (event
+    * time, ingestion order, price), where one partition per value cannot
+    * exist. The attribute here is vec_id itself — ingestion order, the
+    * attribute real stores time-bucket on. Each query q restricts to the
+    * window lo = (q·37) mod ⌊15N/16⌋, hi = lo + ⌊N/16⌋ (deterministic,
+    * ~6% selectivity, position varying per query — the NARROW-range
+    * regime time filters actually run in; at mild selectivity a widened
+    * global probe is the right tool and segmentation buys little, a
+    * trade this entry's r14 build measured explicitly: at 25%
+    * selectivity widened-pre reached 0.91 recall at 183 scored
+    * candidates while the budget-split segmented serve managed 0.715 at
+    * 247 — geometry-blind id buckets give a per-segment mini-index less
+    * structure than the corpus-wide index, so segmentation pays off only
+    * once selectivity makes the global index's fetch waste dominate).
+    * Three strategies are audited against range-restricted brute truth,
+    * mirroring `s_knn_filtered`'s battery, each with BOTH cost axes
+    * reported: scored candidates (vector math paid) and FETCHED postings
+    * (index entries touched before the predicate could trim them):
+    *
+    *   - POST-filter: global-index top-[[TopK]] at [[NProbe]], predicate
+    *     applied after ranking — keeps ~selectivity·k hits;
+    *   - widened PRE-filter: global index at [[FilteredNProbe]] cells,
+    *     predicate applied to candidates before ranking;
+    *   - SEGMENTED: [[RfBuckets]] contiguous vec_id buckets, each with
+    *     its own in-bucket pivot cells at the segment-sized
+    *     [[RfCentroidMod]] stride (the bucket-minimum fallback guarantees
+    *     no bucket is pivotless — the `s_knn_filtered` partition idiom);
+    *     a query probes ONLY the buckets overlapping its range (the
+    *     `s_index_merge` scatter-gather reused over time segments), with
+    *     the probe BUDGET split across them: per overlapping bucket
+    *     w_b = max([[NProbe]], ⌈[[FilteredNProbe]]/n_overlap⌉) cells, so
+    *     the segmented serve spends the widened-pre strategy's total cell
+    *     budget, concentrated where the range actually lives (narrower
+    *     ranges probe fewer segments, each deeper — the self-tuning rule
+    *     a scatter-gather store allocates its budget by). Edge-bucket
+    *     over-coverage is trimmed with the exact predicate BEFORE any
+    *     scoring — out-of-range postings are never fetched, which is the
+    *     structural advantage a global index cannot offer (its postings
+    *     interleave all times, so widened-pre fetches ~1/selectivity
+    *     postings per scored candidate).
+    *
+    * Output adds n_fetch_pre / n_fetch_seg: the pre-filter strategy must
+    * fetch ~1/selectivity postings per scored candidate (its cells
+    * interleave all ids), while the segmented serve's fetch exceeds its
+    * scored mass only by edge-bucket waste — the structural claim
+    * FilteredAndMergeSpec pins alongside the macro recall ordering
+    * recall_seg ≥ recall_pre ≥ recall_post.
+    *
+    * Scale shape: bucket pivots are per-bucket broadcasts; bucket
+    * assignment is the same broadcast-centroid map pass as every IVF
+    * build; the probe join is keyed on bucket-disjoint cids, so it is
+    * the same bucketed posting join as the global index's, and the
+    * overlap predicate prunes whole sub-indexes before any vector math.
+    * Range truth is corpus × queries × selectivity map work. At small
+    * fixtures the split budget saturates each overlapped bucket's cell
+    * count and the segmented serve degenerates to an exact range scan —
+    * the honest behavior (a time-partitioned store scans the partition
+    * when the range is narrow enough), mirroring the documented
+    * `s_knn_filtered` saturation.
+    */
+  def knnRangeFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = pivotCentroids(e)
+    val stats = e.agg((max(col("vec_id")) + 1L).as("n"))
+      .withColumn("w", expr(s"(n + ${RfBuckets - 1}) div $RfBuckets"))
+    val qr = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      .crossJoin(broadcast(stats))
+      .withColumn("lo", expr("(query_id * 37) % (n * 15 div 16)"))
+      .withColumn("hi", expr("lo + n div 16"))
+      .select(col("query_id"), col("qemb"), col("lo"), col("hi"))
+    val qRanges = qr.select(col("query_id"), col("lo"), col("hi"))
+    // global-index strategies (the s_knn_filtered shapes, range predicate):
+    // candsAt = FETCHED postings (pre-predicate); scoring happens after
+    def candsAt(nprobe: Int): DataFrame = ivfCandidates(e, cent, nprobe)
+      .join(broadcast(qRanges), "query_id")
+    def scoreOf(cands: DataFrame): DataFrame = cands
+      .join(e.select(col("vec_id"), col("emb").as("cemb")), "vec_id")
+      .join(broadcast(qr.select(col("query_id"), col("qemb"))), "query_id")
+      .withColumn("cos6", round(cosine(col("qemb"), col("cemb")), 6))
+      .select(col("query_id"), col("vec_id"), col("lo"), col("hi"), col("cos6"))
+    val fetch30 = candsAt(FilteredNProbe).localCheckpoint(true) // fetch agg + trim
+    val preCands = fetch30
+      .filter(col("vec_id") >= col("lo") && col("vec_id") <= col("hi"))
+      .localCheckpoint(true) // consumed twice: cost agg + rank
+    val pre = saltedTopK(scoreOf(preCands), col("cos6").desc_nulls_last, col("vec_id").asc)
+      .select(col("query_id"), col("vec_id")).localCheckpoint(true)
+    val post = saltedTopK(scoreOf(candsAt(NProbe)), col("cos6").desc_nulls_last, col("vec_id").asc)
+      .filter(col("vec_id") >= col("lo") && col("vec_id") <= col("hi"))
+      .select(col("query_id"), col("vec_id")).localCheckpoint(true)
+    // segmented index: per-bucket pivots, probe only overlapping buckets,
+    // probe budget split across them (w_b cells per bucket)
+    val bm = e.crossJoin(broadcast(stats))
+      .withColumn("bkt", expr("vec_id div w"))
+      .select(col("vec_id"), col("emb"), col("bkt"))
+    val bmn = bm.groupBy(col("bkt")).agg(min(col("vec_id")).as("mn"))
+    val bcent = bm.join(broadcast(bmn), "bkt")
+      .filter(col("vec_id") % RfCentroidMod === 0 || col("vec_id") === col("mn"))
+      .select(col("bkt"), col("vec_id").as("cid"), col("emb").as("cemb"))
+    val bassign = bm.join(broadcast(bcent), "bkt")
+      .withColumn("cos", cosine(col("emb"), col("cemb")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cos"), negate(col("cid")))).as("cid"))
+    val qprobes = qr.crossJoin(broadcast(stats))
+      .withColumn("nov", expr("hi div w - lo div w + 1"))
+      .withColumn("wb", expr(s"greatest($NProbe, ($FilteredNProbe + nov - 1) div nov)"))
+      .join(broadcast(bcent),
+        col("bkt") >= expr("lo div w") && col("bkt") <= expr("hi div w"))
+      .withColumn("cos", cosine(col("qemb"), col("cemb")))
+      .groupBy(col("query_id"), col("bkt"))
+      .agg(array_sort(collect_list(struct(negate(col("cos")).as("ncos"), col("cid")))).as("top"),
+        max(col("wb")).as("wb")) // wb is constant per query
+      .select(col("query_id"),
+        explode(expr("slice(top, 1, cast(wb as int))")).as("t"))
+      .select(col("query_id"), col("t.cid").as("cid"))
+    val segFetch = qprobes.join(bassign, "cid")
+      .join(broadcast(qRanges), "query_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .localCheckpoint(true) // fetch agg + trim
+    val segCands = segFetch
+      .filter(col("vec_id") >= col("lo") && col("vec_id") <= col("hi"))
+      .select(col("query_id"), col("vec_id"))
+      .localCheckpoint(true) // consumed twice: cost agg + scoring
+    val segScored = segCands
+      .join(e.select(col("vec_id"), col("emb").as("cemb")), "vec_id")
+      .join(broadcast(qr.select(col("query_id"), col("qemb"))), "query_id")
+      .withColumn("cos6", round(cosine(col("qemb"), col("cemb")), 6))
+      .select(col("query_id"), col("vec_id"), col("cos6"))
+    val seg = saltedTopK(segScored, col("cos6").desc_nulls_last, col("vec_id").asc)
+      .select(col("query_id"), col("vec_id")).localCheckpoint(true)
+    // range-restricted brute truth
+    val bscored = e.select(col("vec_id"), col("emb").as("cemb"))
+      .crossJoin(broadcast(qr))
+      .filter(col("vec_id") =!= col("query_id") &&
+              col("vec_id") >= col("lo") && col("vec_id") <= col("hi"))
+      .withColumn("cos6", round(cosine(col("qemb"), col("cemb")), 6))
+      .select(col("query_id"), col("vec_id"), col("cos6"))
+    val b = saltedTopK(bscored, col("cos6").desc_nulls_last, col("vec_id").asc)
+      .select(col("query_id"), col("vec_id")).localCheckpoint(true)
+    val nb = b.groupBy(col("query_id")).agg(count(lit(1)).as("n_brute"))
+    val ncp = preCands.groupBy(col("query_id")).agg(count(lit(1)).as("n_cands_pre"))
+    val ncs = segCands.groupBy(col("query_id")).agg(count(lit(1)).as("n_cands_seg"))
+    val nfp = fetch30.groupBy(col("query_id")).agg(count(lit(1)).as("n_fetch_pre"))
+    val nfs = segFetch.groupBy(col("query_id")).agg(count(lit(1)).as("n_fetch_seg"))
+    val np = pre.groupBy(col("query_id")).agg(count(lit(1)).as("n_pre"))
+    val ovp = b.join(pre, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("ov_pre"))
+    val ns = post.groupBy(col("query_id")).agg(count(lit(1)).as("n_post"))
+    val ovs = b.join(post, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("ov_post"))
+    val nt = seg.groupBy(col("query_id")).agg(count(lit(1)).as("n_seg"))
+    val ovt = b.join(seg, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("ov_seg"))
+    nb.join(np, Seq("query_id"), "left").join(ovp, Seq("query_id"), "left")
+      .join(ns, Seq("query_id"), "left").join(ovs, Seq("query_id"), "left")
+      .join(nt, Seq("query_id"), "left").join(ovt, Seq("query_id"), "left")
+      .join(ncp, Seq("query_id"), "left").join(ncs, Seq("query_id"), "left")
+      .join(nfp, Seq("query_id"), "left").join(nfs, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_brute"),
+        coalesce(col("n_pre"), lit(0L)).as("n_pre"),
+        coalesce(col("ov_pre"), lit(0L)).as("ov_pre"),
+        coalesce(col("n_post"), lit(0L)).as("n_post"),
+        coalesce(col("ov_post"), lit(0L)).as("ov_post"),
+        coalesce(col("n_seg"), lit(0L)).as("n_seg"),
+        coalesce(col("ov_seg"), lit(0L)).as("ov_seg"),
+        coalesce(col("n_cands_pre"), lit(0L)).as("n_cands_pre"),
+        coalesce(col("n_cands_seg"), lit(0L)).as("n_cands_seg"),
+        coalesce(col("n_fetch_pre"), lit(0L)).as("n_fetch_pre"),
+        coalesce(col("n_fetch_seg"), lit(0L)).as("n_fetch_seg"))
+      .withColumn("recall_pre_bp", expr("ov_pre * 10000 div n_brute"))
+      .withColumn("recall_post_bp", expr("ov_post * 10000 div n_brute"))
+      .withColumn("recall_seg_bp", expr("ov_seg * 10000 div n_brute"))
+  }
+
+  def knnRangeFilteredSql: String =
+    s"""WITH e AS (
+       |  $VecsCteSql
+       |), $ivfCandsCtesSql, nn AS (
+       |  SELECT MAX(vec_id) + 1 AS n,
+       |         (MAX(vec_id) + 1 + ${RfBuckets - 1}) // $RfBuckets AS w
+       |  FROM e
+       |), qr AS (
+       |  SELECT query_id, qemb, lo, lo + (SELECT n FROM nn) // 16 AS hi FROM (
+       |    SELECT vec_id AS query_id, emb AS qemb,
+       |           (vec_id * 37) % ((SELECT n FROM nn) * 15 // 16) AS lo
+       |    FROM e WHERE vec_id % $QueryMod = 0
+       |  )
+       |), fetch30 AS (
+       |  SELECT p.query_id, a.vec_id, q.lo, q.hi
+       |  FROM (
+       |    SELECT vec_id AS query_id, cid FROM sims
+       |    WHERE crk <= $FilteredNProbe AND vec_id % $QueryMod = 0
+       |  ) p JOIN assign a ON p.cid = a.cid
+       |    JOIN qr q ON q.query_id = p.query_id
+       |  WHERE a.vec_id <> p.query_id
+       |), precands AS (
+       |  SELECT f.query_id, f.vec_id,
+       |         ROUND(list_cosine_similarity(q.qemb, ce.emb), 6) AS cos6
+       |  FROM fetch30 f
+       |    JOIN e ce ON ce.vec_id = f.vec_id
+       |    JOIN qr q ON q.query_id = f.query_id
+       |  WHERE f.vec_id BETWEEN f.lo AND f.hi
+       |), pre AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                              ORDER BY cos6 DESC NULLS LAST, vec_id ASC) AS rk
+       |    FROM precands
+       |  ) WHERE rk <= $TopK
+       |), post AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT c.query_id, c.vec_id, q.lo, q.hi,
+       |           ROW_NUMBER() OVER (PARTITION BY c.query_id
+       |                              ORDER BY ROUND(list_cosine_similarity(q.qemb, ce.emb), 6) DESC NULLS LAST,
+       |                                       c.vec_id ASC) AS rk
+       |    FROM cands c JOIN e ce ON ce.vec_id = c.vec_id
+       |                 JOIN qr q ON q.query_id = c.query_id
+       |  ) WHERE rk <= $TopK AND vec_id BETWEEN lo AND hi
+       |), bm AS (
+       |  SELECT vec_id, emb, vec_id // (SELECT w FROM nn) AS bkt FROM e
+       |), bmn AS (
+       |  SELECT bkt, MIN(vec_id) AS mn FROM bm GROUP BY bkt
+       |), bcent AS (
+       |  SELECT bm.bkt, bm.vec_id AS cid, bm.emb AS cemb
+       |  FROM bm JOIN bmn USING (bkt)
+       |  WHERE bm.vec_id % $RfCentroidMod = 0 OR bm.vec_id = mn
+       |), bsims AS (
+       |  SELECT bm.vec_id, c.cid, list_cosine_similarity(c.cemb, bm.emb) AS cos,
+       |         ROW_NUMBER() OVER (PARTITION BY bm.vec_id
+       |                            ORDER BY list_cosine_similarity(c.cemb, bm.emb) DESC NULLS LAST, c.cid ASC) AS crk
+       |  FROM bm JOIN bcent c ON c.bkt = bm.bkt
+       |), bassign AS (
+       |  SELECT vec_id, cid FROM bsims WHERE crk = 1
+       |), qov AS (
+       |  SELECT query_id, qemb, lo, hi,
+       |         lo // (SELECT w FROM nn) AS blo, hi // (SELECT w FROM nn) AS bhi,
+       |         GREATEST($NProbe,
+       |           ($FilteredNProbe + (hi // (SELECT w FROM nn) - lo // (SELECT w FROM nn) + 1) - 1)
+       |             // (hi // (SELECT w FROM nn) - lo // (SELECT w FROM nn) + 1)) AS wb
+       |  FROM qr
+       |), qprobes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.query_id, c.bkt, c.cid, q.wb,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id, c.bkt
+       |                              ORDER BY list_cosine_similarity(c.cemb, q.qemb) DESC NULLS LAST, c.cid ASC) AS crk
+       |    FROM qov q JOIN bcent c ON c.bkt BETWEEN q.blo AND q.bhi
+       |  ) WHERE crk <= wb
+       |), segfetch AS (
+       |  SELECT p.query_id, a.vec_id, q.lo, q.hi FROM qprobes p
+       |  JOIN bassign a ON a.cid = p.cid
+       |  JOIN qr q ON q.query_id = p.query_id
+       |  WHERE a.vec_id <> p.query_id
+       |), segcands AS (
+       |  SELECT query_id, vec_id FROM segfetch WHERE vec_id BETWEEN lo AND hi
+       |), seg AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT sc.query_id, sc.vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY sc.query_id
+       |                              ORDER BY ROUND(list_cosine_similarity(q.qemb, ce.emb), 6) DESC NULLS LAST,
+       |                                       sc.vec_id ASC) AS rk
+       |    FROM segcands sc JOIN e ce ON ce.vec_id = sc.vec_id
+       |                     JOIN qr q ON q.query_id = sc.query_id
+       |  ) WHERE rk <= $TopK
+       |), b AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, ce.vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |                              ORDER BY ROUND(list_cosine_similarity(q.qemb, ce.emb), 6) DESC NULLS LAST,
+       |                                       ce.vec_id ASC) AS rk
+       |    FROM qr q JOIN e ce
+       |      ON ce.vec_id <> q.query_id AND ce.vec_id BETWEEN q.lo AND q.hi
+       |  ) WHERE rk <= $TopK
+       |), nb AS (
+       |  SELECT query_id, COUNT(*) AS n_brute FROM b GROUP BY query_id
+       |), ncp AS (
+       |  SELECT query_id, COUNT(*) AS n_cands_pre FROM precands GROUP BY query_id
+       |), ncs AS (
+       |  SELECT query_id, COUNT(*) AS n_cands_seg FROM segcands GROUP BY query_id
+       |), nfp AS (
+       |  SELECT query_id, COUNT(*) AS n_fetch_pre FROM fetch30 GROUP BY query_id
+       |), nfs AS (
+       |  SELECT query_id, COUNT(*) AS n_fetch_seg FROM segfetch GROUP BY query_id
+       |), np AS (
+       |  SELECT query_id, COUNT(*) AS n_pre FROM pre GROUP BY query_id
+       |), ovp AS (
+       |  SELECT b.query_id, COUNT(*) AS ov FROM b
+       |  JOIN pre p ON b.query_id = p.query_id AND b.vec_id = p.vec_id
+       |  GROUP BY b.query_id
+       |), ns AS (
+       |  SELECT query_id, COUNT(*) AS n_post FROM post GROUP BY query_id
+       |), ovs AS (
+       |  SELECT b.query_id, COUNT(*) AS ov FROM b
+       |  JOIN post p ON b.query_id = p.query_id AND b.vec_id = p.vec_id
+       |  GROUP BY b.query_id
+       |), nt AS (
+       |  SELECT query_id, COUNT(*) AS n_seg FROM seg GROUP BY query_id
+       |), ovt AS (
+       |  SELECT b.query_id, COUNT(*) AS ov FROM b
+       |  JOIN seg s ON b.query_id = s.query_id AND b.vec_id = s.vec_id
+       |  GROUP BY b.query_id
+       |)
+       |SELECT nb.query_id, nb.n_brute,
+       |       COALESCE(np.n_pre, 0) AS n_pre,
+       |       COALESCE(ovp.ov, 0) AS ov_pre,
+       |       COALESCE(ns.n_post, 0) AS n_post,
+       |       COALESCE(ovs.ov, 0) AS ov_post,
+       |       COALESCE(nt.n_seg, 0) AS n_seg,
+       |       COALESCE(ovt.ov, 0) AS ov_seg,
+       |       COALESCE(ncp.n_cands_pre, 0) AS n_cands_pre,
+       |       COALESCE(ncs.n_cands_seg, 0) AS n_cands_seg,
+       |       COALESCE(nfp.n_fetch_pre, 0) AS n_fetch_pre,
+       |       COALESCE(nfs.n_fetch_seg, 0) AS n_fetch_seg,
+       |       COALESCE(ovp.ov, 0) * 10000 // nb.n_brute AS recall_pre_bp,
+       |       COALESCE(ovs.ov, 0) * 10000 // nb.n_brute AS recall_post_bp,
+       |       COALESCE(ovt.ov, 0) * 10000 // nb.n_brute AS recall_seg_bp
+       |FROM nb LEFT JOIN np ON nb.query_id = np.query_id
+       |        LEFT JOIN ovp ON nb.query_id = ovp.query_id
+       |        LEFT JOIN ns ON nb.query_id = ns.query_id
+       |        LEFT JOIN ovs ON nb.query_id = ovs.query_id
+       |        LEFT JOIN nt ON nb.query_id = nt.query_id
+       |        LEFT JOIN ovt ON nb.query_id = ovt.query_id
+       |        LEFT JOIN ncp ON nb.query_id = ncp.query_id
+       |        LEFT JOIN ncs ON nb.query_id = ncs.query_id
+       |        LEFT JOIN nfp ON nb.query_id = nfp.query_id
+       |        LEFT JOIN nfs ON nb.query_id = nfs.query_id
+       |""".stripMargin
+
   /** Segment split for [[indexMerge]]: segment = vec_id % 2 (two
     * LSM-style ingest segments), segment s's pivot cells = vec_id ≡ s
     * (mod 2·[[CentroidMod]]) — pivots drawn from INSIDE each segment
@@ -3822,7 +4295,12 @@ object Similarity extends QueryModule {
       .select(col("cid"), col("n_before"), col("is_split"))
     // argmin-by-(cos6, vec_id) as ONE BIGINT: cos6 * 1e6 is an integer in
     // [-1e6, 1e6] up to float representation noise — ROUND (not truncate)
-    // recovers it exactly — then shift non-negative, shift left 32, add id
+    // recovers it exactly — then shift non-negative, shift left 32, add id.
+    // The id field is 32 BITS: vec_id must stay < 2^32 or it overflows into
+    // the cos6 field and corrupts seed selection silently (r13 ADVICE). The
+    // fixture's ids are dense from 0 so the bound holds through sf10^4; a
+    // 4 B+-vector deployment widens the pack to (key * 2^40 + id) style or
+    // two columns. RebalanceAndNoveltySpec asserts the bound on the fixture.
     def minKey(cos6: Column): Column =
       (round(cos6 * 1000000.0, 0).cast("long") + 1000000L) * 4294967296L + col("vec_id")
     def keyId(key: Column): Column = pmod(key, lit(4294967296L)).cast("long")
@@ -3983,6 +4461,8 @@ object Similarity extends QueryModule {
     "s_index_merge" -> (indexMerge _),
     "s_cell_split" -> (cellSplit _),
     "s_range_search" -> (rangeSearch _),
+    "s_range_lsh" -> (rangeLsh _),
+    "s_knn_range_filtered" -> (knnRangeFiltered _),
     "s_probe_curve" -> (probeCurve _),
     "s_opq_permute" -> (opqPermute _),
   )
@@ -4027,6 +4507,8 @@ object Similarity extends QueryModule {
     "s_index_merge" -> indexMergeSql,
     "s_cell_split" -> cellSplitSql,
     "s_range_search" -> rangeSearchSql,
+    "s_range_lsh" -> rangeLshSql,
+    "s_knn_range_filtered" -> knnRangeFilteredSql,
     "s_probe_curve" -> probeCurveSql,
     "s_opq_permute" -> opqPermuteSql,
   )

@@ -9,7 +9,7 @@ import graft.queries.Similarity
   *     `s_ann_recall`'s macro aggregate exactly (same probe order, same
   *     rank contract); the curve and the production point can never
   *     drift apart;
-  *   - nesting — probe sets nest, so total_cands is strictly increasing
+  *   - nesting — probe sets nest, so total_cands is non-decreasing
   *     in nprobe and hits at the widest width is the curve maximum
   *     (per-width hits need not be monotone: a wider cut can surface a
   *     rounded-cos tie that displaces a truth row, so only the endpoint
@@ -32,9 +32,12 @@ class ProbeCurveSpec extends SparkSpec {
         assert(hits <= nt, s"hits exceed truth at np=$np ($dir)")
         assert(bp == hits * 10000 / nt, s"recall_bp arithmetic at np=$np ($dir)")
       }
-      assert(curve.map(_._2).toSeq == curve.map(_._2).toSeq.sorted &&
-             curve.map(_._2).distinct.length == curve.length,
-        s"total_cands not strictly increasing at $dir")
+      // non-decreasing, not strictly increasing: probe sets nest, but an
+      // IVF cell can be EMPTY (a centroid need not be its own nearest
+      // centroid), so a wider probe can add zero candidates on a different
+      // fixture despite correct operator output (r13 ADVICE)
+      assert(curve.map(_._2).toSeq == curve.map(_._2).toSeq.sorted,
+        s"total_cands not non-decreasing at $dir")
       assert(curve.last._4 == curve.map(_._4).max,
         s"widest width is not the hits maximum at $dir")
       // the production point: s_ann_recall's macro aggregate, recomputed

@@ -39,6 +39,13 @@ class RebalanceAndNoveltySpec extends SparkSpec {
 
   test("s_cell_split: mass conservation, mean-threshold rule, effective splits") {
     for (dir <- Dirs) {
+      // the seed argmins pack (cos6, vec_id) into one BIGINT with a 32-bit
+      // id field (Similarity.cellSplit minKey) — guard the bound the pack
+      // silently assumes (r13 ADVICE)
+      val maxId = Tables.embeddings(spark, dir)
+        .agg(max(col("vec_id"))).head.getLong(0)
+      assert(maxId < 4294967296L,
+        s"fixture vec_id $maxId exceeds the minKey pack's 32-bit id field")
       val rows = Similarity.cellSplit(spark, dir).collect()
       assert(rows.nonEmpty, s"no cells at $dir")
       val k = rows.length.toLong
@@ -78,7 +85,7 @@ class RebalanceAndNoveltySpec extends SparkSpec {
       val range = rs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(range.nonEmpty, s"no in-radius pairs at $dir")
       val brute = Similarity.knnBrute(spark, dir)
-        .filter(col("cos6") >= 0.30)
+        .filter(col("cos6") >= Similarity.RangeTau)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       assert(brute.nonEmpty, s"no thresholded brute hits to check at $dir")
       for (p <- brute)
