@@ -221,6 +221,16 @@ object StreamingBench extends QueryModule {
     val statePartitions = sys.env.get("GRAFT_STATE_PARTITIONS")
       .map(_.toInt).getOrElse(Parallelism)
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    // GRAFT_STREAM_CONF (measurement-only): semicolon-separated k=v Spark
+    // confs applied for this run and restored after — the lever the r13
+    // commit-floor mitigation sweep turns (minBatchesToRetain, file-sink
+    // log compactInterval/cleanupDelay, state maintenanceInterval) without
+    // baking any sweep point into the gate path.
+    val extraConf: Seq[(String, String)] = sys.env.get("GRAFT_STREAM_CONF").toSeq
+      .flatMap(_.split(";")).filter(_.contains("="))
+      .map { kv => val a = kv.split("=", 2); (a(0).trim, a(1).trim) }
+    val prevExtra = extraConf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    extraConf.foreach { case (k, v) => spark.conf.set(k, v) }
     // GRAFT_STATE_PROVIDER=rocksdb switches every entry to the disk-backed
     // provider (the companion lever to GRAFT_STATE_PARTITIONS). The default
     // HDFSBackedStateStoreProvider holds each store's versioned maps ON
@@ -229,17 +239,66 @@ object StreamingBench extends QueryModule {
     // of partition count (the sf10 stream_q8_join OOM that motivated this
     // knob). RocksDB bounds heap at the block-cache size; on a cluster the
     // same setting is what cluster.conf ships.
-    def run(): Unit =
-      df.writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", ckpt)
+    // GRAFT_STREAM_SINK=foreachBatch (measurement-only): the NO-METADATA
+    // sink control for the commit-floor attribution — per-batch direct
+    // parquet appends, no `_spark_metadata` log to compact, so the delta
+    // vs the default file sink isolates the sink-log term of the commit
+    // floor. Bench-probe only: without the transactional log, task
+    // retries could duplicate files, so a correctness run must fail fast
+    // (same enforcement as GRAFT_STREAM_ROWS_PER_BATCH).
+    val sinkMode = sys.env.getOrElse("GRAFT_STREAM_SINK", "parquet")
+    if (sinkMode != "parquet" &&
+        sys.props.getOrElse("graft.stream.dumpInputs", "true").toBoolean)
+      throw new IllegalStateException(
+        "GRAFT_STREAM_SINK is set but this is a correctness run — unset it")
+    def run(): Unit = {
+      val base = if (sinkMode == "foreachBatch")
+        df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+      else
+        df.writeStream.format("parquet").option("path", out)
+      base.option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow())
         .start()
         .awaitTermination()
+    }
     try {
       if (sys.env.get("GRAFT_STATE_PROVIDER").contains("rocksdb"))
         withRocksDB(spark)(run())
       else run()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prevExtra.foreach {
+        case (k, Some(p)) => spark.conf.set(k, p)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+    // GRAFT_STREAM_COMMIT_STATS=1: print the per-batch completion-time
+    // trend — batch id → file mtime from the commit log AND the sink
+    // metadata log (whichever retains more ids; the commit log keeps only
+    // the last minBatchesToRetain, sink deltas survive until cleanupDelay)
+    // — as decile-averaged per-batch seconds. This is the direct evidence
+    // surface for "does the commit floor grow with batches elapsed".
+    if (sys.env.contains("GRAFT_STREAM_COMMIT_STATS")) {
+      def mtimes(dir: String): Array[(Long, Long)] =
+        Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+          .flatMap(f => f.getName.split("\\.")(0).toLongOption.map(id => (id, f.lastModified())))
+          .groupBy(_._1).map { case (id, xs) => (id, xs.map(_._2).max) }
+          .toArray.sortBy(_._1)
+      val src = Seq(mtimes(s"$ckpt/commits"), mtimes(s"$out/_spark_metadata"))
+        .maxBy(_.length)
+      if (src.length >= 20) {
+        val durs = src.sliding(2).collect { case Array((_, a), (_, b)) => (b - a) / 1000.0 }.toArray
+        val dec = (0 until 10).map { d =>
+          val lo = d * durs.length / 10
+          val hi = math.max(lo + 1, (d + 1) * durs.length / 10)
+          val s = durs.slice(lo, hi)
+          "%.3f".formatLocal(java.util.Locale.ROOT, s.sum / s.length)
+        }
+        println(s"""COMMITSTATS {"name":"$name","batches":${src.length},"decile_avg_sec":[${dec.mkString(",")}]}""")
+      }
+    }
     // multi-batch invariant: the admission plan ([[rowsPerBatchFor]]) must
     // actually have executed — an entry that silently collapsed to one
     // micro-batch would pass the oracle without exercising intermediate
@@ -1456,6 +1515,113 @@ object StreamingBench extends QueryModule {
       |FROM ev JOIN ranked r ON r.qv = ev.qv
       |""".stripMargin
 
+  /** Streaming CDC APPLY — the streaming twin of the batch
+    * `r_upsert_apply`: a sequenced change stream (key = auctionId, seq =
+    * event time, op = delete when personId ≡ 0 (mod 10) else upsert — a
+    * pure function of the event, so both engines derive identical ops)
+    * applied continuously with LAST-WRITE-WINS per key, then materialized
+    * as a snapshot.
+    *
+    * Two stages, the production change-data architecture:
+    *   1. STREAMING COMPACTION: one watermarked 5 s tumbling aggregation
+    *      per (window, key) — the newest change (total order (seq, bid,
+    *      bidder, bidId); full ties carry identical payloads since op is
+    *      a function of the key ordering fields, so races can't change a
+    *      value) plus the change count. This is the per-commit-window
+    *      change-log compaction every CDC ingest (Delta/Hudi-style) runs:
+    *      state is (windows × keys-in-horizon), evicted by the watermark
+    *      — NEVER proportional to the key universe, which is what makes
+    *      continuous apply feasible at 100 TB. An emit-on-quiet
+    *      fGWS/timer formulation was considered and rejected: its output
+    *      granularity depends on WHERE batch boundaries fall (a key
+    *      quiet in batch k emits, then re-emits when it reappears), so no
+    *      engine-independent oracle can pin it — the windowed compaction
+    *      is batching-invariant under monotone event time
+    *      (StreamingMultiBatchSpec pins 1-batch == 4-batch).
+    *   2. SNAPSHOT SERVE: a batch post-pass over the sink's closed
+    *      windows — per key the newest compacted row wins; a final
+    *      `delete` leaves the key dead (live = 0, the tombstone a real
+    *      snapshot reader filters). n_versions counts the key's closed
+    *      change windows — the compaction-debt metric a store tracks.
+    *
+    * sf0.1 → 1,000,000 changes; hot-auction skew makes keys genuinely
+    * multi-version. Output = one row per key with a closed change window.
+    */
+  def streamUpsertApply(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val rows = math.max(1L, (10000000L * sfOf(dir) / Parallelism).toLong)
+    // 100 events/s (the stream_quality_gate generator-clock rule): the
+    // sf0.001 probe's 1,250 events then span 12.5 s of event time, so
+    // whole 5 s windows close beyond the 2 s watermark delay at EVERY
+    // fixture scale — at 1000 eps that probe spans 1.25 s and emits nothing
+    val cfg = GenConfig(eventsPerSecond = 100L)
+    dumpInput(spark, dir, "stream_upsert_apply", "bids", cfg, rows)
+    val bids = NexmarkSources.bidStreamDsv2(spark, cfg, Parallelism, rows, rowsPerBatchFor(rows))
+    val sink = runToParquet(spark, upsertCompact(bids.toDF), "upsertapply",
+      expectedBatches(rows))
+    val w = W.partitionBy(col("auctionId"))
+    sink
+      .withColumn("n_versions", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(w.orderBy(col("windowStartMs").desc)))
+      .filter(col("rk") === 1)
+      .select(col("auctionId"), col("n_versions"), col("seq").as("last_ts"),
+        col("bid"), col("bidder"),
+        (col("op") =!= "delete").cast("int").as("live"))
+  }
+
+  /** Stage-1 dataflow (split out so StreamingMultiBatchSpec can pin
+    * 1-batch == 4-batch): windowed per-key change-log compaction. */
+  private[graft] def upsertCompact(changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    changes
+      .withColumn("eventTime", timestamp_millis(col("timestamp")))
+      .withWatermark("eventTime", "2 seconds")
+      .withColumn("op",
+        when(pmod(col("personId"), lit(10)) === 0, lit("delete")).otherwise(lit("upsert")))
+      .groupBy(window(col("eventTime"), "5 seconds"), col("auctionId"))
+      .agg(count(lit(1)).as("n_changes"),
+        max(col("timestamp")).as("seq"),
+        max_by(struct(col("op"), col("bid"), col("personId").as("bidder")),
+               struct(col("timestamp"), col("bid"), col("personId"), col("bidId"))).as("last"))
+      .select(unix_millis(col("window.start")).as("windowStartMs"), col("auctionId"),
+        col("n_changes"), col("seq"), col("last.op").as("op"),
+        col("last.bid").as("bid"), col("last.bidder").as("bidder"))
+  }
+
+  /** Snapshot over the dumped changes: closed windows (end ≤ final wm =
+    * max(ts) − 2000 — the q5 model), per (window, key) the newest change
+    * under the identical total order, per key the newest window's row.
+    */
+  private val streamUpsertApplySql: String =
+    s"""WITH b AS (SELECT * FROM ${inPath("stream_upsert_apply", "bids")}),
+      |wm AS (SELECT MAX(timestamp) - 2000 AS w FROM b),
+      |cw AS (
+      |  SELECT (timestamp // 5000) * 5000 AS wms, auctionId, timestamp, bid,
+      |         personId, bidId,
+      |         CASE WHEN personId % 10 = 0 THEN 'delete' ELSE 'upsert' END AS op
+      |  FROM b
+      |  WHERE (timestamp // 5000) * 5000 + 5000 <= (SELECT w FROM wm)
+      |), comp AS (
+      |  SELECT wms, auctionId,
+      |         CAST(COUNT(*) OVER (PARTITION BY wms, auctionId) AS BIGINT) AS n_changes,
+      |         MAX(timestamp) OVER (PARTITION BY wms, auctionId) AS seq,
+      |         op, bid, personId AS bidder,
+      |         ROW_NUMBER() OVER (PARTITION BY wms, auctionId
+      |                            ORDER BY timestamp DESC, bid DESC, personId DESC, bidId DESC) AS rn
+      |  FROM cw QUALIFY rn = 1
+      |), snap AS (
+      |  SELECT auctionId,
+      |         CAST(COUNT(*) OVER (PARTITION BY auctionId) AS BIGINT) AS n_versions,
+      |         seq AS last_ts, bid, bidder, op,
+      |         ROW_NUMBER() OVER (PARTITION BY auctionId ORDER BY wms DESC) AS krn
+      |  FROM comp
+      |)
+      |SELECT auctionId, n_versions, last_ts, bid, bidder,
+      |       CAST(op <> 'delete' AS INT) AS live
+      |FROM snap WHERE krn = 1
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_q5_hot" -> (streamQ5Hot _),
     "stream_q8_join" -> (streamQ8Join _),
@@ -1475,6 +1641,7 @@ object StreamingBench extends QueryModule {
     "stream_incremental_neardup" -> (streamIncrementalNearDup _),
     "stream_knn_serve" -> (streamKnnServe _),
     "stream_quality_gate" -> (streamQualityGate _),
+    "stream_upsert_apply" -> (streamUpsertApply _),
   )
 
   /** DuckDB oracles over each entry's dumped input events (see the class
@@ -1499,5 +1666,6 @@ object StreamingBench extends QueryModule {
     "stream_incremental_neardup" -> streamIncrementalNearDupSql,
     "stream_knn_serve" -> streamKnnServeSql,
     "stream_quality_gate" -> streamQualityGateSql,
+    "stream_upsert_apply" -> streamUpsertApplySql,
   )
 }

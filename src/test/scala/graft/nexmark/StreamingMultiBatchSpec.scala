@@ -82,6 +82,9 @@ class StreamingMultiBatchSpec extends SparkSpec {
   pinInvariance("watermarked dedup")(
     NexmarkQueries.dedupBids(_).toDF)
 
+  pinInvariance("windowed CDC upsert compaction (stream_upsert_apply stage 1)")(
+    bids => graft.queries.StreamingBench.upsertCompact(bids.toDF))
+
   pinInvariance("near-dup ingest guard (dedup + LSH corpus screen)") { bids =>
     // dedup state + stream-static posting-list probes: the corpus index is
     // the stream's own first-half prefix (the streamIncrementalNearDup
