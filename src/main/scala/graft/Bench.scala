@@ -61,6 +61,20 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
       sweep()
     }
+    // ambient probe (r13 VERDICT Next #6): a FIXED trivial job — 32 empty
+    // task slots + one 2k-row codegen'd map-aggregate — timed 3×, median.
+    // It measures the box's scheduling/dispatch floor at run time, so the
+    // budget gate can adjudicate sub-second breaches against ambient drift
+    // (the s_quantize_int8 re-key class: entries with < 0.3 s absolute
+    // headroom alarming on box noise, not code). Runs after warmup so it
+    // sees the same steady-state JVM the entries do.
+    def ambientProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 2000, 1, cpus.toInt).selectExpr("sum(id * 2 + 1) as s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ambient = (1 to 3).map(_ => ambientProbe()).sorted.apply(1)
+
     // best of 2 timed runs per query: single-run numbers on a shared box
     // showed 2x run-to-run variance from GC/compilation/OS noise.
     // GRAFT_BENCH_RUNS (measurement-only, default 2) drops to single-run
@@ -106,7 +120,7 @@ object Bench {
     val qs = results.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","ambient":${jnum(ambient)},"queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}""")
     // exit 0 even with failures: the JSON line (with its "errors" map) must
     // reach the driver; a non-zero exit could discard the whole report.
     spark.stop()

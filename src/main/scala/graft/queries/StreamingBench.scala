@@ -289,14 +289,19 @@ object StreamingBench extends QueryModule {
       val src = Seq(mtimes(s"$ckpt/commits"), mtimes(s"$out/_spark_metadata"))
         .maxBy(_.length)
       if (src.length >= 20) {
-        val durs = src.sliding(2).collect { case Array((_, a), (_, b)) => (b - a) / 1000.0 }.toArray
+        // normalize by id gap: retained ids are NOT consecutive (old sink
+        // deltas survive only as every-compactInterval-th .compact), so an
+        // interval spanning g batches contributes its PER-BATCH time
+        val durs = src.sliding(2).collect {
+          case Array((ia, a), (ib, b)) if ib > ia => (b - a) / 1000.0 / (ib - ia)
+        }.toArray
         val dec = (0 until 10).map { d =>
           val lo = d * durs.length / 10
           val hi = math.max(lo + 1, (d + 1) * durs.length / 10)
           val s = durs.slice(lo, hi)
           "%.3f".formatLocal(java.util.Locale.ROOT, s.sum / s.length)
         }
-        println(s"""COMMITSTATS {"name":"$name","batches":${src.length},"decile_avg_sec":[${dec.mkString(",")}]}""")
+        println(s"""COMMITSTATS {"name":"$name","ids":${src.head._1}-${src.last._1},"batches":${src.length},"per_batch_decile_sec":[${dec.mkString(",")}]}""")
       }
     }
     // multi-batch invariant: the admission plan ([[rowsPerBatchFor]]) must

@@ -64,6 +64,33 @@ class ScaleUpSpec extends SparkSpec {
     assert(ev.schema("ts").dataType.typeName == "timestamp")
   }
 
+  test("aniso mode: power-law per-dim energy profile, ids/labels/counts untouched") {
+    val src = "/root/testdata/sf0.001"
+    val dst = java.nio.file.Files.createTempDirectory("graft_scaleup_aniso")
+      .resolve("sf0.001").toString
+    ScaleUp.scale(spark, src, dst, 1, aniso = true)
+    val base = spark.read.parquet(s"$src/embeddings.parquet")
+    val prof = spark.read.parquet(s"$dst/embeddings.parquet")
+    // same rows, ids and labels — only the per-dim scale changes
+    assert(prof.count() == base.count(), "aniso changed the row count")
+    assert(prof.select("vec_id", "label").exceptAll(base.select("vec_id", "label")).isEmpty,
+      "aniso changed ids/labels")
+    // the profile IS the documented gain: x' = x / sqrt(d + 1) exactly
+    val mism = prof.alias("p").join(base.alias("b"), "vec_id")
+      .select(expr(
+        """size(filter(transform(p.embedding, (x, i) ->
+          |  x = cast(element_at(b.embedding, i + 1) / sqrt(cast(i + 1 as double)) as float)),
+          |  ok -> not ok))""".stripMargin).as("bad"))
+      .agg(sum(col("bad"))).head.getLong(0)
+    assert(mism == 0L, s"$mism per-dim values diverge from the documented gain")
+    // per-dim energy is strictly decreasing in expectation: pin head >> tail
+    val e = prof.select(posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(sum(col("x") * col("x")).as("en"))
+      .orderBy(col("d")).collect().map(_.getDouble(1))
+    assert(e(0) > e(63) * 16,
+      f"profile too flat: dim0 ${e(0)}%.3f vs dim63 ${e(63)}%.3f")
+  }
+
   test("scaled embeddings preserve navigable geometry: no replica cliques, beam recall measurable") {
     // the r12 finding this construction replaces: noise-replica fixtures
     // decompose into ~N/k clique islands (every replica's top-k is its

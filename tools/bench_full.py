@@ -14,11 +14,23 @@ hand re-keying is needed to clear one.
 
 Verdicts per entry:
   ok            in-suite time <= budget
+  ok_ambient    sub-second entry breached, but time minus the measured
+                ambient drift (run probe vs recorded probe, see below)
+                fits the budget -> box noise, not code
   ok_isolated   in-suite breached, isolated median <= budget
   over_budget   isolated median > budget  -> gate fails
   no_budget     entry missing from tools/budgets.json -> gate fails
   missing       budgets.json entry absent from bench output -> gate fails
   error         entry failed to execute -> gate fails
+
+Ambient probe (r13 VERDICT Next #6): graft.Bench times a fixed trivial
+job (32 empty task slots + a 2k-row map-aggregate) and reports it as
+"ambient" in the bench JSON. budgets.json records the idle-box value
+under the reserved "__ambient__" key (never an entry). Entries in the
+SUB-SECOND class (budget <= 1.0 s) whose absolute headroom is thinner
+than box noise get their breach tested against budget + max(0, ambient -
+recorded_ambient) BEFORE the isolated-rerun escalation — the automated
+form of the s_quantize_int8 re-key adjudication.
 
 Usage:
   python3 tools/bench_full.py <sfDir> [--cpus N] [--out FILE] [--round N]
@@ -69,6 +81,12 @@ def main() -> int:
     queries = bench.get("queries", {})
     errors = bench.get("errors", {})
 
+    ambient_rec = budgets.get("__ambient__", {}).get("recorded")
+    ambient_now = bench.get("ambient")
+    ambient_delta = (max(0.0, ambient_now - ambient_rec)
+                     if ambient_rec is not None and ambient_now is not None
+                     else 0.0)
+
     verdicts, isolated = {}, {}
     breaches = []
     for name, t in queries.items():
@@ -77,13 +95,20 @@ def main() -> int:
             verdicts[name] = "no_budget"
         elif t <= b["budget"]:
             verdicts[name] = "ok"
+        elif b["budget"] <= 1.0 and t - ambient_delta <= b["budget"]:
+            # sub-second class: absolute headroom thinner than box noise;
+            # the run's own ambient probe explains the breach
+            verdicts[name] = "ok_ambient"
         else:
             breaches.append(name)
     for name in errors:
         verdicts[name] = "error"
     # reverse check: a budgets.json entry absent from the bench output means
     # the suite silently lost coverage -> fail the gate, don't pass quietly
+    # ("__"-prefixed keys are gate metadata, not entries)
     for name in budgets:
+        if name.startswith("__"):
+            continue
         if name not in queries and name not in errors:
             verdicts[name] = "missing"
 
@@ -115,6 +140,8 @@ def main() -> int:
         "wall_sec_incl_sbt": round(wall, 1),
         "n_entries": len(queries),
         "budget_ledger": "tools/budgets.json",
+        "ambient": {"recorded": ambient_rec, "run": ambient_now,
+                    "delta_applied": round(ambient_delta, 3)},
         "verdicts": verdicts,
         "isolated_adjudications": isolated,
         "gate_failures": bad,
