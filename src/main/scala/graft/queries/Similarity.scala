@@ -3750,10 +3750,16 @@ object Similarity extends QueryModule {
     * contiguous vec_id ranges, each with its own in-bucket pivot cells.
     */
   private val RfBuckets = 8
-  /** Per-bucket pivot stride: FINER than the global [[CentroidMod]]
-    * because a segment index is sized to its segment (~√|segment| cells),
-    * not to the corpus — at sf0.1 each 250-vector bucket gets ~19 cells
-    * of ~13 members vs the global index's 25-member cells. */
+  /** Per-bucket pivot stride FLOOR: the effective stride is
+    * greatest([[RfCentroidMod]], w div 19) — it GROWS with the bucket
+    * width so cells-per-bucket stays ≈ 19 at every scale (a segment
+    * index is sized to its segment). A fixed stride was measured
+    * QUADRATIC at the r14 sf10 spot: per-bucket pivot count grew ∝ N and
+    * the bucket-assignment pass hit 38G cosine pairs at 2M vectors; the
+    * width-scaled stride pins assignment work at N × ~19. At the gate
+    * SFs (w ≤ 250) the floor binds, so gate outputs are unchanged. At
+    * sf0.1 each 250-vector bucket gets ~19 cells of ~13 members vs the
+    * global index's 25-member cells. */
   private val RfCentroidMod = 13
 
   /** `s_knn_range_filtered`: NUMERIC-RANGE-filtered ANN — the filtered
@@ -3823,6 +3829,7 @@ object Similarity extends QueryModule {
     val cent = pivotCentroids(e)
     val stats = e.agg((max(col("vec_id")) + 1L).as("n"))
       .withColumn("w", expr(s"(n + ${RfBuckets - 1}) div $RfBuckets"))
+      .withColumn("stride", expr(s"greatest($RfCentroidMod, w div 19)"))
     val qr = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
       .crossJoin(broadcast(stats))
@@ -3852,10 +3859,10 @@ object Similarity extends QueryModule {
     // probe budget split across them (w_b cells per bucket)
     val bm = e.crossJoin(broadcast(stats))
       .withColumn("bkt", expr("vec_id div w"))
-      .select(col("vec_id"), col("emb"), col("bkt"))
+      .select(col("vec_id"), col("emb"), col("bkt"), col("stride"))
     val bmn = bm.groupBy(col("bkt")).agg(min(col("vec_id")).as("mn"))
     val bcent = bm.join(broadcast(bmn), "bkt")
-      .filter(col("vec_id") % RfCentroidMod === 0 || col("vec_id") === col("mn"))
+      .filter(col("vec_id") % col("stride") === 0 || col("vec_id") === col("mn"))
       .select(col("bkt"), col("vec_id").as("cid"), col("emb").as("cemb"))
     val bassign = bm.join(broadcast(bcent), "bkt")
       .withColumn("cos", cosine(col("emb"), col("cemb")))
@@ -3936,9 +3943,11 @@ object Similarity extends QueryModule {
     s"""WITH e AS (
        |  $VecsCteSql
        |), $ivfCandsCtesSql, nn AS (
-       |  SELECT MAX(vec_id) + 1 AS n,
-       |         (MAX(vec_id) + 1 + ${RfBuckets - 1}) // $RfBuckets AS w
-       |  FROM e
+       |  SELECT n, w, GREATEST($RfCentroidMod, w // 19) AS stride FROM (
+       |    SELECT MAX(vec_id) + 1 AS n,
+       |           (MAX(vec_id) + 1 + ${RfBuckets - 1}) // $RfBuckets AS w
+       |    FROM e
+       |  )
        |), qr AS (
        |  SELECT query_id, qemb, lo, lo + (SELECT n FROM nn) // 16 AS hi FROM (
        |    SELECT vec_id AS query_id, emb AS qemb,
@@ -3983,7 +3992,7 @@ object Similarity extends QueryModule {
        |), bcent AS (
        |  SELECT bm.bkt, bm.vec_id AS cid, bm.emb AS cemb
        |  FROM bm JOIN bmn USING (bkt)
-       |  WHERE bm.vec_id % $RfCentroidMod = 0 OR bm.vec_id = mn
+       |  WHERE bm.vec_id % (SELECT stride FROM nn) = 0 OR bm.vec_id = mn
        |), bsims AS (
        |  SELECT bm.vec_id, c.cid, list_cosine_similarity(c.cemb, bm.emb) AS cos,
        |         ROW_NUMBER() OVER (PARTITION BY bm.vec_id
