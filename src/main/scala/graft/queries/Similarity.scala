@@ -949,9 +949,16 @@ object Similarity extends QueryModule {
     * against the pivot baseline.
     */
   def trainPqCodebooks(spark: SparkSession, dir: String,
-                       maxRounds: Int = 40): DataFrame = {
+                       maxRounds: Int = 40): DataFrame =
+    trainPqCodebooksOn(pqSubsOf(spark, dir), maxRounds)
+
+  /** Training over a caller-supplied sub-vector view — lets the OPQ
+    * measurement train in the PERMUTED space (permute → train, the full
+    * OPQ-P pipeline) with the identical Lloyd's loop. */
+  private[graft] def trainPqCodebooksOn(rawSubs: DataFrame,
+                                        maxRounds: Int = 40): DataFrame = {
     require(maxRounds >= 1)
-    val subs = pqSubsOf(spark, dir).localCheckpoint(true)
+    val subs = rawSubs.localCheckpoint(true)
     var cw = pqCodewords(subs).localCheckpoint(true)
     var assign = pqEncode(subs, cw).localCheckpoint(true)
     var changed = -1L
@@ -1064,9 +1071,11 @@ object Similarity extends QueryModule {
     * added cost over plain PQ is the one energy agg — the re-layout rides
     * the encode pass it was going to pay anyway.
     */
-  def opqPermute(spark: SparkSession, dir: String): DataFrame = {
+  /** (dimE, ranked, pe): exact-integer per-dim energies, the rank→slot
+    * deal, and the permuted-layout embedding view — shared by
+    * [[opqPermute]] and the OPQ gain probe (permute → train → encode). */
+  private def opqLayout(e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val dims = PqM * PqSubDim
-    val e = vecs(spark, dir)
     val dimE = e.select(posexplode(col("emb")).as(Seq("dim", "x")))
       .groupBy(col("dim"))
       .agg(expr(s"SUM(CAST(ROUND(x * $OpqQ) AS BIGINT) * CAST(ROUND(x * $OpqQ) AS BIGINT))")
@@ -1083,6 +1092,16 @@ object Similarity extends QueryModule {
       .select(col("vec_id"),
         expr(s"transform(sequence(0, ${dims - 1}), i -> element_at(emb, element_at(pm, i + 1) + 1))")
           .as("emb"))
+    (dimE, ranked, pe)
+  }
+
+  /** The permuted-layout sub-vector view, for the OPQ gain probe. */
+  private[graft] def opqPermutedSubs(spark: SparkSession, dir: String): DataFrame =
+    pqSubs(opqLayout(vecs(spark, dir))._3)
+
+  def opqPermute(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val (dimE, ranked, pe) = opqLayout(e)
     // per-subspace exact reconstruction-error mass for a layout
     def mseBySub(ev: DataFrame): DataFrame = {
       val subs = pqSubs(ev)
