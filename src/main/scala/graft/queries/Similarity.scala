@@ -160,6 +160,86 @@ object Similarity extends QueryModule {
        |  AND ROUND(list_cosine_similarity(qemb, emb), 6) >= $RangeTau
        |""".stripMargin
 
+  /** Integer DCG discount weights w_i = round(10⁶ / log₂(i + 1)) for
+    * ranks 1..[[TopK]] — precomputed CONSTANTS so the rank-quality audit
+    * is pure integer arithmetic (no cross-engine log/float exposure). */
+  private val NdcgW: Seq[Long] =
+    (1 to TopK).map(i => math.round(1e6 / (math.log(i + 1) / math.log(2))))
+  private def ndcgIdeal: Long = NdcgW.sum
+
+  /** `s_serve_ndcg`: RANK-AWARE serving quality — nDCG@[[TopK]] and MRR
+    * of the production IVF serve ([[knnIvf]], the `s_knn_serve` plan)
+    * against exact brute-force truth. The recall audits (`s_ann_recall`,
+    * `s_probe_curve`) count SET overlap; a serving team's dashboards
+    * also read rank-aware metrics, because a serve that returns the
+    * right five documents in the wrong order scores differently for
+    * downstream RAG than one that nails rank 1. Binary relevance (hit =
+    * served id ∈ exact top-k), discounts by the SERVED rank, all
+    * arithmetic exact integers: DCG_q = Σ w_served_rank over hits with
+    * w_i = round(10⁶/log₂(i+1)) constants, nDCG_bp = DCG·10⁴ div IDCG
+    * (IDCG = Σ w, truth is always k deep on this fixture), MRR_bp =
+    * 10⁴ div (first hit's served rank), 0 when no hit.
+    *
+    * Scale shape: both sides are the existing top-k plans (bounded
+    * salted ranks); the audit joins are queries × k rows. Output: one
+    * row per query.
+    */
+  def serveNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val served = knnIvf(spark, dir)
+      .select(col("query_id"), col("vec_id"), col("rk"))
+    val truth = knnBrute(spark, dir)
+      .select(col("query_id"), col("vec_id"))
+    val wCase = (1 to TopK).map(i => s"WHEN $i THEN ${NdcgW(i - 1)}L")
+      .mkString("CASE rk ", " ", " ELSE 0L END")
+    val hits = served.join(truth, Seq("query_id", "vec_id"), "left_semi")
+      .withColumn("w", expr(wCase))
+    val agg = hits.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        sum(col("w")).as("dcg_q"),
+        min(col("rk")).as("first_hit_rk"))
+    // every query has a served list; left join so zero-hit queries keep
+    // a row with zeroed metrics
+    served.select(col("query_id")).distinct()
+      .join(agg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("dcg_q"), lit(0L)).as("dcg_q"),
+        coalesce(col("first_hit_rk"), lit(0L)).cast("long").as("first_hit_rk"))
+      .withColumn("ndcg_bp", expr(s"dcg_q * 10000 div ${ndcgIdeal}L"))
+      .withColumn("mrr_bp",
+        expr("CASE WHEN first_hit_rk = 0 THEN 0L ELSE 10000 div first_hit_rk END"))
+  }
+
+  def serveNdcgSql: String = {
+    val wCase = (1 to TopK).map(i => s"WHEN $i THEN ${NdcgW(i - 1)}")
+      .mkString("CASE s.rk ", " ", " ELSE 0 END")
+    s"""WITH served AS (
+       |${knnIvfSql}
+       |), b AS (
+       |  SELECT query_id, vec_id FROM (
+       |${knnBruteSql}
+       |  )
+       |), hits AS (
+       |  SELECT s.query_id, s.rk, $wCase AS w
+       |  FROM served s SEMI JOIN b ON s.query_id = b.query_id AND s.vec_id = b.vec_id
+       |), agg AS (
+       |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       |         CAST(SUM(w) AS BIGINT) AS dcg_q,
+       |         CAST(MIN(rk) AS BIGINT) AS first_hit_rk
+       |  FROM hits GROUP BY query_id
+       |)
+       |SELECT q.query_id,
+       |       COALESCE(agg.n_hits, 0) AS n_hits,
+       |       COALESCE(agg.dcg_q, 0) AS dcg_q,
+       |       COALESCE(agg.first_hit_rk, 0) AS first_hit_rk,
+       |       COALESCE(agg.dcg_q, 0) * 10000 // ${ndcgIdeal} AS ndcg_bp,
+       |       CASE WHEN COALESCE(agg.first_hit_rk, 0) = 0 THEN 0
+       |            ELSE 10000 // agg.first_hit_rk END AS mrr_bp
+       |FROM (SELECT DISTINCT query_id FROM served) q
+       |LEFT JOIN agg ON agg.query_id = q.query_id
+       |""".stripMargin
+  }
+
   /** Sign-LSH family for [[rangeLsh]]: [[RangeLshBands]] bands of
     * [[RangeLshBits]] coordinate-comparison bits. The band/bit counts are
     * sized for the RADIUS regime, not the dup regime: a comparator bit
@@ -4491,6 +4571,7 @@ object Similarity extends QueryModule {
     "s_range_search" -> (rangeSearch _),
     "s_range_lsh" -> (rangeLsh _),
     "s_knn_range_filtered" -> (knnRangeFiltered _),
+    "s_serve_ndcg" -> (serveNdcg _),
     "s_probe_curve" -> (probeCurve _),
     "s_opq_permute" -> (opqPermute _),
   )
@@ -4537,6 +4618,7 @@ object Similarity extends QueryModule {
     "s_range_search" -> rangeSearchSql,
     "s_range_lsh" -> rangeLshSql,
     "s_knn_range_filtered" -> knnRangeFilteredSql,
+    "s_serve_ndcg" -> serveNdcgSql,
     "s_probe_curve" -> probeCurveSql,
     "s_opq_permute" -> opqPermuteSql,
   )

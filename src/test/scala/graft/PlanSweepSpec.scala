@@ -63,6 +63,7 @@ class PlanSweepSpec extends SparkSpec {
     "s_triplet_mine" -> "ivfCandidates assignment + per-anchor pos/neg argmax over (cos6, -vec_id)",
     "s_knn_filtered" -> "contains the ivfCandidates assignment argmax (same rationale)",
     "s_knn_range_filtered" -> "global ivfCandidates assignment argmax + per-bucket cell-assignment argmax over (cos, -cid) — same ivfCandidates rationale",
+    "s_serve_ndcg" -> "contains the knnIvf subplan (cell-assignment argmax) as the audited serve",
     "s_index_merge" -> "per-segment + merged cell-assignment argmax over (cos, -cid) — ivfCandidates rationale",
     "s_cell_split" -> "cell-assignment argmax over (cos, -cid) — ivfCandidates rationale (seed argmins are BIGINT-packed HashAggregates)",
     "s_opq_permute" -> "PQ code-assignment argmin over (d2, code) in BOTH layouts — same pqEncode node class as s_knn_pq")

@@ -49,4 +49,28 @@ class ProbeCurveSpec extends SparkSpec {
         s"np=3 row (${row3._4}/${row3._3}) != s_ann_recall aggregate ($hits3/$truth3) at $dir")
     }
   }
+
+  test("s_serve_ndcg: exact integer arithmetic, hit mass equals s_ann_recall's") {
+    for (dir <- Dirs) {
+      val rows = Similarity.serveNdcg(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                   r.getLong(4), r.getLong(5)))
+      assert(rows.nonEmpty, s"no queries at $dir")
+      for ((qid, nHits, dcg, firstRk, ndcgBp, mrrBp) <- rows) {
+        assert(nHits <= 5 && ndcgBp <= 10000, s"bounds broken at $qid ($dir)")
+        assert((nHits == 0) == (dcg == 0L) && (nHits == 0) == (firstRk == 0L),
+          s"zero-hit accounting at $qid ($dir)")
+        if (firstRk > 0)
+          assert(mrrBp == 10000 / firstRk, s"mrr arithmetic at $qid ($dir)")
+        // a full sweep of 5 hits at served ranks 1..5 IS the ideal ranking
+        if (nHits == 5)
+          assert(ndcgBp == 10000, s"5 hits must be the ideal DCG at $qid ($dir)")
+      }
+      // same serve (knnIvf), same truth (knnBrute) as s_ann_recall: the
+      // rank-aware audit's hit MASS must equal the recall audit's
+      val ar = Similarity.annRecall(spark, dir).collect()
+      assert(rows.map(_._2).sum == ar.map(_.getLong(3)).sum,
+        s"hit mass diverged from s_ann_recall at $dir")
+    }
+  }
 }
