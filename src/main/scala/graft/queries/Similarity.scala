@@ -4405,12 +4405,19 @@ object Similarity extends QueryModule {
     // [-1e6, 1e6] up to float representation noise — ROUND (not truncate)
     // recovers it exactly — then shift non-negative, shift left 32, add id.
     // The id field is 32 BITS: vec_id must stay < 2^32 or it overflows into
-    // the cos6 field and corrupts seed selection silently (r13 ADVICE). The
-    // fixture's ids are dense from 0 so the bound holds through sf10^4; a
-    // 4 B+-vector deployment widens the pack to (key * 2^40 + id) style or
-    // two columns. RebalanceAndNoveltySpec asserts the bound on the fixture.
+    // the cos6 field and corrupts seed selection (r13/r14 ADVICE). The
+    // fixture's ids are dense from 0 so the bound holds through sf10^4
+    // (RebalanceAndNoveltySpec pins it on the fixture), but the failure
+    // must be LOUD for any corpus, not a fixture property: the pack
+    // raises per-row on an out-of-range id (one codegen'd branch, no
+    // extra action). A 4 B+-vector deployment widens the pack to a
+    // (key * 2^40 + id)-style layout or two columns.
     def minKey(cos6: Column): Column =
-      (round(cos6 * 1000000.0, 0).cast("long") + 1000000L) * 4294967296L + col("vec_id")
+      (round(cos6 * 1000000.0, 0).cast("long") + 1000000L) * 4294967296L +
+        when(col("vec_id").between(0L, 4294967295L), col("vec_id"))
+          .otherwise(raise_error(concat(
+            lit("cellSplit minKey pack: vec_id out of the 32-bit id field: "),
+            col("vec_id").cast("string"))))
     def keyId(key: Column): Column = pmod(key, lit(4294967296L)).cast("long")
     val splitMembers = members
       .join(cells.filter(col("is_split") === 1L).select(col("cid")), "cid")

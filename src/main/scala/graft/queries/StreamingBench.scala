@@ -223,9 +223,14 @@ object StreamingBench extends QueryModule {
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
     // GRAFT_STREAM_CONF (measurement-only): semicolon-separated k=v Spark
     // confs applied for this run and restored after — the lever the r13
-    // commit-floor mitigation sweep turns (minBatchesToRetain, file-sink
-    // log compactInterval/cleanupDelay, state maintenanceInterval) without
-    // baking any sweep point into the gate path.
+    // commit-floor mitigation sweep turns (minBatchesToRetain, state
+    // maintenanceInterval) without baking any sweep point into the gate
+    // path. NOT for `fileSink.log.*` confs: the sink's metadata-log READER
+    // derives expected `.compact` ids from the session conf AT READ TIME,
+    // and the restore below runs before the final spark.read of the sink —
+    // a compactInterval override would make that read fail with
+    // "N.compact doesn't exist". Inject sink-log confs as `-Dspark.*`
+    // system properties instead (tools/commit_floor_sweep.sh does).
     val extraConf: Seq[(String, String)] = sys.env.get("GRAFT_STREAM_CONF").toSeq
       .flatMap(_.split(";")).filter(_.contains("="))
       .map { kv => val a = kv.split("=", 2); (a(0).trim, a(1).trim) }

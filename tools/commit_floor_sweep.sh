@@ -17,6 +17,12 @@
 #               all: the non-metadata control)
 #   retain      minBatchesToRetain=2 only (isolates the checkpoint/state
 #               retention term)
+#   fullcurve   minBatchesToRetain=400 (retain the whole commit log so
+#               COMMITSTATS sees every batch from id 0 — the full
+#               per-batch curve, not the tail-only default window)
+#   gc          periodicGC.interval=15s + minBatchesToRetain=400 (the
+#               driver-garbage hypothesis: reclaim past batches' local
+#               shuffle/broadcast files on a fixed GC cadence)
 # Usage: tools/commit_floor_sweep.sh <classesDir> <point> <sfTag: sf1|sf10> [entry]
 set -euo pipefail
 CLASSES=${1:?classes snapshot dir}

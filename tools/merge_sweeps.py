@@ -4,16 +4,33 @@ run immediately after Verify writes the last-write-wins stream input
 dumps, plus the rest-of-surface pass) into one CORRECTNESS-style JSON.
 
 Usage: python3 tools/merge_sweeps.py <out.json> <part1.json> <part2.json> ...
+
+Provenance (r14 ADVICE): a merged artifact is only reproducible at a
+revision that contains EVERY measured entry, so the merged git_rev is
+re-stamped to the newest part's rev — and that rev must be a descendant
+of every other part's rev (checked via `git merge-base --is-ancestor`;
+divergent revs abort the merge). All parts' revs are kept under
+`merged_git_revs` so per-pass provenance is never lost.
 """
-import json, sys
+import json, os, subprocess, sys
+
+
+def _is_ancestor(repo, a, b):
+    """True iff rev a is an ancestor of (or equal to) rev b."""
+    return subprocess.run(
+        ["git", "-C", repo, "merge-base", "--is-ancestor", a, b],
+        capture_output=True).returncode == 0
 
 
 def main() -> int:
     out, parts = sys.argv[1], sys.argv[2:]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     merged = None
+    revs = []
     for p in parts:
         with open(p) as fh:
             r = json.load(fh)
+        revs.append(r.get("git_rev"))
         if merged is None:
             merged = r
             merged["merged_from"] = [p]
@@ -21,6 +38,19 @@ def main() -> int:
             assert r["sfdir"] == merged["sfdir"], "sfdir mismatch"
             merged["entries"].update(r["entries"])
             merged["merged_from"].append(p)
+    known = [r for r in revs if r]
+    if known:
+        newest = known[0]
+        for r in known[1:]:
+            if _is_ancestor(repo, newest, r):
+                newest = r
+            elif not _is_ancestor(repo, r, newest):
+                print(f"divergent part revisions {r} / {newest}: the merged "
+                      "artifact would not be reproducible at any single rev; "
+                      "re-run one pass at the newer revision", file=sys.stderr)
+                return 2
+        merged["git_rev"] = newest
+        merged["merged_git_revs"] = revs
     merged["entries"] = dict(sorted(merged["entries"].items()))
     merged["n_entries"] = len(merged["entries"])
     statuses = [e["status"] for e in merged["entries"].values()]
