@@ -304,6 +304,15 @@ object Similarity extends QueryModule {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
       .distinct()
+    rangeRecallAudit(e, cands)
+  }
+
+  /** Shared verify + ground-truth audit tail of [[rangeLsh]] and
+    * [[rangeLshMp]]: exact-cosine verification of the candidate pairs at
+    * [[RangeTau]]/[[RangeTauHi]] against the brute in-radius truth,
+    * recomputed in the same job with the identical ROUND(cos, 6) ≥ τ rule
+    * so found ⊆ exact structurally. */
+  private def rangeRecallAudit(e: DataFrame, cands: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
     val verified = cands
@@ -344,7 +353,13 @@ object Similarity extends QueryModule {
        |  SELECT DISTINCT qb.query_id, c.vec_id
        |  FROM qb JOIN bands c ON c.band = qb.band AND c.bkey = qb.bkey
        |  WHERE c.vec_id <> qb.query_id
-       |), v AS (
+       |)""".stripMargin + RangeAuditSqlTail
+
+  /** DuckDB twin of [[rangeRecallAudit]]: shared verify + truth tail over
+    * CTEs `e(vec_id, emb)` and `cands(query_id, vec_id)`. Opens with a
+    * comma continuing the caller's WITH list. */
+  private def RangeAuditSqlTail: String =
+    s""", v AS (
        |  SELECT c.query_id,
        |         ROUND(list_cosine_similarity(qe.emb, ce.emb), 6) AS cos6
        |  FROM cands c JOIN e qe ON qe.vec_id = c.query_id
@@ -373,6 +388,119 @@ object Similarity extends QueryModule {
        |            ELSE COALESCE(nf.n_found_hi, 0) * 10000 // ex.n_exact_hi END AS recall_hi_bp
        |FROM ex LEFT JOIN nf ON nf.query_id = ex.query_id
        |""".stripMargin
+
+  /** Band count for [[rangeLshMp]] — fewer bands than [[rangeLsh]]'s 64
+    * because each band is probed at TWO buckets (see below), so part of
+    * the candidate-mass budget is spent on probes instead of bands; the
+    * index itself (corpus postings = bands × N rows) SHRINKS by the same
+    * factor. Chosen from the `graft.tools.RangeMpProbe` sweep at sf0.1:
+    * 54 × 2 = 0.856 recall / 34.5% mass (the target band); 64 × 2 = 0.897
+    * / 39.0%; 32 × 4-probe = 0.880 / 39.0%; 27 × 4 = 0.832 / 34.8%. */
+  private val RangeMpBands = 54
+
+  /** `s_range_lsh_mp`: MULTI-PROBE radius search — [[rangeLsh]]'s honest
+    * 0.708 recall is the single-probe ceiling of sign-LSH at τ = 0.30
+    * (ρ ≈ 0.74 by geometry, the scaladoc above); the standard public fix
+    * a production store reaches for first is multi-probe (Lv et al.,
+    * VLDB'07): a true in-radius neighbor that misses the query's bucket
+    * most often disagrees on the band's LOWEST-|margin| comparator — the
+    * bit where the query sits closest to its decision boundary — so
+    * probing the neighbor bucket with the weakest bit flipped recovers
+    * most 1-bit misses at zero extra index cost.
+    *
+    * Per band the query probes 2 buckets: base key k and k⊕w₁, where w₁
+    * is the weight of the lowest-margin bit (margin = |emb[i₁] − emb[i₂]|,
+    * ties to the lower bit index — pure IEEE-double comparisons, so Spark
+    * and DuckDB agree exactly). A boundary pair (p ≈ 0.60/bit) lands in
+    * one of the 2 probed buckets ~3.5× as often as in the base bucket
+    * alone, so [[RangeMpBands]] = 54 bands × 2 probes reach 0.856 macro
+    * recall at 34.5% candidate mass — vs the 64 single-probe bands' 0.708
+    * at ~23% — from a SMALLER index (full sweep table in the
+    * [[RangeMpBands]] doc and BASELINE.md, measured by
+    * `graft.tools.RangeMpProbe`).
+    *
+    * Scale shape identical to [[rangeLsh]]: corpus postings are per-row
+    * map work (the posting table a 100 TB store would bucket once);
+    * probes multiply only the QUERY side (Q × bands × 2 rows, broadcast),
+    * and verify touches candidates only.
+    */
+  def rangeLshMp(spark: SparkSession, dir: String): DataFrame =
+    rangeLshMpCore(spark, dir, RangeMpBands, doubleFlip = false)
+
+  private[graft] def rangeLshMpCore(spark: SparkSession, dir: String,
+                                    nBands: Int, doubleFlip: Boolean): DataFrame = {
+    val e = vecs(spark, dir)
+    val pairs = rangeLshPairs.take(nBands)
+    val bands = e.select(col("vec_id"),
+      posexplode(array(bandKeyCols(pairs): _*)).as(Seq("band", "bkey")))
+    // query side: the per-band comparator coordinates as ONE folded
+    // literal (bands × bits × (weight, 1-based i1, 1-based i2)) consumed
+    // by HOFs — NOT `nBands` unrolled struct expressions, whose generated
+    // code blows Janino's 64 KB method limit and drops the whole stage to
+    // interpreted fallback. The HOFs run on Q × bands rows only.
+    val coords = typedlit(pairs.map(_._2.map { case (w, i1, i2) => (w, i1 + 1, i2 + 1) }))
+    val qprobes = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb"),
+        posexplode(coords).as(Seq("band", "pairs")))
+      .withColumn("bkey", expr(
+        "aggregate(pairs, 0, (a, p) -> a + CASE WHEN element_at(emb, p._2) > element_at(emb, p._3) THEN p._1 ELSE 0 END)"))
+      .withColumn("m", expr(
+        "transform(pairs, p -> abs(element_at(emb, p._2) - element_at(emb, p._3)))"))
+      // weakest-margin bit selection: argmin by (margin, bit index) twice —
+      // array_position picks the FIRST occurrence of the min, which IS the
+      // lowest-index tie-break, identically in DuckDB's list_indexof
+      .withColumn("j1", array_position(col("m"), array_min(col("m"))))
+      .withColumn("m2", expr(
+        "transform(m, (x, i) -> CASE WHEN i = j1 - 1 THEN CAST('Infinity' AS DOUBLE) ELSE x END)"))
+      .withColumn("j2", array_position(col("m2"), array_min(col("m2"))))
+      .withColumn("w1", expr("shiftleft(1, cast(j1 - 1 as int))"))
+      .withColumn("w2", expr("shiftleft(1, cast(j2 - 1 as int))"))
+      .select(col("query_id"), col("band"),
+        explode(
+          if (doubleFlip)
+            array(col("bkey"), col("bkey").bitwiseXOR(col("w1")),
+              col("bkey").bitwiseXOR(col("w2")),
+              col("bkey").bitwiseXOR(col("w1")).bitwiseXOR(col("w2")))
+          else
+            array(col("bkey"), col("bkey").bitwiseXOR(col("w1")))
+        ).as("bkey"))
+    val cands = bands.join(broadcast(qprobes), Seq("band", "bkey"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    rangeRecallAudit(e, cands)
+  }
+
+  def rangeLshMpSql: String = {
+    val pairs = rangeLshPairs.take(RangeMpBands)
+    val qmSelects = pairs.map { case (b, bits) =>
+      val key = bits.map { case (w, i1, i2) =>
+        s"CASE WHEN emb[${i1 + 1}] > emb[${i2 + 1}] THEN $w ELSE 0 END"
+      }.mkString(" + ")
+      val margins = bits.map { case (_, i1, i2) =>
+        s"abs(emb[${i1 + 1}] - emb[${i2 + 1}])"
+      }.mkString(", ")
+      s"SELECT vec_id AS query_id, $b AS band, $key AS bkey, [$margins] AS m FROM e WHERE vec_id % $QueryMod = 0"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (
+       |  $VecsCteSql
+       |), bands AS (
+       |  ${bandSelectsSql(pairs)}
+       |), qm AS (
+       |  $qmSelects
+       |), qj AS (
+       |  SELECT query_id, band, bkey,
+       |         1 << (list_indexof(m, list_min(m)) - 1) AS w1
+       |  FROM qm
+       |), qp AS (
+       |  SELECT query_id, band, bkey FROM qj
+       |  UNION ALL SELECT query_id, band, xor(bkey, w1) FROM qj
+       |), cands AS (
+       |  SELECT DISTINCT qp.query_id, c.vec_id
+       |  FROM qp JOIN bands c ON c.band = qp.band AND c.bkey = qp.bkey
+       |  WHERE c.vec_id <> qp.query_id
+       |)""".stripMargin + RangeAuditSqlTail
+  }
 
   /** IVF-style ANN: assign every vector to its nearest of the deterministic
     * coarse centroids; for each query probe the NProbe nearest cells and
@@ -4577,6 +4705,7 @@ object Similarity extends QueryModule {
     "s_cell_split" -> (cellSplit _),
     "s_range_search" -> (rangeSearch _),
     "s_range_lsh" -> (rangeLsh _),
+    "s_range_lsh_mp" -> (rangeLshMp _),
     "s_knn_range_filtered" -> (knnRangeFiltered _),
     "s_serve_ndcg" -> (serveNdcg _),
     "s_probe_curve" -> (probeCurve _),
@@ -4624,6 +4753,7 @@ object Similarity extends QueryModule {
     "s_cell_split" -> cellSplitSql,
     "s_range_search" -> rangeSearchSql,
     "s_range_lsh" -> rangeLshSql,
+    "s_range_lsh_mp" -> rangeLshMpSql,
     "s_knn_range_filtered" -> knnRangeFilteredSql,
     "s_serve_ndcg" -> serveNdcgSql,
     "s_probe_curve" -> probeCurveSql,

@@ -163,6 +163,39 @@ class FilteredAndMergeSpec extends SparkSpec {
     }
   }
 
+  test("s_range_lsh_mp: multi-probe lifts recall over single-probe at sub-scan mass") {
+    for (dir <- Dirs) {
+      val mp = Similarity.rangeLshMp(spark, dir).collect()
+      assert(mp.nonEmpty, s"degenerate: no queries at $dir")
+      // same truth as the single-probe entry (identical exact-scan rule)
+      val sp = Similarity.rangeLsh(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+      var mpFound = 0L; var spFound = 0L; var nExact = 0L; var cands = 0L
+      for (r <- mp) {
+        val qid = r.getLong(0)
+        val (ne, nc, nf) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        assert(ne == sp(qid)._1,
+          s"truth diverged from s_range_lsh at $qid ($dir): $ne vs ${sp(qid)._1}")
+        assert(nf <= ne && nf <= nc, s"found exceeds exact/cands at $qid ($dir)")
+        assert(r.getLong(6) == (if (ne == 0) 10000L else nf * 10000 / ne),
+          s"recall_bp arithmetic at $qid ($dir)")
+        mpFound += nf; spFound += sp(qid)._2; nExact += ne; cands += nc
+      }
+      assert(nExact > 0, s"no exact in-radius mass at $dir")
+      // the multi-probe claim: strictly more recall than single-probe on
+      // the same truth (measured gap ≥ +0.12 recall at every SF), still
+      // at sub-scan candidate mass (measured ≤ 0.35; bound 0.40)
+      assert(mpFound > spFound,
+        s"multi-probe found $mpFound not above single-probe $spFound at $dir")
+      val recall = mpFound.toDouble / nExact
+      assert(recall >= 0.75,
+        f"macro multi-probe recall $recall%.3f below floor 0.75 at $dir")
+      val corpus = graft.Tables.embeddings(spark, dir).count() - 1
+      assert(cands < mp.length * corpus * 4 / 10,
+        s"candidate mass $cands not below 40%% of the scan at $dir")
+    }
+  }
+
   test("s_index_merge: audit arithmetic, scan-cost reclaim, merged recall floor") {
     for (dir <- Dirs) {
       val rows = Similarity.indexMerge(spark, dir).collect()
