@@ -578,7 +578,64 @@ object EventAnalytics extends QueryModule {
       |FROM act JOIN sizes USING (cohort_ms)
       |""".stripMargin
 
+  /** `q_skew_join`: deliberately PATHOLOGICAL hot-key join stress — the
+    * q8/q11 join shape (fact ⋈ per-key profile) with ~20% of the fact
+    * mass collapsed onto ONE key, beyond the reference generator's 15%
+    * hot blends (`NexmarkGen` constants; reference skew at
+    * NexmarkQuery8/NexmarkQuery8.java:417's keyBy). Every event whose
+    * `user_id % 5 == 0` joins through key 0; the rest keep their user
+    * key. The right side is the per-user purchase profile (unique per
+    * key), so output mass is bounded by the fact side and the final
+    * audit is one row per surviving key.
+    *
+    * Scale shape: at gate SFs the profile side broadcasts (no shuffle at
+    * all — the correct plan at that size). One decade up the profile
+    * outgrows the broadcast threshold and the join becomes a shuffle
+    * join whose hot partition carries 20% of the fact side — the first
+    * thing that kills a real q8-shaped join at 100× — and AQE's runtime
+    * skew-join split absorbs it (spark.sql.adaptive.skewJoin, on by
+    * default; the measured absorbed-vs-naive wall delta at the decade
+    * fixtures is recorded in BASELINE.md §r15, via forced-shuffle
+    * AQE-on/off probe runs). All aggregates are exact integers
+    * ([[Det.cents]]), so the gate result is plan-independent: broadcast,
+    * SMJ and skew-split SMJ hash identically.
+    */
+  def skewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val left = ev.select(
+      when(col("user_id") % 5 === 0, 0L).otherwise(col("user_id")).as("skew_key"),
+      col("value"))
+    val profile = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purch"),
+           expr("SUM(CAST(ROUND(value * 100) AS BIGINT))").as("purch_cents"))
+    left.join(profile, left("skew_key") === profile("user_id"))
+      .groupBy(col("skew_key"))
+      .agg(count(lit(1)).as("n_joined"),
+           expr("SUM(CAST(ROUND(value * 100) AS BIGINT))").as("fact_cents"),
+           sum(col("n_purch")).as("n_purch_sum"),
+           sum(col("purch_cents")).as("purch_cents_sum"))
+  }
+
+  def skewJoinSql: String =
+    """WITH lf AS (
+      |  SELECT CASE WHEN user_id % 5 = 0 THEN 0 ELSE user_id END AS skew_key, value
+      |  FROM events
+      |), pr AS (
+      |  SELECT user_id, COUNT(*) AS n_purch,
+      |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS purch_cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+      |)
+      |SELECT lf.skew_key, COUNT(*) AS n_joined,
+      |       CAST(SUM(CAST(ROUND(lf.value * 100) AS BIGINT)) AS BIGINT) AS fact_cents,
+      |       CAST(SUM(pr.n_purch) AS BIGINT) AS n_purch_sum,
+      |       CAST(SUM(pr.purch_cents) AS BIGINT) AS purch_cents_sum
+      |FROM lf JOIN pr ON lf.skew_key = pr.user_id
+      |GROUP BY lf.skew_key
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_join" -> (skewJoin _),
     "q5_hot_users" -> (hotUsers _),
     "q4_avg_max_value" -> (avgMaxValue _),
     "q7_highest_value" -> (highestValue _),
@@ -597,6 +654,7 @@ object EventAnalytics extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_skew_join" -> skewJoinSql,
     "q5_hot_users" -> hotUsersSql,
     "q4_avg_max_value" -> avgMaxValueSql,
     "q7_highest_value" -> highestValueSql,

@@ -867,17 +867,17 @@ object StreamingBench extends QueryModule {
       |  SELECT DISTINCT auctionId AS id FROM ${inPath("stream_incremental_neardup", "corpus")}
       |), ids AS (
       |  SELECT DISTINCT id FROM (SELECT id FROM sdel UNION ALL SELECT id FROM scor)
-      |), tl AS (
+      |), tl AS MATERIALIZED (
       |  SELECT id, ${nearToksSql("id")} AS tk FROM ids
       |), sh AS (
       |  SELECT id AS doc_id, UNNEST(tk) AS sh FROM tl
-      |), ${TextPipeline.sqlSigStages}, bands AS (
+      |), ${TextPipeline.sqlSigStages}, bands AS MATERIALIZED (
       |  ${TextPipeline.sqlBandSelects}
       |), db AS (
       |  SELECT b.doc_id, b.band, b.bkey FROM bands b SEMI JOIN sdel ON b.doc_id = sdel.id
       |), cb AS (
       |  SELECT b.doc_id AS corpus_id, b.band, b.bkey FROM bands b SEMI JOIN scor ON b.doc_id = scor.id
-      |), cands AS (
+      |), cands AS MATERIALIZED (
       |  SELECT DISTINCT db.doc_id, cb.corpus_id
       |  FROM db JOIN cb ON db.band = cb.band AND db.bkey = cb.bkey
       |), nbc AS (

@@ -288,11 +288,14 @@ object TextPipeline extends QueryModule {
          element_at(col("w"), 3) * mixK(i, 2) + element_at(col("w"), 4) * mixK(i, 3)) % MixP(i))
       .as(s"h$i"))
 
-  /** DuckDB: word j = hex chars [8j, 8j+8) of md5(sh), folded as base-16
-    * digits (list_reduce seeds with the first digit — Horner). */
+  /** DuckDB: word j = hex chars [8j, 8j+8) of md5(sh), parsed via the
+    * 0x-prefixed BIGINT cast — bit-identical to the per-digit Horner fold
+    * it replaced (equivalence probed on 100k digests) and ~3× cheaper:
+    * the list_reduce(list_transform(...)) form allocated two 8-element
+    * lists per (row, word), which the r15 sf1 oracle profile measured as
+    * 71 s of the stream_incremental_neardup sweep entry. */
   private def sqlWord(j: Int): String =
-    s"list_reduce(list_transform(range(0, 8), k -> " +
-      s"strpos('0123456789abcdef', substr(h, ${8 * j} + k + 1, 1)) - 1), (a, b) -> a * 16 + b)"
+    s"CAST('0x' || substr(h, ${8 * j + 1}, 8) AS BIGINT)"
   private def sqlSigCols: String = (0 until NumHashes).map(i =>
     s"MIN((w1 * ${mixK(i, 0)} + w2 * ${mixK(i, 1)} + w3 * ${mixK(i, 2)} + " +
       s"w4 * ${mixK(i, 3)}) % ${MixP(i)}) AS h$i")
@@ -304,11 +307,16 @@ object TextPipeline extends QueryModule {
        |  SELECT doc_id, ${sqlWord(0)} AS w1, ${sqlWord(1)} AS w2,
        |         ${sqlWord(2)} AS w3, ${sqlWord(3)} AS w4
        |  FROM hx
-       |), sigs AS (
+       |), sigs AS MATERIALIZED (
        |  SELECT doc_id,
        |         $sqlSigCols
        |  FROM wds GROUP BY doc_id
        |)""".stripMargin
+  // ^ MATERIALIZED is load-bearing: every consumer's `bands` CTE reads
+  // sigs once per band via UNION ALL, and DuckDB INLINES multi-referenced
+  // CTEs — without it the whole md5→words→min-agg pipeline runs NumBands
+  // times (the r15 sf1 oracle profile: 6 × 73 s ≈ the entire 440 s of
+  // stream_incremental_neardup's sweep cost).
 
   /** LSH band key over RowsPerBand signature slots (both dialects must
     * produce identical strings: bigints print identically, ':' joined). */
