@@ -593,10 +593,17 @@ object EventAnalytics extends QueryModule {
     * outgrows the broadcast threshold and the join becomes a shuffle
     * join whose hot partition carries 20% of the fact side — the first
     * thing that kills a real q8-shaped join at 100× — and AQE's runtime
-    * skew-join split absorbs it (spark.sql.adaptive.skewJoin, on by
-    * default; the measured absorbed-vs-naive wall delta at the decade
-    * fixtures is recorded in BASELINE.md §r15, via forced-shuffle
-    * AQE-on/off probe runs). All aggregates are exact integers
+    * skew-join split absorbs it. One subtlety the plan pin documents
+    * (ScalePlanSpec): the per-key audit agg's PARTIAL aggregate rides the
+    * join's hash partitioning in the same stage, so vanilla AQE refuses
+    * the split (it would break the agg's required distribution);
+    * `spark.sql.adaptive.forceOptimizeSkewedJoin=true` — shipped in
+    * conf/cluster.conf for exactly this agg-above-join shape — splits the
+    * hot partition and pays one tiny extra exchange of pre-aggregated
+    * partials (#keys rows, not the fact side). The measured
+    * absorbed-vs-naive wall delta at the decade fixtures is recorded in
+    * BASELINE.md §r15, via forced-shuffle AQE-on/off probe runs. All
+    * aggregates are exact integers
     * ([[Det.cents]]), so the gate result is plan-independent: broadcast,
     * SMJ and skew-split SMJ hash identically.
     */
@@ -605,10 +612,20 @@ object EventAnalytics extends QueryModule {
     val left = ev.select(
       when(col("user_id") % 5 === 0, 0L).otherwise(col("user_id")).as("skew_key"),
       col("value"))
+    // The profile is MATERIALIZED before the join (localCheckpoint — in
+    // production it is a stored table): AQE's skew rule only matches a
+    // join whose two children are Sort-over-shuffle-stage, and an
+    // aggregate fused between the profile's shuffle and the join vetoes
+    // the split for the WHOLE join (measured r15: no skew=true at any
+    // threshold without this boundary). Materializing the bounded
+    // profile (#keys rows) is what restores the absorbable shape — the
+    // stage separation a real pipeline gets for free by reading the
+    // profile from storage.
     val profile = ev.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_purch"),
            expr("SUM(CAST(ROUND(value * 100) AS BIGINT))").as("purch_cents"))
+      .localCheckpoint(true)
     left.join(profile, left("skew_key") === profile("user_id"))
       .groupBy(col("skew_key"))
       .agg(count(lit(1)).as("n_joined"),

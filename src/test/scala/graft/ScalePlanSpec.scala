@@ -129,6 +129,52 @@ class ScalePlanSpec extends SparkSpec {
     }
   }
 
+  test("q_skew_join's decade-up shuffle form is absorbed by the AQE skew split") {
+    // the oracle-gated hot-key entry itself, on the shuffle path it takes
+    // once the profile side outgrows the broadcast threshold (forced here
+    // with -1, thresholds scaled to the fixture as in the synthetic pin
+    // above): the 20%-hot fact partition must carry the skew=true marker.
+    //
+    // Two r15-measured vetoes this pin encodes (both found by bisecting
+    // the entry against the synthetic pin above):
+    //   1. AQE's skew rule only matches SMJ(Sort(stage), Sort(stage)) —
+    //      the profile's final agg fused between its shuffle and the join
+    //      vetoed the split for the WHOLE join; the entry materializes
+    //      the bounded profile (localCheckpoint — a stored table in
+    //      production) to restore the absorbable shape.
+    //   2. A skewed reduce partition is split along MAPPER boundaries:
+    //      the single-file 2 MB gate fixture has ONE row group → one map
+    //      output → nothing to split, at any threshold. The fact table is
+    //      re-laid-out multi-file here (the shape any decade-scale table
+    //      has — ScaleUp fixtures are written repartition(32)).
+    val dir = java.nio.file.Files.createTempDirectory("graftskewfix")
+    Tables.events(spark, "/root/testdata/sf0.1").repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      // the entry's per-key audit agg rides the join's hash partitioning
+      // (partial agg in the same stage, zero extra exchange), so vanilla
+      // AQE REFUSES the split — it would break the agg's required
+      // distribution. forceOptimizeSkewedJoin is the production setting
+      // (conf/cluster.conf) for exactly this shape: split the hot
+      // partition and pay one tiny extra exchange of pre-aggregated
+      // partials (#keys rows, not the fact side) for the final merge.
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true"
+    ) {
+      val df = graft.queries.EventAnalytics.skewJoin(spark, dir.toString)
+      assert(df.collect().nonEmpty)
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected the hot-key join to be AQE skew-split:\n$finalPlan")
+    }
+  }
+
   test("chunkDedup plans as hash aggregates — no WindowExec on the digest key") {
     // a boilerplate chunk occurring 10^8 times must never become a single
     // sort partition: the dedup is hash-agg only (map-side partials absorb
