@@ -682,6 +682,44 @@ object Similarity extends QueryModule {
   private def lshCoordPairs: Seq[(Int, Seq[(Int, Int, Int)])] =
     coordPairs(LshBands, LshBitsPerBand)
 
+  /** Dup-regime band-key WIDTH as a function of corpus size — the class
+    * doc's "at 1 B vectors set LshBitsPerBand ≈ 28-32" rule made CODE,
+    * after the r15 sf100 decade probe caught the fixed 12-bit width as a
+    * quadratic (graft.tools.CcProbe `mass`): 4 × 4096 bucket keys
+    * SATURATE at ~10⁵ vectors, after which bucket size grows ∝ N and the
+    * candidate pair mass ∝ N² — measured 27.2M pairs at sf10 → 2.73G at
+    * sf100 (100× for 10× corpus), whose ~55 GB candidate shuffle
+    * exhausted the 60 GB scratch volume. Width = ⌈log₂(N/32)⌉ keeps
+    * expected occupancy ~32 at every scale; the 12-bit FLOOR binds at
+    * every oracle'd scale (sf1 = 21k vectors → ⌈log₂(656)⌉ = 10 < 12),
+    * so gate outputs and the static 12-bit oracle SQL are untouched —
+    * the same floor idiom as [[RfCentroidMod]]'s width-scaled stride.
+    */
+  private def dupLshBits(n: Long): Int = {
+    val target = math.max(2L, n / 32)
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(target - 1)
+    math.max(LshBitsPerBand, math.min(30, ceilLog2.toInt))
+  }
+
+  /** Comparator table at `bits` per band: the first [[LshBitsPerBand]]
+    * bits of each band are EXACTLY [[lshCoordPairs]]' (floor-regime
+    * outputs bit-identical); extra bits use the [[rangeLshPairs]]-style
+    * stride mixing, which never degenerates to i₂ = i₁. */
+  private def dupCoordPairs(bits: Int): Seq[(Int, Seq[(Int, Int, Int)])] =
+    if (bits == LshBitsPerBand) lshCoordPairs
+    else (0 until LshBands).map { b =>
+      b -> (0 until bits).map { j =>
+        if (j < LshBitsPerBand) {
+          val i1 = b * LshBitsPerBand + j
+          (1 << j, i1, (37 * i1 + 11) % 64)
+        } else {
+          val t = b * bits + j
+          val i1 = (11 * t + 5) % 64
+          (1 << j, i1, (i1 + 1 + (29 * t) % 63) % 64)
+        }
+      }
+    }
+
   /** One sign-comparison band key Column per band. */
   private def bandKeyCols(pairs: Seq[(Int, Seq[(Int, Int, Int)])]): Seq[Column] =
     pairs.map { case (_, bits) =>
@@ -700,10 +738,10 @@ object Similarity extends QueryModule {
     }.mkString("\n  UNION ALL\n  ")
 
   def lshDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val bandKeys = bandKeyCols(lshCoordPairs)
     val e = vecs(spark, dir)
-    val bands = e.select(col("vec_id"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    // corpus-sized key width ([[dupLshBits]]): the 12-bit floor binds at
+    // every oracle'd scale, so the static 12-bit oracle stays exact
+    val bands = dupLshBands(e, Tables.embeddings(spark, dir).count())
     val x = bands.as("x"); val y = bands.as("y")
     val cands = x.join(y,
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -762,9 +800,19 @@ object Similarity extends QueryModule {
   /** (vec_a < vec_b) pairs whose cosine clears DedupTau — the verified
     * dup-pair EDGE LIST both dedup flavors cluster over.
     */
-  private[graft] def verifiedDupPairs(e: DataFrame): DataFrame = {
-    val bands = e.select(col("vec_id"),
-      posexplode(array(bandKeyCols(lshCoordPairs): _*)).as(Seq("band", "bkey")))
+  /** The dup-regime sign-LSH (band, bkey) posting rows at the
+    * corpus-sized key width — split out so `graft.tools.CcProbe` can
+    * measure bucket pair mass (Σ C(|bucket|,2)) on scale fixtures
+    * without materializing a single pair. `n` is the raw corpus row
+    * count (parquet metadata — callers pass
+    * `Tables.embeddings(spark, dir).count()`). */
+  private[graft] def dupLshBands(e: DataFrame, n: Long): DataFrame =
+    e.select(col("vec_id"),
+      posexplode(array(bandKeyCols(dupCoordPairs(dupLshBits(n))): _*))
+        .as(Seq("band", "bkey")))
+
+  private[graft] def verifiedDupPairs(e: DataFrame, n: Long): DataFrame = {
+    val bands = dupLshBands(e, n)
     val x = bands.as("x"); val y = bands.as("y")
     val cands = x.join(y,
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -780,9 +828,10 @@ object Similarity extends QueryModule {
 
   def cosineDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
+    val n = Tables.embeddings(spark, dir).count()
     // min smaller-partner per vector; partners are oriented a < b so the
     // min over vec_a is always < vec_b — coalesce(minA, own id) = 1-hop min
-    val partnerMin = verifiedDupPairs(e).groupBy(col("vec_b").as("vec_id"))
+    val partnerMin = verifiedDupPairs(e, n).groupBy(col("vec_b").as("vec_id"))
       .agg(min(col("vec_a")).as("min_dup"))
     e.select(col("vec_id"))
       .join(broadcast(partnerMin), Seq("vec_id"), "left")
@@ -802,7 +851,8 @@ object Similarity extends QueryModule {
     */
   def cosineDedupCC(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val pairs = verifiedDupPairs(e).localCheckpoint(true)
+    val n = Tables.embeddings(spark, dir).count()
+    val pairs = verifiedDupPairs(e, n).localCheckpoint(true)
     val buckets = pairs
       .select(col("vec_a").as("doc_id"), col("vec_a").as("band"), col("vec_b").as("bkey"))
       .unionByName(pairs

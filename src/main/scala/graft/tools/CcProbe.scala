@@ -17,7 +17,7 @@ import graft.queries.{Similarity, TextPipeline}
 object CcProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val maxRounds = if (args.length > 1) args(1).toInt else 100
+    val maxRounds = args.drop(1).find(_ != "mass").map(_.toInt).getOrElse(100)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
@@ -27,7 +27,20 @@ object CcProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val e = Similarity.vecs(spark, dir)
-    val pairs = Similarity.verifiedDupPairs(e).localCheckpoint(true)
+    val n = graft.Tables.embeddings(spark, dir).count()
+    // bucket pair mass FIRST (no pair materialization): Σ C(|bucket|,2)
+    // bounds the candidate join's shuffle write — the r15 sf100 disk
+    // budget question (s_cosine_cc filled 60 GB of scratch)
+    if (args.contains("mass")) {
+      val m = Similarity.dupLshBands(e, n)
+        .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) div 2")).as("pair_mass"),
+             max(col("n")).as("max_bucket"), count(lit(1)).as("n_buckets")).head()
+      println(s"[ccprobe] pair_mass=${m.getLong(0)} max_bucket=${m.getLong(1)} " +
+        s"n_buckets=${m.getLong(2)}")
+      spark.stop(); return
+    }
+    val pairs = Similarity.verifiedDupPairs(e, n).localCheckpoint(true)
     val nPairs = pairs.count()
     val buckets = pairs
       .select(col("vec_a").as("doc_id"), col("vec_a").as("band"), col("vec_b").as("bkey"))
