@@ -39,7 +39,14 @@ object Bench {
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // SPARK_GRAFT_SHUFFLE (measurement-only; driver leaves it unset →
+      // partitions = cpus as always): decouples shuffle partition count
+      // from thread count for decade-up probes, where 32 partitions over
+      // 10³× data under-partitions exactly what cluster.conf's 2000
+      // partitions are sized for (r15: s_cosine_cc's 600 M bucket rows
+      // hit per-task execution-memory exhaustion at 32 partitions)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

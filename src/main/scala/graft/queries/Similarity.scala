@@ -748,8 +748,10 @@ object Similarity extends QueryModule {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
-    val ea = e.select(col("vec_id").as("vec_a"), col("emb").as("qemb"))
-    val eb = e.select(col("vec_id").as("vec_b"), col("emb").as("cemb"))
+    // broadcast fetch sides: same rationale as [[verifiedDupPairs]] — a
+    // pair row must never carry embedding payload through a shuffle
+    val ea = broadcast(e.select(col("vec_id").as("vec_a"), col("emb").as("qemb")))
+    val eb = broadcast(e.select(col("vec_id").as("vec_b"), col("emb").as("cemb")))
     cands.join(ea, "vec_a").join(eb, "vec_b")
       .withColumn("cos", cosine(col("qemb"), col("cemb")))
       .filter(col("cos") >= 0.15)
@@ -819,8 +821,16 @@ object Similarity extends QueryModule {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
-    val ea = e.select(col("vec_id").as("vec_a"), col("emb").as("qemb"))
-    val eb = e.select(col("vec_id").as("vec_b"), col("emb").as("cemb"))
+    // embedding fetch sides BROADCAST explicitly: without the hint the
+    // corpus outgrows autoBroadcast one decade past the gate and the
+    // verify joins fall to SMJ — which shuffles the (vec_a, vec_b, qemb)
+    // intermediate, i.e. pair_mass × 550 B of embedding payload (the r15
+    // sf100 find: ~160 GB of sort spill on a 60 GB scratch volume; pairs
+    // themselves are 16 B rows). At 1 B vectors the broadcast becomes a
+    // bucketed-postings storage join (embeddings co-located with ids,
+    // the s_knn_serve index shape); pair rows still never carry vectors.
+    val ea = broadcast(e.select(col("vec_id").as("vec_a"), col("emb").as("qemb")))
+    val eb = broadcast(e.select(col("vec_id").as("vec_b"), col("emb").as("cemb")))
     cands.join(ea, "vec_a").join(eb, "vec_b")
       .filter(cosine(col("qemb"), col("cemb")) >= DedupTau)
       .select(col("vec_a"), col("vec_b"))
