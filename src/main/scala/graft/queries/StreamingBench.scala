@@ -819,19 +819,36 @@ object StreamingBench extends QueryModule {
     // static corpus posting lists (band b: bkey -> sorted distinct ids) —
     // in production the incrementally-maintained index table, bucketed by
     // bkey; recomputed here because entries are self-contained
-    val corpusBands = corpusIds
+    // fan out BEFORE the banding kernel (r16): the distinct's output is
+    // small in BYTES (8 B/id), so AQE coalesces it to one partition and
+    // the 12-md5-per-id banding pass runs single-threaded (measured
+    // 3-6 s of the entry at sf0.1). The id set is CHECKPOINTED at the
+    // pinned partition count — a bare repartition is not enough, the
+    // optimizer re-fuses the banding below it into the single coalesced
+    // stage (r16 plan inspection); the checkpoint's lineage cut pins the
+    // 1-id-block-per-core layout the kernel then runs over.
+    val ids = corpusIds
+      .repartition(corpusIds.sparkSession.sparkContext.defaultParallelism,
+        col("corpus_id"))
+      .localCheckpoint(true)
+    val corpusBands = ids
       .withColumn("toks", expr(nearToksExpr("corpus_id")))
       .withColumn("bks", expr("minhash_bands(toks)"))
       .select(col("corpus_id"), posexplode(col("bks")).as(Seq("band", "bkey")))
-      .localCheckpoint(true) // sliced nb ways below
-    // each posting slice is materialized ONCE: a stream-static join
-    // re-evaluates its static side EVERY micro-batch, so an uncheckpointed
-    // slice would re-run the banding aggregation nb × batches times
+    // ONE aggregation over all bands, checkpointed once (r16: the
+    // previous per-band slice materialization paid nb=12 separate
+    // shuffle+checkpoint jobs ≈ 5 s at sf0.1; this is the identical
+    // posting content in a single (band, bkey) hash-agg). Materialized
+    // because a stream-static join re-evaluates its static side EVERY
+    // micro-batch — an uncheckpointed posting table would re-run the
+    // banding aggregation nb × batches times.
+    val posted = corpusBands
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_set(col("corpus_id"))).as("cands"))
+      .localCheckpoint(true)
     val postings = (0 until nb).map(b =>
-      corpusBands.filter(col("band") === b)
-        .groupBy(col("bkey").as(s"bk_$b"))
-        .agg(sort_array(collect_set(col("corpus_id"))).as(s"cands_$b"))
-        .localCheckpoint(true))
+      posted.filter(col("band") === b)
+        .select(col("bkey").as(s"bk_$b"), col("cands").as(s"cands_$b")))
     var s = bids
       .withColumn("eventTime", timestamp_millis(col("timestamp")))
       .withWatermark("eventTime", "2 seconds")
@@ -845,9 +862,14 @@ object StreamingBench extends QueryModule {
       .map(b => s"coalesce(cands_$b, cast(array() as array<bigint>))")
       .mkString("array_distinct(sort_array(concat(", ", ", ")))")
     s.withColumn("cands", expr(candsExpr))
+      // build each candidate's token set ONCE (r16): the filter lambda
+      // previously interpolated nearToksExpr(c) twice — the intersect arm
+      // and the size arm — doubling the dominant per-candidate cost (24
+      // string concats per build); same predicate via a (cand, ctoks)
+      // struct pass
       .withColumn("verified", expr(
-        s"filter(cands, c -> size(array_intersect(toks, ${nearToksExpr("c")})) * 3 >= " +
-          s"size(toks) + size(${nearToksExpr("c")}))"))
+        s"transform(filter(transform(cands, c -> struct(c AS c, ${nearToksExpr("c")} AS ct)), " +
+          "p -> size(array_intersect(toks, p.ct)) * 3 >= size(toks) + size(p.ct)), p -> p.c)"))
       .select(col("auctionId"),
         size(col("cands")).cast("long").as("n_bucket_cands"),
         size(col("verified")).cast("long").as("n_corpus_dups"),

@@ -65,7 +65,10 @@ object TextPipeline extends QueryModule {
     s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
   private def docsNorm(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    // spread BEFORE the normalize: the regex battery is the per-row kernel
+    // the fan-out exists to parallelize (guide §2.5; identity on any
+    // multi-split table — see Tables.spread)
+    Tables.spreadTable(spark, dir, "documents", col("doc_id"))
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
               normSpark(col("text")).as("nc"))
       .withColumn("words", split(col("nc"), " "))
@@ -255,7 +258,10 @@ object TextPipeline extends QueryModule {
     val (share, sampled) = hotShareCache.computeIfAbsent(dir, _ =>
       hotFpShare(fpOf(Tables.documents(spark, dir)
         .sample(withReplacement = false, 0.01, seed = 42L)), 1.0))
-    val d = fpOf(Tables.documents(spark, dir))
+    // full pass spread (guide §2.5): the md5-of-normalized-text kernel is
+    // the cost; the 1% probe above stays on the bare scan (sampling must
+    // sit directly over it)
+    val d = fpOf(Tables.spreadTable(spark, dir, "documents", col("doc_id")))
     if (sampled >= 1000L && share > HotFpShareThreshold) fingerprintDedupAggJoin(d)
     else fingerprintDedupWindow(d)
   }
@@ -1396,7 +1402,10 @@ object TextPipeline extends QueryModule {
     * blob; the DuckDB oracles keep the hex-digit fold as the independent
     * second route to the same unsigned byte values. */
   private def payloadBytes(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    // spread BEFORE the byte decode: the per-blob kernel loop is the cost
+    // (r16 measured: t_phash_neardup's sig pass ran as a 2-task stage,
+    // 2.5 s of 3.2 s total); identity on multi-split tables
+    Tables.spreadTable(spark, dir, "documents", col("doc_id"))
       .select(col("doc_id"),
         call_function("payload_bytes", col("text").cast("binary")).as("bs"))
 

@@ -33,6 +33,12 @@ object RangeMpProbe {
              sum("n_cands").as("c"), count(lit(1)).as("q")).head()
       val sec = (System.nanoTime() - t0) / 1e9
       val (f, e, c, q) = (rows.getLong(0), rows.getLong(1), rows.getLong(2), rows.getLong(3))
+      // degenerate-fixture guards (r15 ADVICE): recall is NaN when no
+      // exact in-radius mass exists, and cands/q divides by zero with no
+      // queries — abort loudly instead of printing garbage
+      require(q > 0, s"degenerate fixture: zero query vectors in $dir")
+      require(e > 0, s"degenerate fixture: zero exact in-radius pairs in $dir " +
+        "(recall undefined at this tau/geometry)")
       val mass = c.toDouble / (q * (corpus - 1))
       println(f"bands=$b%3d probes=${if (dbl) 4 else 2} recall=${f.toDouble / e}%.3f " +
         f"mass=$mass%.3f cands/q=${c / q}%d ($sec%.1f s)")

@@ -14,6 +14,14 @@ import org.apache.spark.sql.SparkSession
   * same stage), so vanilla AQE vetoes the split to preserve the agg's
   * required distribution — see the entry scaladoc and conf/cluster.conf.
   *
+  * SCOPE OF THE REPORTED WALLS (r15 ADVICE): skewJoin's profile side is
+  * materialized by an eager localCheckpoint at DataFrame-construction
+  * time, BEFORE the timed count — so the ON/OFF walls cover the join +
+  * audit only, not the profile build. That exclusion is intended
+  * (production reads the profile from a stored table) and symmetric
+  * across ON/OFF, but BASELINE rows citing these walls must not be read
+  * as end-to-end entry times.
+  *
   * Usage: runMain graft.tools.SkewProbe <sfDir> [runs=2]
   */
 object SkewProbe {
@@ -33,6 +41,8 @@ object SkewProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    println("[skew] note: walls cover join+audit only — the profile side is " +
+      "materialized (localCheckpoint) before t0, symmetrically for ON and OFF")
     for (mode <- Seq("on", "off"); _ <- 1 to runs) {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", (mode == "on").toString)
       spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", (mode == "on").toString)

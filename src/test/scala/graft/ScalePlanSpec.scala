@@ -70,6 +70,7 @@ class ScalePlanSpec extends SparkSpec {
       } finally {
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+        deleteRecursively(dir) // same /tmp-leak class as the skew fixture
       }
     }
   }
@@ -148,6 +149,7 @@ class ScalePlanSpec extends SparkSpec {
     //      re-laid-out multi-file here (the shape any decade-scale table
     //      has — ScaleUp fixtures are written repartition(32)).
     val dir = java.nio.file.Files.createTempDirectory("graftskewfix")
+    try {
     Tables.events(spark, "/root/testdata/sf0.1").repartition(8)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     withConfs(
@@ -173,6 +175,16 @@ class ScalePlanSpec extends SparkSpec {
       assert(finalPlan.contains("skew=true"),
         s"expected the hot-key join to be AQE skew-split:\n$finalPlan")
     }
+    // the fixture-sized re-laid-out copy must not leak under /tmp on every
+    // run (r15 ADVICE — the skew thresholds make this test rerun-heavy)
+    } finally deleteRecursively(dir)
+  }
+
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(dir)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
   }
 
   test("chunkDedup plans as hash aggregates — no WindowExec on the digest key") {
@@ -340,7 +352,14 @@ class ScalePlanSpec extends SparkSpec {
   test("gopherRules is a single shuffle-free projection over a 2-column scan") {
     val g = graft.queries.TextPipeline.gopherRules(spark, "/root/testdata/sf0.001")
     val gp = g.queryExecution.executedPlan.toString
-    assert(!gp.contains("Exchange"), s"rule battery must be map-only:\n$gp")
+    // the rule battery itself must stay map-only: the ONLY admissible
+    // exchange is Tables.spread's scan fan-out (REPARTITION_BY_NUM
+    // directly over the file scan — identity on any multi-split table,
+    // present here only because the fixture is single-file parquet);
+    // an aggregation/join/window exchange would still fail this pin
+    assert("Exchange".r.findAllIn(gp).size ==
+             "REPARTITION_BY_NUM".r.findAllIn(gp).size,
+      s"rule battery must be map-only beyond the scan fan-out:\n$gp")
     assert(!gp.contains("Generate"), s"no explode in the rule battery:\n$gp")
     assert("ReadSchema: struct<doc_id:bigint,text:string".r.findFirstIn(gp).isDefined,
       s"scan must prune to doc_id+text:\n$gp")

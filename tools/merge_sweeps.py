@@ -16,7 +16,25 @@ import json, os, subprocess, sys
 
 
 def _is_ancestor(repo, a, b):
-    """True iff rev a is an ancestor of (or equal to) rev b."""
+    """True iff rev a is an ancestor of (or equal to) rev b.
+
+    Identical rev strings short-circuit to True WITHOUT shelling out, and a
+    git failure (not a checkout, shallow clone, unknown rev) raises instead
+    of reading as "not an ancestor" — otherwise two parts with the SAME
+    git_rev could abort the merge with a misleading "divergent part
+    revisions" error (r15 ADVICE).
+    """
+    if a == b:
+        return True
+    for rev in (a, b):
+        chk = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "--verify", "--quiet", rev + "^{commit}"],
+            capture_output=True)
+        if chk.returncode != 0:
+            raise RuntimeError(
+                f"git cannot resolve rev {rev!r} in {repo} "
+                f"({chk.stderr.decode(errors='replace').strip() or 'rev-parse failed'}); "
+                "ancestry is undecidable here — run the merge inside the checkout")
     return subprocess.run(
         ["git", "-C", repo, "merge-base", "--is-ancestor", a, b],
         capture_output=True).returncode == 0
