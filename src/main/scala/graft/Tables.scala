@@ -76,6 +76,30 @@ object Tables {
     * DOUBLED the iterative similarity entries). The cached value is a
     * file-layout property, not a query result.
     */
+  /** Eager localCheckpoint with AQE's coalescing floor lifted for the
+    * materialization (r16). AQE coalesces post-shuffle partitions by
+    * BYTES with a 1 MB `minPartitionSize` floor — so a kB-scale frame
+    * (token tf tables, posting lists, signature sets at bench SF)
+    * checkpoints as ONE block and every downstream pass over the blocks
+    * runs single-task, no matter how CPU-heavy its per-row kernel is
+    * (measured r16: t_hybrid_rrf's 1.9 s single-task BM25 pass over the
+    * coalesced tfq checkpoint). Lowering the floor to 1 byte makes AQE's
+    * parallelism-first targeting (total/defaultParallelism) bind instead:
+    * tiny frames land one block per core, big frames are untouched — and
+    * unlike a pinned repartition, NO extra exchange is added at any
+    * scale. Conf is restored after the eager materialization.
+    */
+  def checkpointSpread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val k = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "1b")
+    try df.localCheckpoint(true)
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None    => spark.conf.unset(k)
+    }
+  }
+
   private val scanPartsCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   def spreadTable(spark: SparkSession, dir: String, name: String,
                   key: org.apache.spark.sql.Column): DataFrame = {

@@ -3721,9 +3721,11 @@ object TextPipeline extends QueryModule {
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokenOccs(spark, dir)
     // (doc, word) term frequencies feed BOTH the query-term selection and
-    // the postings probe — materialize the corpus pass once
-    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+    // the postings probe — materialize the corpus pass once; spread
+    // checkpoint (Tables.checkpointSpread) so the kB-scale blocks don't
+    // coalesce to one and serialize every downstream pass (r16)
+    val tf = Tables.checkpointSpread(spark,
+      toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")))
     val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val qterms = tf.filter(col("doc_id") % Similarity.QueryMod === 0)
       .join(dfT, "w")
@@ -3735,9 +3737,12 @@ object TextPipeline extends QueryModule {
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       .localCheckpoint(true)
     val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("totdl"))
-    val tfq = tf.join(broadcast(qterms), col("w") === col("term"))
-      .select(col("query_id"), col("term"), col("doc_id"), col("tf"))
-      .localCheckpoint(true)
+    // spread checkpoint: tfq is postings-sized (every query-term × doc
+    // hit) but kB-scale at bench SF — the 1-block coalesce made the BM25
+    // scoring pass below run single-task for 1.9 s (r16 profile)
+    val tfq = Tables.checkpointSpread(spark,
+      tf.join(broadcast(qterms), col("w") === col("term"))
+        .select(col("query_id"), col("term"), col("doc_id"), col("tf")))
     val dft = tfq.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
     val sparse = tfq
       .join(broadcast(dft), Seq("term"))
