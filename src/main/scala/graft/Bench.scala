@@ -127,7 +127,17 @@ object Bench {
     val qs = results.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","ambient":${jnum(ambient)},"queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","ambient":${jnum(ambient)},"queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    println(line)
+    // Ledger durability (r16 VERDICT What's-wrong #3 / Next #6): the r15
+    // stdout line was half-lost to the driver's bounded tail capture,
+    // which zeroed that round's entire PERF comparison. Also write the
+    // identical line to a file next to the run — a PURE ADDITION: the
+    // stdout contract, env contract and methodology are unchanged.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LINE.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH_LINE.json write failed (report already on stdout): $e") }
     // exit 0 even with failures: the JSON line (with its "errors" map) must
     // reach the driver; a non-zero exit could discard the whole report.
     spark.stop()

@@ -62,10 +62,56 @@ object Tables {
     * determinism contract), and the correctness gate canonicalizes row
     * order before hashing.
     */
-  def spread(spark: SparkSession, df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
-    val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+  def spread(spark: SparkSession, df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+    spreadTo(spark, df, key,
+      spreadTargetOverride.getOrElse(spark.sparkContext.defaultParallelism))
+
+  /** [[spread]] with the r17 rows-per-task floor applied to a KNOWN row
+    * count (callers that have one memoized — e.g. the embedding corpus
+    * count — size the fan-out without a count job here). */
+  def spreadRows(spark: SparkSession, df: DataFrame,
+                 key: org.apache.spark.sql.Column, rows: Long): DataFrame =
+    spreadTo(spark, df, key, rowsAwareTarget(spark, rows))
+
+  private def spreadTo(spark: SparkSession, df: DataFrame,
+                       key: org.apache.spark.sql.Column, target: Int): DataFrame = {
+    if (target <= 1 || df.rdd.getNumPartitions >= target) df
     else df.repartition(target, key)
+  }
+
+  // TEMPORARY r17 measurement knob: override the fan-out target partition
+  // count (0/1 = identity). Removed before the round closes.
+  private def spreadTargetOverride: Option[Int] =
+    sys.env.get("GRAFT_SPREAD_TARGET").map(_.toInt)
+
+  /** Rows-per-task floor for the fan-out target (r17, VERDICT r16 #1).
+    * r16 targeted `defaultParallelism` unconditionally, which over-shards
+    * kB-scale frames: a cheap per-row kernel gains nothing from 32 tasks
+    * but pays 32 tasks of scheduling/launch overhead per downstream stage
+    * (driver-measured regressions: t_incremental_dedup 0.48→1.18 s,
+    * faster at 8 cores than 32). The floor makes the target
+    * `min(cores, ceil(rows / 256))`: heavy fixtures still fan all the way
+    * out (5000-doc sf0.1 corpus → 20 partitions — same-warmup A/B kept
+    * every heavy-kernel win within noise of the 32-way value and beat it
+    * in total), while gate-SF frames (50-500 rows) stay at 1-2 partitions
+    * instead of paying a 32-task exchange for sub-ms kernels. At cluster
+    * scale rows/256 ≫ cores, so the target is exactly the session
+    * parallelism, as before. */
+  private val SpreadMinRowsPerTask = 256L
+
+  /** Memoized fixture-table row count — a file-layout property like
+    * [[scanPartsCache]] (and the navPartsFor corpus-count idiom), NOT a
+    * result cache: the data path recomputes from parquet every time; this
+    * only sizes the fan-out. One count job per (dir, table) per JVM. */
+  private val tableRowsCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def tableRows(spark: SparkSession, dir: String, name: String): Long =
+    tableRowsCache.computeIfAbsent(s"$dir/$name",
+      _ => java.lang.Long.valueOf(table(spark, dir, name).count()))
+
+  private def rowsAwareTarget(spark: SparkSession, rows: Long): Int = {
+    val cores = spark.sparkContext.defaultParallelism.toLong
+    val byRows = math.max(1L, (rows + SpreadMinRowsPerTask - 1L) / SpreadMinRowsPerTask)
+    spreadTargetOverride.getOrElse(math.min(cores, byRows).toInt)
   }
 
   /** [[spread]] over a named fixture table, with the scan-parallelism
@@ -90,23 +136,35 @@ object Tables {
     * scale. Conf is restored after the eager materialization.
     */
   def checkpointSpread(spark: SparkSession, df: DataFrame): DataFrame = {
+    // TEMPORARY r17 measurement knob: off = plain localCheckpoint (the
+    // pre-r16 shape). Removed before the round closes.
+    if (sys.env.get("GRAFT_CKPT_SPREAD").contains("off"))
+      return df.localCheckpoint(true)
     val k = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
     val prev = spark.conf.getOption(k)
     spark.conf.set(k, "1b")
-    try df.localCheckpoint(true)
+    val ck = try df.localCheckpoint(true)
     finally prev match {
       case Some(v) => spark.conf.set(k, v)
       case None    => spark.conf.unset(k)
     }
+    // r17 rows-per-task floor (VERDICT r16 #1): the lifted floor lands one
+    // block per core regardless of rows, so a genuinely tiny frame would
+    // still pay defaultParallelism tasks per downstream stage. Count the
+    // materialized blocks (a sub-10 ms in-memory job) and coalesce — a
+    // NARROW op, no exchange, no re-materialization — down to the
+    // rows-aware target when the frame doesn't fill it.
+    val target = rowsAwareTarget(spark, ck.count())
+    if (ck.rdd.getNumPartitions <= target) ck else ck.coalesce(target)
   }
 
   private val scanPartsCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   def spreadTable(spark: SparkSession, dir: String, name: String,
                   key: org.apache.spark.sql.Column): DataFrame = {
     val df = table(spark, dir, name)
-    val target = spark.sparkContext.defaultParallelism
+    val target = rowsAwareTarget(spark, tableRows(spark, dir, name))
     val parts = scanPartsCache.computeIfAbsent(s"$dir/$name@$target",
       _ => Integer.valueOf(df.rdd.getNumPartitions))
-    if (parts >= target) df else df.repartition(target, key)
+    if (target <= 1 || parts >= target) df else df.repartition(target, key)
   }
 }

@@ -747,7 +747,7 @@ object Similarity extends QueryModule {
     val e = vecs(spark, dir)
     // corpus-sized key width ([[dupLshBits]]): the 12-bit floor binds at
     // every oracle'd scale, so the static 12-bit oracle stays exact
-    val n2 = Tables.embeddings(spark, dir).count()
+    val n2 = Tables.tableRows(spark, dir, "embeddings")
     val bands = dupLshBands(e, n2)
     val x = bands.as("x"); val y = bands.as("y")
     val cands = x.join(y,
@@ -844,6 +844,36 @@ object Similarity extends QueryModule {
   private def fetchSide(df: DataFrame, n: Long): DataFrame =
     if (n <= FetchBroadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
 
+  /** Rows-aware fan-out for the CPU-dense scoring pass over a kB-scale
+    * candidate-pair table (r17; the §3a/AQE-byte-floor class of finding):
+    * a pair row is 16 B, so AQE's byte-based coalescing (1 MB
+    * minPartitionSize) packs a few-hundred-thousand-pair table into 1-4
+    * partitions, and the 64-dim-cosine-per-pair kernel downstream runs
+    * 1-4 tasks on a 32-core session (measured r17: s_knn_beam's nav
+    * build job 745 — 0.72 s, ONE task, scoring ~245 k candidate cosines).
+    * The fix keys the candidate dedup's OWN exchange by query_id at the
+    * session parallelism: hash(query_id) satisfies the (query_id, vec_id)
+    * clustering the DISTINCT needs, so no exchange is added — the dedup's
+    * exchange is re-keyed and pinned, and the scoring joins (broadcast
+    * fetch sides) stay narrow on top of it.
+    *
+    * Conditional, not a constant: only when the ESTIMATED pair volume
+    * (rowsEst × 16 B) is under what AQE's floor would coalesce into fewer
+    * partitions than cores (target × 1 MB) — a cluster-scale pair table
+    * (9 B pairs ≈ 146 GB at sf100) keeps the stock shuffle.partitions +
+    * AQE byte sizing, because pinning it to `cores` would under-partition
+    * exactly what cluster.conf sizes. */
+  private def pairFanOut(spark: SparkSession, pairs: DataFrame, rowsEst: Long): DataFrame = {
+    // TEMPORARY r17 measurement knob (GRAFT_PAIR_FANOUT=off) — removed
+    // before the round closes.
+    if (sys.env.get("GRAFT_PAIR_FANOUT").contains("off")) return pairs
+    val cores = spark.sparkContext.defaultParallelism
+    val target = math.min(cores.toLong, math.max(1L, rowsEst / 256L)).toInt
+    if (target > 1 && rowsEst * 16L < target.toLong * (1L << 20))
+      pairs.repartition(target, col("query_id"))
+    else pairs
+  }
+
   private[graft] def verifiedDupPairs(e: DataFrame, n: Long): DataFrame = {
     val bands = dupLshBands(e, n)
     val x = bands.as("x"); val y = bands.as("y")
@@ -865,7 +895,7 @@ object Similarity extends QueryModule {
 
   def cosineDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val n = Tables.embeddings(spark, dir).count()
+    val n = Tables.tableRows(spark, dir, "embeddings")
     // min smaller-partner per vector; partners are oriented a < b so the
     // min over vec_a is always < vec_b — coalesce(minA, own id) = 1-hop min
     val partnerMin = verifiedDupPairs(e, n).groupBy(col("vec_b").as("vec_id"))
@@ -888,7 +918,7 @@ object Similarity extends QueryModule {
     */
   def cosineDedupCC(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val n = Tables.embeddings(spark, dir).count()
+    val n = Tables.tableRows(spark, dir, "embeddings")
     val pairs = verifiedDupPairs(e, n).localCheckpoint(true)
     val buckets = pairs
       .select(col("vec_a").as("doc_id"), col("vec_a").as("band"), col("vec_b").as("bkey"))
@@ -1574,11 +1604,25 @@ object Similarity extends QueryModule {
     // survive localCheckpoint — the LogicalRDD re-plans with
     // ENSURE_REQUIREMENTS exchanges on every vec_id-keyed consumer, so
     // the extra exchange bought nothing (A/B at sf0.1: s_kmeans_conv
-    // 8.33 → 8.03 s, inside noise; plan inspected). Kept as-is.
+    // 8.33 → 8.03 s, inside noise; plan inspected).
+    // r17 probe, also REJECTED: a rows-aware BLOCK fan-out before the
+    // checkpoint (the layout survives even though partitioning metadata
+    // does not). A/B at sf0.1 was flat-to-negative inside the ±20% noise
+    // band (s_kmeans_conv 8.7 fan-out vs 9.6/8.1 identity) — the
+    // per-round kernels are already sub-0.1 s single-task, so extra
+    // blocks only add per-stage task overhead. Kept as-is.
     vecs(spark, dir).select(col("vec_id"), col("emb"))
       .withColumn("ssq", dp(col("emb"), col("emb")))
       .localCheckpoint(true)
 
+  // r17 probe, REJECTED: assignment as a narrow broadcast-argmin map
+  // (centroids collect_list'ed into one array row, per-vector argmin via
+  // an aggregate(transform(...)) fold — guide §2.4, removes the N×K
+  // exchange+hash-agg per round). Measured at sf0.1: s_kmeans_conv
+  // 7.1 → 9.3-10.2 s — the HOFs are CodegenFallback, so the K dot
+  // products per vector run interpreted at 3-5× the CPU of this codegen'd
+  // crossjoin+min_by, and the collect_list broadcast build costs the same
+  // job the removed exchange did. Kept as the codegen shape.
   private def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame = {
     val c = cents.withColumn("csq", dp(col("cemb"), col("cemb")))
     e.crossJoin(broadcast(c))
@@ -1591,6 +1635,12 @@ object Similarity extends QueryModule {
   private def kmeansMeanUpdate(e: DataFrame, assign: DataFrame): DataFrame =
     assign.join(e, "vec_id")
       .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "x")))
+      // r17 probe, REJECTED: pre-partitioning by cid would let both aggs
+      // share one exchange (hash(cid) satisfies both clusterings), but it
+      // would also move the exchange BELOW the partial aggregation — N×dim
+      // exploded rows through the shuffle instead of K×dim map-side
+      // partials (guide §2.3 "aggregate before you shuffle" outweighs the
+      // saved exchange: the second exchange carries only K×dim rows).
       .groupBy(col("cid"), col("dim"))
       .agg(expr(s"SUM(CAST(ROUND(x * $KmeansQ) AS BIGINT))").as("qsum"),
            count(lit(1)).as("n"))
@@ -2588,9 +2638,14 @@ object Similarity extends QueryModule {
       .agg(slice(array_sort(collect_list(struct(negate(col("cos")).as("ncos"), col("cid")))),
                  1, NProbe).as("top"))
       .select(col("vec_id").as("query_id"), explode(col("top.cid")).as("cid"))
-    val pairs = probes.join(assign, "cid")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"))
+    // pinned-cell occupancy is CentroidMod, so candidates ≈ N·NProbe·Mod
+    // ([[pairFanOut]]: rows-aware scoring parallelism, identity at scale)
+    val nPf = Tables.tableRows(spark, dir, "embeddings")
+    val pairs = pairFanOut(spark,
+        probes.join(assign, "cid")
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id")),
+        nPf * NProbe * CentroidMod)
       .distinct() // a pair sharing several probed cells scores once
     // same quantized-rank contract as knnBinary: order by ROUND(cos, 6)
     // with the vec_id tie-break so rank never depends on raw-double ulps
@@ -2672,9 +2727,13 @@ object Similarity extends QueryModule {
       .agg(slice(array_sort(collect_list(struct(negate(col("cos")).as("ncos"), col("cid")))),
                  1, NProbe).as("top"))
       .select(col("vec_id").as("query_id"), explode(col("top.cid")).as("cid"))
-    val pairs = probes.join(assign, "cid")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"))
+    val nFetch = Tables.tableRows(spark, dir, "embeddings")
+    // candidate volume ≈ N·NProbe·√N (the build rule this entry encodes)
+    val pairs = pairFanOut(spark,
+        probes.join(assign, "cid")
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id")),
+        nFetch * NProbe * math.max(1L, math.sqrt(nFetch.toDouble).toLong))
       .distinct()
     // Score via hash joins on both embedding sides: the r11 sf10 probe
     // showed the naive shuffle join OOMs here — a sort-merge join SORTS
@@ -2684,7 +2743,6 @@ object Similarity extends QueryModule {
     // column must never ride a sort — broadcast the embedding side while
     // it fits, SHUFFLE_HASH-build it beyond ([[fetchSide]], r16: the
     // broadcast arm was unconditional and would hit the 8 GB ceiling).
-    val nFetch = Tables.embeddings(spark, dir).count()
     val scored = pairs
       .join(fetchSide(e.select(col("vec_id"), col("emb").as("cemb")), nFetch), "vec_id")
       .join(fetchSide(e.select(col("vec_id").as("query_id"), col("emb").as("qemb")), nFetch),
@@ -3449,7 +3507,7 @@ object Similarity extends QueryModule {
   private val navPartsCache = new java.util.concurrent.ConcurrentHashMap[String, Long]()
   private[graft] def navPartsFor(spark: SparkSession, dir: String): Long =
     navPartsCache.computeIfAbsent(dir, _ => {
-      val n = Tables.embeddings(spark, dir).count()
+      val n = Tables.tableRows(spark, dir, "embeddings")
       math.max(8L, math.min(4096L, n / 128L))
     })
 
@@ -3599,6 +3657,16 @@ object Similarity extends QueryModule {
     var t = 1
     while (t <= BeamRounds && frontierRows.nonEmpty) {
       val scored = beamRoundScored(spark, dir, frontierRows, q)
+      // r17 probe, REJECTED: sharing one query_id-keyed exchange between
+      // the dedup agg and the cut window via repartition(query_id) +
+      // persist() (an InMemoryRelation preserves outputPartitioning where
+      // the checkpoint's LogicalRDD does not). Measured at sf0.1: the
+      // entry DOUBLED (8.7-9.2 → 18.5-22 s) — cached plans are excluded
+      // from AQE (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+      // default), so every round frame materialized at the full
+      // shuffle-partition count in the columnar cache format, and the
+      // per-round stages ran 32 tasks over kB frames plus the
+      // encode/decode cost. The lazy localCheckpoint stays.
       visited = visited.unionByName(scored)
         .groupBy(col("query_id"), col("vec_id")).agg(max(col("cos6")).as("cos6"))
         .localCheckpoint(false)
@@ -4758,7 +4826,7 @@ object Similarity extends QueryModule {
     */
   private[graft] def ivfServeStatics(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, Long) = {
-    val v = Tables.embeddings(spark, dir).count()
+    val v = Tables.tableRows(spark, dir, "embeddings")
     val e = vecs(spark, dir)
     val cent = pivotCentroids(e)
     def simsOf(df: DataFrame): DataFrame = df

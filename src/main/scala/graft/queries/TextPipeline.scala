@@ -65,13 +65,27 @@ object TextPipeline extends QueryModule {
     s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
   private def docsNorm(spark: SparkSession, dir: String): DataFrame =
+    docsNormAt(spark, dir, fanOut = true)
+
+  /** [[docsNorm]] with the scan fan-out optional (r17): consumers whose
+    * whole pre-exchange kernel is MEASURED trivial (one md5 over ~300-byte
+    * docs — t_incremental_dedup, the driver-verified r16 regression
+    * 0.48→1.18 s at local[32] vs 0.41 s at local[8]) skip the fan-out
+    * exchange; everything with a real per-row kernel (shingle md5
+    * batteries, signature passes) keeps it (identity-arm A/B: those
+    * entries are 2-3× slower without it).
+    */
+  private def docsNormAt(spark: SparkSession, dir: String, fanOut: Boolean): DataFrame = {
     // spread BEFORE the normalize: the regex battery is the per-row kernel
     // the fan-out exists to parallelize (guide §2.5; identity on any
     // multi-split table — see Tables.spread)
-    Tables.spreadTable(spark, dir, "documents", col("doc_id"))
+    val base = if (fanOut) Tables.spreadTable(spark, dir, "documents", col("doc_id"))
+               else Tables.table(spark, dir, "documents")
+    base
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
               normSpark(col("text")).as("nc"))
       .withColumn("words", split(col("nc"), " "))
+  }
 
   /** Token statistics: whitespace tokens, distinct tokens, BPE-ish regex
     * pieces, average token length.
@@ -2770,7 +2784,11 @@ object TextPipeline extends QueryModule {
     * boilerplate fp) — no sort-window anywhere.
     */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val d = docsNorm(spark, dir).select(col("doc_id"), md5(col("nc")).as("fp"))
+    // fanOut = false: the entire pre-checkpoint kernel is one md5 over
+    // ~300-byte docs — the r16 fan-out made this entry SLOWER at 32 cores
+    // than 8 (driver-verified); same-warmup A/B r17: 0.47 s vs 0.64 s
+    val d = docsNormAt(spark, dir, fanOut = false)
+      .select(col("doc_id"), md5(col("nc")).as("fp"))
       .localCheckpoint(true) // corpus index, delta scan and first-wins agg share it
     val corpusFp = d.filter(col("doc_id") % 3 === 0).select(col("fp")).distinct()
     val delta = d.filter(col("doc_id") % 3 =!= 0)
@@ -3734,7 +3752,13 @@ object TextPipeline extends QueryModule {
         .orderBy(col("score_bp").desc, col("w").asc)))
       .filter(col("trk") <= TfidfK)
       .select(col("doc_id").as("query_id"), col("w").as("term"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // dl from tf, not from toks (r17, guide §1.2 "don't compute twice"):
+    // Σ_w tf(doc, w) IS the doc's token count — the same LongType value by
+    // construction (tf counts exactly toks' rows per (doc, w)) — and tf is
+    // already checkpointed, so this replaces a second full
+    // scan+normalize+explode corpus pass with one tiny agg over the
+    // materialized tf blocks.
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .localCheckpoint(true)
     val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("totdl"))
     // spread checkpoint: tfq is postings-sized (every query-term × doc

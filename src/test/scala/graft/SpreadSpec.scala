@@ -60,6 +60,37 @@ class SpreadSpec extends SparkSpec {
       s"embedding payload must never ride a sort:\n$big")
   }
 
+  test("spreadTable target is rows-aware (r17): min(cores, ceil(rows/256))") {
+    // the fan-out must track the row count, not the core count: a sub-ms
+    // kernel over a few hundred rows must not pay a 32-task fan-out (the
+    // r16 t_incremental_dedup regression class), while the bench corpus
+    // still fans out rows/256 ways
+    val cores = spark.sparkContext.defaultParallelism
+    for (sf <- Seq("0.001", "0.1")) {
+      val dir = s"/root/testdata/sf$sf"
+      val rows = Tables.table(spark, dir, "documents").count()
+      val scanParts = Tables.table(spark, dir, "documents").rdd.getNumPartitions
+      val want = math.min(cores.toLong, math.max(1L, (rows + 255) / 256)).toInt
+      val df = Tables.spreadTable(spark, dir, "documents", col("doc_id"))
+      if (want <= 1 || scanParts >= want)
+        assert(!df.queryExecution.executedPlan.toString.contains("REPARTITION_BY_NUM"),
+          s"sf$sf: a frame under the rows-per-task floor must not fan out")
+      else
+        assert(df.rdd.getNumPartitions == want,
+          s"sf$sf: fan-out must target min(cores, rows/256) = $want, " +
+            s"got ${df.rdd.getNumPartitions}")
+    }
+  }
+
+  test("checkpointSpread coalesces a tiny materialized frame below the rows floor (r17)") {
+    import spark.implicits._
+    val tiny = Tables.checkpointSpread(spark,
+      (1L to 100L).toDF("id").repartition(8, col("id")))
+    assert(tiny.rdd.getNumPartitions <= 1,
+      s"100 rows must land in one block, got ${tiny.rdd.getNumPartitions}")
+    assert(tiny.count() == 100L)
+  }
+
   test("navPartsFor derives the nav-index partition count from corpus size, clamped") {
     // gate fixtures sit at the floor (pruning stays observable); the cap
     // bounds directory count at any N. Pure function of the corpus count:
