@@ -62,27 +62,11 @@ object Tables {
     * determinism contract), and the correctness gate canonicalizes row
     * order before hashing.
     */
-  def spread(spark: SparkSession, df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
-    spreadTo(spark, df, key,
-      spreadTargetOverride.getOrElse(spark.sparkContext.defaultParallelism))
-
-  /** [[spread]] with the r17 rows-per-task floor applied to a KNOWN row
-    * count (callers that have one memoized — e.g. the embedding corpus
-    * count — size the fan-out without a count job here). */
-  def spreadRows(spark: SparkSession, df: DataFrame,
-                 key: org.apache.spark.sql.Column, rows: Long): DataFrame =
-    spreadTo(spark, df, key, rowsAwareTarget(spark, rows))
-
-  private def spreadTo(spark: SparkSession, df: DataFrame,
-                       key: org.apache.spark.sql.Column, target: Int): DataFrame = {
-    if (target <= 1 || df.rdd.getNumPartitions >= target) df
+  def spread(spark: SparkSession, df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target, key)
   }
-
-  // TEMPORARY r17 measurement knob: override the fan-out target partition
-  // count (0/1 = identity). Removed before the round closes.
-  private def spreadTargetOverride: Option[Int] =
-    sys.env.get("GRAFT_SPREAD_TARGET").map(_.toInt)
 
   /** Rows-per-task floor for the fan-out target (r17, VERDICT r16 #1).
     * r16 targeted `defaultParallelism` unconditionally, which over-shards
@@ -111,17 +95,9 @@ object Tables {
   private def rowsAwareTarget(spark: SparkSession, rows: Long): Int = {
     val cores = spark.sparkContext.defaultParallelism.toLong
     val byRows = math.max(1L, (rows + SpreadMinRowsPerTask - 1L) / SpreadMinRowsPerTask)
-    spreadTargetOverride.getOrElse(math.min(cores, byRows).toInt)
+    math.min(cores, byRows).toInt
   }
 
-  /** [[spread]] over a named fixture table, with the scan-parallelism
-    * probe MEMOIZED per (dir, table, cores): the probe plans the scan
-    * (`.rdd.getNumPartitions`), which costs ~50-200 ms of driver work —
-    * fine once, poison inside entries that reference the same table many
-    * times (r16 measured: the unmemoized probe in `vecs` more than
-    * DOUBLED the iterative similarity entries). The cached value is a
-    * file-layout property, not a query result.
-    */
   /** Eager localCheckpoint with AQE's coalescing floor lifted for the
     * materialization (r16). AQE coalesces post-shuffle partitions by
     * BYTES with a 1 MB `minPartitionSize` floor — so a kB-scale frame
@@ -134,12 +110,17 @@ object Tables {
     * tiny frames land one block per core, big frames are untouched — and
     * unlike a pinned repartition, NO extra exchange is added at any
     * scale. Conf is restored after the eager materialization.
+    *
+    * Concurrency invariant (r16 ADVICE): the set/restore toggles the
+    * SHARED session RuntimeConfig around an eager action, so any plan
+    * compiled concurrently on the same SparkSession would see the lowered
+    * floor. Every caller sits on the sequential bench/Verify path (batch
+    * entries run one at a time; no streaming micro-batch shares the
+    * session while a batch entry materializes) — callers introducing
+    * in-session concurrency must scope the override via
+    * `spark.newSession()` instead.
     */
   def checkpointSpread(spark: SparkSession, df: DataFrame): DataFrame = {
-    // TEMPORARY r17 measurement knob: off = plain localCheckpoint (the
-    // pre-r16 shape). Removed before the round closes.
-    if (sys.env.get("GRAFT_CKPT_SPREAD").contains("off"))
-      return df.localCheckpoint(true)
     val k = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
     val prev = spark.conf.getOption(k)
     spark.conf.set(k, "1b")
@@ -159,6 +140,16 @@ object Tables {
   }
 
   private val scanPartsCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** [[spread]] over a named fixture table with the r17 rows-aware target
+    * ([[SpreadMinRowsPerTask]]), and the scan-parallelism probe MEMOIZED
+    * per (dir, table, target): the probe plans the scan
+    * (`.rdd.getNumPartitions`), which costs ~50-200 ms of driver work —
+    * fine once, poison inside entries that reference the same table many
+    * times (r16 measured: the unmemoized probe in `vecs` more than
+    * DOUBLED the iterative similarity entries). The cached values are
+    * file-layout properties, not query results.
+    */
   def spreadTable(spark: SparkSession, dir: String, name: String,
                   key: org.apache.spark.sql.Column): DataFrame = {
     val df = table(spark, dir, name)

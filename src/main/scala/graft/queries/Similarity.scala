@@ -864,9 +864,6 @@ object Similarity extends QueryModule {
     * AQE byte sizing, because pinning it to `cores` would under-partition
     * exactly what cluster.conf sizes. */
   private def pairFanOut(spark: SparkSession, pairs: DataFrame, rowsEst: Long): DataFrame = {
-    // TEMPORARY r17 measurement knob (GRAFT_PAIR_FANOUT=off) — removed
-    // before the round closes.
-    if (sys.env.get("GRAFT_PAIR_FANOUT").contains("off")) return pairs
     val cores = spark.sparkContext.defaultParallelism
     val target = math.min(cores.toLong, math.max(1L, rowsEst / 256L)).toInt
     if (target > 1 && rowsEst * 16L < target.toLong * (1L << 20))
